@@ -1,0 +1,51 @@
+"""pyjanitor_spark — a PySpark-native re-expression of pyjanitor's verb
+library (reference: pyjanitor-devs/pyjanitor v0.29.2).
+
+Every verb is a pure function ``f(df, ...) -> DataFrame`` building a lazy
+Spark logical plan; Catalyst does the optimization.  Three usage forms:
+
+1. plain functions:      ``pj.clean_names(df)``
+2. transform-friendly:   ``df.transform(lambda d: pj.clean_names(d))``
+3. method registration:  ``pj.register_dataframe_methods()`` then
+   ``df.clean_names()`` — mirrors the reference's pandas_flavor pattern
+   (``janitor/spark/backend.py:19-45``).
+"""
+
+from __future__ import annotations
+
+from pyjanitor_spark import functions  # noqa: F401
+from pyjanitor_spark.operators import *  # noqa: F401,F403
+from pyjanitor_spark.operators import __dict__ as _ops_dict
+from pyjanitor_spark.utils import (  # noqa: F401
+    ORDER_COL,
+    DropLabel,
+    ensure_order_column,
+    get_index_labels,
+    resolve_columns,
+)
+
+__version__ = "0.1.0"
+
+
+def _public_verbs():
+    import inspect
+
+    from pyjanitor_spark import operators as _ops
+
+    out = {}
+    for name in dir(_ops):
+        if name.startswith("_"):
+            continue
+        fn = getattr(_ops, name)
+        if inspect.isfunction(fn):
+            out[name] = fn
+    return out
+
+
+def register_dataframe_methods() -> None:
+    """Monkey-patch every verb onto ``pyspark.sql.DataFrame`` as a method
+    (the reference's registration pattern, ``janitor/spark/backend.py``)."""
+    from pyspark.sql import DataFrame
+
+    for name, fn in _public_verbs().items():
+        setattr(DataFrame, name, fn)

@@ -1,0 +1,128 @@
+"""Series math transforms (ref ``janitor/math.py``, 377 LoC).
+
+Each reference Series method becomes a Column-expression function usable
+in ``select``/``withColumn``; the frame-level convenience wrapper
+``apply_math(df, col, fn)`` mirrors the method-chaining form.  Global
+statistics (softmax, z_score, ecdf) use unpartitioned window aggregates —
+Spark computes ``avg/stddev/sum over ()`` with a two-stage partial
+aggregate, NOT a single-task sort, so they scale; only ``ecdf``'s
+``cume_dist`` needs a total order (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "log", "exp", "sigmoid", "softmax", "logit", "normal_cdf", "probit",
+    "z_score", "ecdf", "apply_math",
+]
+
+
+def log(col: Column, error: str = "warn") -> Column:
+    """ln with domain guard: <=0 -> null (ref ``math.py:14-58``)."""
+    return F.when(col <= 0, F.lit(None)).otherwise(F.log(col))
+
+
+def exp(col: Column) -> Column:
+    """ref ``math.py:62-83``"""
+    return F.exp(col)
+
+
+def sigmoid(col: Column) -> Column:
+    """1/(1+exp(-x)) (ref ``math.py:87-114``)"""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-col))
+
+
+def softmax(col: Column) -> Column:
+    """exp(x)/sum(exp(x)) over the whole column (ref ``math.py:118-150``).
+    Max-subtracted for numerical stability; global window aggregates are
+    two-stage partial aggs (scalable)."""
+    w = Window.partitionBy()
+    shifted = F.exp(col - F.max(col).over(w))
+    return shifted / F.sum(shifted).over(w)
+
+
+def logit(col: Column, error: str = "warn") -> Column:
+    """log(p/(1-p)), domain (0,1) else null (ref ``math.py:154-203``)."""
+    return F.when((col <= 0) | (col >= 1), F.lit(None)).otherwise(
+        F.log(col / (F.lit(1.0) - col))
+    )
+
+
+def normal_cdf(col: Column) -> Column:
+    """Phi(x) = 0.5*(1+erf(x/sqrt(2))) (ref ``math.py:207-229``)."""
+    return F.lit(0.5) * (F.lit(1.0) + _erf(col / F.sqrt(F.lit(2.0))))
+
+
+def _erf(x: Column) -> Column:
+    """Abramowitz-Stegun 7.1.26 rational approximation of erf (|eps|<1.5e-7)
+    as a pure expression — keeps the whole pipeline in codegen."""
+    a1, a2, a3, a4, a5, p = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429, 0.3275911
+    )
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(p) * ax)
+    y = F.lit(1.0) - (
+        ((((F.lit(a5) * t + F.lit(a4)) * t) + F.lit(a3)) * t + F.lit(a2)) * t + F.lit(a1)
+    ) * t * F.exp(-ax * ax)
+    return sign * y
+
+
+def probit(col: Column, error: str = "warn") -> Column:
+    """Inverse normal CDF via Acklam's rational approximation (public
+    algorithm; |rel err| < 1.15e-9) — pure expression, no scipy UDF
+    (ref ``math.py:233-280``)."""
+    p = col
+    # coefficients
+    A = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    B = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    C = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    D = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+
+    def poly(coeffs, x):
+        out = F.lit(float(coeffs[0]))
+        for c in coeffs[1:]:
+            out = out * x + F.lit(float(c))
+        return out
+
+    q_low = F.sqrt(F.lit(-2.0) * F.log(p))
+    low = poly(C, q_low) / (poly(D, q_low) * q_low + F.lit(1.0))
+
+    q_mid = p - F.lit(0.5)
+    r = q_mid * q_mid
+    mid = poly(A, r) * q_mid / (poly(B, r) * r + F.lit(1.0))
+
+    q_hi = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    hi = -(poly(C, q_hi)) / (poly(D, q_hi) * q_hi + F.lit(1.0))
+
+    return (
+        F.when((p <= 0) | (p >= 1), F.lit(None))
+        .when(p < plow, low)
+        .when(p <= phigh, mid)
+        .otherwise(hi)
+    )
+
+
+def z_score(col: Column) -> Column:
+    """(x - mean)/std over the whole column (ref ``math.py:284-326``)."""
+    w = Window.partitionBy()
+    return (col - F.avg(col).over(w)) / F.stddev(col).over(w)
+
+
+def ecdf(col: Column) -> Column:
+    """Empirical CDF: fraction of values <= x (ref ``math.py:330-377``).
+    ``cume_dist`` over a total order — single-task final window."""
+    return F.cume_dist().over(Window.orderBy(col))
+
+
+def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> DataFrame:
+    """Frame-level wrapper: df.apply_math('x', sigmoid)."""
+    return df.withColumn(dest or column_name, fn(F.col(column_name)))

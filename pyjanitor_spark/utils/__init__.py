@@ -1,0 +1,13 @@
+from pyjanitor_spark.utils.order import ORDER_COL, ensure_order_column
+from pyjanitor_spark.utils.select import DropLabel, get_index_labels, resolve_columns
+from pyjanitor_spark.utils.strings import clean_name, make_unique
+
+__all__ = [
+    "ORDER_COL",
+    "ensure_order_column",
+    "DropLabel",
+    "get_index_labels",
+    "resolve_columns",
+    "clean_name",
+    "make_unique",
+]

@@ -1,0 +1,49 @@
+"""The _row_order contract.
+
+Spark DataFrames have no row index (SURVEY.md §1.4): every verb that
+depends on row position in the reference (``fill_direction``,
+``row_to_names``, ``flag_jumps``, ``count_cumulative_unique``,
+``factorize_columns(appearance)``, ``shuffle``, ``take_first``) instead
+takes an explicit *order column*.  This module defines the contract:
+
+* ``ORDER_COL`` — the conventional name ``_row_order``.
+* ``ensure_order_column(df, order_by=None)`` — returns ``(df, colname)``;
+  if ``order_by`` is given it is used as-is (no data movement); otherwise a
+  ``monotonically_increasing_id`` column is added.  The generated id is
+  monotonic *within and across* partitions in input order, which matches
+  "current row order" semantics without any shuffle — it encodes
+  (partition_id, per-partition offset) so ordering by it never repartitions
+  the data.
+
+At 100 TB scale a global total order is intrinsically expensive; verbs in
+this library therefore prefer ``Window.partitionBy(...).orderBy(order)``
+(parallel per group) and only fall back to a global ``Window.orderBy``
+(single-task) when the semantics genuinely require a total order — each
+such verb documents it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ORDER_COL = "_row_order"
+
+__all__ = ["ORDER_COL", "ensure_order_column"]
+
+
+def ensure_order_column(
+    df: DataFrame, order_by: str | None = None
+) -> tuple[DataFrame, str, bool]:
+    """Return ``(df, order_col, was_added)``.
+
+    ``order_by=None`` uses the ``_row_order`` column if present, else adds
+    one from ``monotonically_increasing_id()`` (no shuffle).
+    """
+    if order_by is not None:
+        if order_by not in df.columns:
+            raise KeyError(f"order column {order_by!r} not in DataFrame")
+        return df, order_by, False
+    if ORDER_COL in df.columns:
+        return df, ORDER_COL, False
+    return df.withColumn(ORDER_COL, F.monotonically_increasing_id()), ORDER_COL, True

@@ -1,0 +1,116 @@
+"""Column-selection resolver: the ``select`` mini-language over a flat
+list of column names.
+
+Re-expresses the semantics of the reference's label-resolution engine
+(``janitor/functions/select.py:555-833`` — string, glob via ``fnmatch``,
+regex, slice, callable, iterable, and ``DropLabel`` inversion) as a pure
+function over ``df.columns``.  Spark has no row index / MultiIndex, so the
+resolver operates only on the flat column-name list; row selection is done
+with ordinary ``filter`` predicates.
+
+This is pure Python — no Spark involvement — so Catalyst sees only the
+final explicit column list (full column pruning preserved).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+__all__ = ["DropLabel", "resolve_columns", "get_index_labels"]
+
+
+@dataclass(frozen=True)
+class DropLabel:
+    """Negated selector: keep everything EXCEPT what ``label`` resolves to.
+
+    Mirrors the reference's ``DropLabel`` wrapper
+    (``janitor/functions/select.py:538-552``).
+    """
+
+    label: Any
+
+
+def _resolve_one(arg: Any, columns: list[str]) -> list[str]:
+    """Resolve a single selector against ``columns`` (ordered, may dup)."""
+    # exact name match wins over glob interpretation
+    if isinstance(arg, str):
+        if arg in columns:
+            return [c for c in columns if c == arg]
+        # glob (fnmatch) — the reference treats any string with glob
+        # metacharacters as a shell pattern (select.py:585-601)
+        if any(ch in arg for ch in "*?["):
+            hits = [c for c in columns if fnmatch.fnmatchcase(c, arg)]
+            if hits:
+                return hits
+        raise KeyError(f"No match for column selector {arg!r}")
+    if isinstance(arg, re.Pattern):
+        hits = [c for c in columns if arg.search(c)]
+        if not hits:
+            raise KeyError(f"No column matches regex {arg.pattern!r}")
+        return hits
+    if isinstance(arg, slice):
+        # label- or position-based slice over the ordered column list
+        start, stop, step = arg.start, arg.stop, arg.step
+        if isinstance(start, str) or isinstance(stop, str):
+            i0 = columns.index(start) if isinstance(start, str) else 0
+            i1 = (columns.index(stop) + 1) if isinstance(stop, str) else len(columns)
+            return columns[i0:i1:step]
+        return columns[arg]
+    if isinstance(arg, int) and not isinstance(arg, bool):
+        return [columns[arg]]
+    if isinstance(arg, DropLabel):
+        dropped = set(_resolve_many([arg.label], columns))
+        return [c for c in columns if c not in dropped]
+    if callable(arg):
+        hits = [c for c in columns if arg(c)]
+        if not hits:
+            raise KeyError("Callable column selector matched nothing")
+        return hits
+    if isinstance(arg, Iterable):
+        return _resolve_many(list(arg), columns)
+    raise TypeError(f"Unsupported column selector: {type(arg)!r}")
+
+
+def _resolve_many(args: list[Any], columns: list[str]) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    for a in args:
+        for c in _resolve_one(a, columns):
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+    return out
+
+
+def resolve_columns(
+    df: DataFrame | list[str],
+    *args: Any,
+    invert: bool = False,
+) -> list[str]:
+    """Resolve selectors to an ordered, de-duplicated column-name list.
+
+    Selectors may be: exact names, shell globs (``"l_*"``), compiled
+    regexes, slices (label or positional), ints, callables
+    ``(name) -> bool``, ``DropLabel``, or iterables of any of these.
+    """
+    columns = df.columns if isinstance(df, DataFrame) else list(df)
+    if not args:
+        resolved = list(columns)
+    else:
+        resolved = _resolve_many(list(args), columns)
+    if invert:
+        dropped = set(resolved)
+        return [c for c in columns if c not in dropped]
+    return resolved
+
+
+def get_index_labels(df: DataFrame | list[str], *args: Any) -> list[str]:
+    """Alias mirroring the reference's ``get_index_labels``
+    (``janitor/functions/select.py:450-474``)."""
+    return resolve_columns(df, *args)
