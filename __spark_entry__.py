@@ -1,38 +1,715 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before value-hashing).
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+from pyjanitor_spark.functions import math as pjm
+
+KEYS = ["l_orderkey", "l_linenumber"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyjanitor_spark.sources import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: clean_names -> filter_date -> window groupby_agg on
+    sf0.001 lineitem (SURVEY.md §7 phase 0)."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    out = (
+        li.transform(lambda d: pj.clean_names(d))
+        .transform(
+            lambda d: pj.filter_date(
+                d, "l_shipdate", start_date="1994-01-01", end_date="1996-12-31"
+            )
+        )
+        .transform(
+            lambda d: pj.groupby_agg(
+                d,
+                by=["l_returnflag", "l_linestatus"],
+                new_column_name="avg_qty",
+                agg_column_name="l_quantity",
+                agg="mean",
+            )
+        )
+        .select("l_returnflag", "l_linestatus", "avg_qty")
+        .distinct()
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_groupby_agg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        pj.groupby_agg(li, ["l_returnflag"], "avg_qty", "l_quantity", "mean")
+        .select("l_returnflag", "avg_qty")
+        .distinct()
+    )
+
+
+def q_clean_names(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumnsRenamed(
+        {"l_orderkey": "L OrderKey", "l_quantity": "L Quantity@#", "l_returnflag": "Return-Flag"}
+    )
+    return pj.clean_names(li, remove_special=True).select(
+        "l_orderkey", "l_quantity", "return_flag"
+    )
+
+
+def q_filter_date(spark, sf):
+    _utc(spark)
+    li = _t(spark, sf, "lineitem")
+    out = pj.filter_date(
+        li, "l_shipdate", start_date="1994-01-01", end_date="1996-12-31",
+        months=[1, 2, 3],
+    )
+    return out.select(*KEYS, F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"))
+
+
+def q_filter_string(spark, sf):
+    o = _t(spark, sf, "orders")
+    return pj.filter_string(o, "o_orderpriority", "URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+def q_filter_on(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.filter_on(li, "l_quantity > 30 AND l_discount < 0.05").select(
+        *KEYS, "l_quantity", "l_discount"
+    )
+
+
+def q_filter_isin(spark, sf):
+    c = _t(spark, sf, "customer")
+    return pj.filter_column_isin(c, "c_mktsegment", ["BUILDING", "AUTOMOBILE"]).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_case_when(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.case_when(
+        li,
+        F.col("l_extendedprice") < 1000, "low",
+        F.col("l_extendedprice") < 5000, "mid",
+        column_name="price_band",
+        default="high",
+    )
+    return out.select(*KEYS, "price_band")
+
+
+def q_update_where(spark, sf):
+    o = _t(spark, sf, "orders")
+    out = pj.update_where(o, "o_totalprice < 5000", "o_orderpriority", "0-LOW")
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def q_flag_nulls(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ws", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    return pj.flag_nulls(li, "null_flag", ["ws"]).select(*KEYS, "null_flag")
+
+
+def q_coalesce(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ws", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    return pj.coalesce(li, ["ws", "l_linestatus"], "merged").select(*KEYS, "merged")
+
+
+def q_fill_empty(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ws", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    return pj.fill_empty(li, ["ws"], "X").select(*KEYS, "ws")
+
+
+def q_impute_mean(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "q2", F.when(F.col("l_discount") > 0.05, F.lit(None)).otherwise(F.col("l_quantity"))
+    )
+    return pj.impute(li, ["q2"], statistic_column_name="mean").select(*KEYS, "q2")
+
+
+def q_get_dupes(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.get_dupes(li, ["l_partkey", "l_suppkey"]).select(
+        "l_partkey", "l_suppkey", *KEYS
+    )
+
+
+def q_dropnotnull(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "ws", F.nullif(F.col("l_returnflag"), F.lit("N"))
+    )
+    return pj.dropnotnull(li, "ws").select(*KEYS)
+
+
+def q_concatenate_columns(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.concatenate_columns(
+        li, ["l_returnflag", "l_linestatus"], "flag_status", sep="-"
+    ).select(*KEYS, "flag_status")
+
+
+def q_deconcatenate_column(spark, sf):
+    o = _t(spark, sf, "orders")
+    return pj.deconcatenate_column(
+        o, "o_orderpriority", ["pnum", "pword"], sep="-"
+    ).select("o_orderkey", "pnum", "pword")
+
+
+def q_change_type(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.change_type(li, ["l_quantity"], "int").select(*KEYS, "l_quantity")
+
+
+def q_convert_excel_date(spark, sf):
+    _utc(spark)
+    li = _t(spark, sf, "lineitem").withColumn(
+        "excel_date", F.datediff(F.col("l_shipdate"), F.lit("1899-12-30"))
+    )
+    out = pj.convert_excel_date(li, "excel_date")
+    return out.select(*KEYS, F.date_format("excel_date", "yyyy-MM-dd").alias("excel_date"))
+
+
+def q_convert_unix_date(spark, sf):
+    _utc(spark)
+    ev = _t(spark, sf, "events").withColumn("ts_rt", F.unix_timestamp("ts"))
+    out = pj.convert_unix_date(ev, "ts_rt")
+    return out.select(
+        "event_id", F.date_format("ts_rt", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+
+
+def q_truncate_datetime(spark, sf):
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    out = pj.truncate_datetime_dataframe(ev, "month")
+    return out.select("event_id", F.date_format("ts", "yyyy-MM-dd").alias("ts_month"))
+
+
+def q_bin_numeric(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.bin_numeric(
+        li, "l_quantity", "qty_bin", bins=[0, 10, 25, 50], labels=["low", "mid", "high"]
+    )
+    return out.select(*KEYS, "qty_bin")
+
+
+def q_round_to_fraction(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.round_to_fraction(li, "l_extendedprice", 4).select(
+        *KEYS, F.col("l_extendedprice").alias("price_q")
+    )
+
+
+def q_min_max_scale(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.min_max_scale(li, column_name=["l_quantity"])
+    return out.select(*KEYS, F.col("l_quantity").alias("qty_scaled"))
+
+
+def q_groupby_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return pj.groupby_topk(o, ["o_orderpriority"], "o_orderkey", 3).select(
+        "o_orderpriority", "o_orderkey"
+    )
+
+
+def q_take_first(spark, sf):
+    o = _t(spark, sf, "orders")
+    return pj.take_first(o, ["o_custkey"], "o_orderkey").select(
+        "o_custkey", "o_orderkey"
+    )
+
+
+def q_factorize_columns(spark, sf):
+    c = _t(spark, sf, "customer")
+    return pj.factorize_columns(c, ["c_mktsegment"]).select(
+        "c_custkey", "c_mktsegment", "c_mktsegment_enc"
+    )
+
+
+def q_count_cumulative_unique(spark, sf):
+    ev = _t(spark, sf, "events")
+    return pj.count_cumulative_unique(
+        ev, "user_id", "ccu", order_by="event_id"
+    ).select("event_id", "ccu")
+
+
+def q_z_score(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select("c_custkey", pjm.z_score(F.col("c_acctbal")).alias("z"))
+
+
+def q_sigmoid(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, pjm.sigmoid(F.col("l_discount")).alias("sig"))
+
+
+def q_log(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, pjm.log(F.col("l_discount")).alias("ln_disc"))
+
+
+def q_softmax(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, pjm.softmax(F.col("l_tax")).alias("sm"))
+
+
+def q_ecdf(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, "l_quantity", pjm.ecdf(F.col("l_quantity")).alias("qty_ecdf"))
+
+
+def q_process_text(spark, sf):
+    c = _t(spark, sf, "customer").withColumn("cust_num", F.col("c_name"))
+    out = pj.process_text(c, "cust_num", "extract", pat=r"#(\d+)")
+    return out.select("c_custkey", "cust_num")
+
+
+def q_find_replace(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = pj.find_replace(
+        ev, match="exact", event_type={"click": "c", "view": "v", "purchase": "p"}
+    )
+    return out.select("event_id", "event_type")
+
+
+def q_column_ops(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.select(li, "l_orderkey", "l_q*", re.compile("flag$"))
+    out = pj.reorder_columns(out, ["l_quantity"])
+    out = pj.rename_column(out, "l_quantity", "qty")
+    return out
+
+
+def q_drop_constant_columns(spark, sf):
+    li = _t(spark, sf, "lineitem").select(*KEYS, "l_quantity").withColumn(
+        "const", F.lit(1)
+    )
+    return pj.drop_constant_columns(li)
+
+
+def q_expand_column(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return pj.expand_column(d, "lang", sep="|")
+
+
+def q_currency_to_numeric(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "money", F.concat(F.lit("$"), F.col("l_extendedprice").cast("string"))
+    )
+    return pj.currency_column_to_numeric(li, "money").select(*KEYS, "money")
+
+
+def q_transform_column(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.transform_column(
+        li, "l_quantity", lambda c: c * 2, dest_column_name="qty2", elementwise=False
+    )
+    return out.select(*KEYS, "qty2")
+
+
+def q_conditional_join_equi(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = pj.conditional_join(
+        o, li,
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", ">"),
+    )
+    return out.select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+
+
+def q_conditional_join_range(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    out = pj.conditional_join(
+        p, s, ("p_retailprice", "lo", ">"), ("p_retailprice", "hi", "<"),
+        use_bucket=True,
+    )
+    return out.select("p_partkey", "s_suppkey", "lo", "hi")
+
+
+def q_conditional_join_keep_first(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_acctbal").alias("lo"), (F.col("s_acctbal") + 500).alias("hi")
+    )
+    out = pj.conditional_join(
+        p, s, ("p_retailprice", "lo", ">"), ("p_retailprice", "hi", "<"),
+        keep="first",
+    )
+    return out.select("p_partkey", "lo", "hi")
+
+
+def q_pivot_longer(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        *KEYS, "l_quantity", "l_discount", "l_tax"
+    )
+    return pj.pivot_longer(li, index=KEYS, names_to="measure", values_to="val")
+
+
+def q_pivot_wider(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    return pj.pivot_wider(
+        agg, index="l_returnflag", names_from="l_linestatus", values_from="sq"
+    )
+
+
+def q_complete(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 5)
+    base = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return pj.complete(base, "l_returnflag", "qty")
+
+
+def q_expand(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.expand(li, "l_returnflag", "l_linestatus")
+
+
+def q_fill_missing_timestamps(spark, sf):
+    _utc(spark)
+    ev = _t(spark, sf, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = pj.fill_missing_timestamps(hourly, "1 hour", column_name="hr")
+    return out.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr_str"), "n"
+    )
+
+
+def q_fill_direction(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "v2", F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    )
+    out = pj.fill_direction(ev, {"v2": "down"}, order_by="event_id", by=["user_id"])
+    return out.select("event_id", "v2")
+
+
+def q_sort_naturally(spark, sf):
+    # order can't be hash-compared (driver sorts rows); rows-only check
+    p = _t(spark, sf, "part")
+    return pj.sort_naturally(p, "p_brand").select("p_partkey", "p_brand")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "groupby_agg": q_groupby_agg,
+        "clean_names": q_clean_names,
+        "filter_date": q_filter_date,
+        "filter_string": q_filter_string,
+        "filter_on": q_filter_on,
+        "filter_column_isin": q_filter_isin,
+        "case_when": q_case_when,
+        "update_where": q_update_where,
+        "flag_nulls": q_flag_nulls,
+        "coalesce": q_coalesce,
+        "fill_empty": q_fill_empty,
+        "impute": q_impute_mean,
+        "get_dupes": q_get_dupes,
+        "dropnotnull": q_dropnotnull,
+        "concatenate_columns": q_concatenate_columns,
+        "deconcatenate_column": q_deconcatenate_column,
+        "change_type": q_change_type,
+        "convert_excel_date": q_convert_excel_date,
+        "convert_unix_date": q_convert_unix_date,
+        "truncate_datetime": q_truncate_datetime,
+        "bin_numeric": q_bin_numeric,
+        "round_to_fraction": q_round_to_fraction,
+        "min_max_scale": q_min_max_scale,
+        "groupby_topk": q_groupby_topk,
+        "take_first": q_take_first,
+        "factorize_columns": q_factorize_columns,
+        "count_cumulative_unique": q_count_cumulative_unique,
+        "z_score": q_z_score,
+        "sigmoid": q_sigmoid,
+        "log": q_log,
+        "softmax": q_softmax,
+        "ecdf": q_ecdf,
+        "process_text": q_process_text,
+        "find_replace": q_find_replace,
+        "column_ops": q_column_ops,
+        "drop_constant_columns": q_drop_constant_columns,
+        "expand_column": q_expand_column,
+        "currency_column_to_numeric": q_currency_to_numeric,
+        "transform_column": q_transform_column,
+        "sort_naturally": q_sort_naturally,
+        "conditional_join_equi": q_conditional_join_equi,
+        "conditional_join_range": q_conditional_join_range,
+        "conditional_join_keep_first": q_conditional_join_keep_first,
+        "pivot_longer": q_pivot_longer,
+        "pivot_wider": q_pivot_wider,
+        "complete": q_complete,
+        "expand": q_expand,
+        "fill_missing_timestamps": q_fill_missing_timestamps,
+        "fill_direction": q_fill_direction,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "groupby_agg": (
+            "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_returnflag"
+        ),
+        "clean_names": (
+            "SELECT l_orderkey, l_quantity, l_returnflag AS return_flag FROM lineitem"
+        ),
+        "filter_date": (
+            "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01' "
+            "AND l_shipdate <= TIMESTAMP '1996-12-31' AND month(l_shipdate) IN (1,2,3)"
+        ),
+        "filter_string": (
+            "SELECT o_orderkey, o_orderpriority FROM orders "
+            "WHERE regexp_matches(o_orderpriority, 'URGENT')"
+        ),
+        "filter_on": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem "
+            "WHERE l_quantity > 30 AND l_discount < 0.05"
+        ),
+        "filter_column_isin": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')"
+        ),
+        "case_when": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_extendedprice < 1000 THEN 'low' "
+            "WHEN l_extendedprice < 5000 THEN 'mid' ELSE 'high' END AS price_band "
+            "FROM lineitem"
+        ),
+        "update_where": (
+            "SELECT o_orderkey, CASE WHEN o_totalprice < 5000 THEN '0-LOW' "
+            "ELSE o_orderpriority END AS o_orderpriority FROM orders"
+        ),
+        "flag_nulls": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END AS null_flag "
+            "FROM lineitem"
+        ),
+        "coalesce": (
+            "SELECT l_orderkey, l_linenumber, "
+            "coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS merged FROM lineitem"
+        ),
+        "fill_empty": (
+            "SELECT l_orderkey, l_linenumber, "
+            "coalesce(nullif(l_returnflag, 'N'), 'X') AS ws FROM lineitem"
+        ),
+        "impute": (
+            "SELECT l_orderkey, l_linenumber, coalesce("
+            "CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END, "
+            "(SELECT avg(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END) "
+            "FROM lineitem)) AS q2 FROM lineitem"
+        ),
+        "get_dupes": (
+            "SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM lineitem "
+            "QUALIFY count(*) OVER (PARTITION BY l_partkey, l_suppkey) > 1"
+        ),
+        "dropnotnull": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'N'"
+        ),
+        "concatenate_columns": (
+            "SELECT l_orderkey, l_linenumber, "
+            "concat_ws('-', l_returnflag, l_linestatus) AS flag_status FROM lineitem"
+        ),
+        "deconcatenate_column": (
+            "SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS pnum, "
+            "split_part(o_orderpriority, '-', 2) AS pword FROM orders"
+        ),
+        "change_type": (
+            "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS l_quantity "
+            "FROM lineitem"
+        ),
+        "convert_excel_date": (
+            "SELECT l_orderkey, l_linenumber, "
+            "strftime(DATE '1899-12-30' + CAST(date_diff('day', DATE '1899-12-30', "
+            "CAST(l_shipdate AS DATE)) AS INT), '%Y-%m-%d') AS excel_date FROM lineitem"
+        ),
+        "convert_unix_date": (
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM events"
+        ),
+        "truncate_datetime": (
+            "SELECT event_id, strftime(date_trunc('month', ts), '%Y-%m-%d') AS ts_month "
+            "FROM events"
+        ),
+        "bin_numeric": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_quantity >= 0 AND l_quantity <= 10 THEN 'low' "
+            "WHEN l_quantity > 10 AND l_quantity <= 25 THEN 'mid' "
+            "WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'high' END AS qty_bin "
+            "FROM lineitem"
+        ),
+        "round_to_fraction": (
+            "SELECT l_orderkey, l_linenumber, round(l_extendedprice * 4) / 4 AS price_q "
+            "FROM lineitem"
+        ),
+        "min_max_scale": (
+            "SELECT l_orderkey, l_linenumber, "
+            "(l_quantity - min(l_quantity) OVER ()) / "
+            "(max(l_quantity) OVER () - min(l_quantity) OVER ()) AS qty_scaled FROM lineitem"
+        ),
+        "groupby_topk": (
+            "SELECT o_orderpriority, o_orderkey FROM orders QUALIFY "
+            "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) <= 3"
+        ),
+        "take_first": (
+            "SELECT o_custkey, o_orderkey FROM orders QUALIFY "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1"
+        ),
+        "factorize_columns": (
+            "SELECT c_custkey, c_mktsegment, CAST(dense_rank() OVER (ORDER BY c_mktsegment) "
+            "- 1 AS INT) AS c_mktsegment_enc FROM customer"
+        ),
+        "count_cumulative_unique": (
+            "WITH t AS (SELECT event_id, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS rn FROM events) "
+            "SELECT event_id, CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER "
+            "(ORDER BY event_id) AS BIGINT) AS ccu FROM t"
+        ),
+        "z_score": (
+            "SELECT c_custkey, (c_acctbal - avg(c_acctbal) OVER ()) / "
+            "stddev_samp(c_acctbal) OVER () AS z FROM customer"
+        ),
+        "sigmoid": (
+            "SELECT l_orderkey, l_linenumber, 1.0 / (1.0 + exp(-l_discount)) AS sig "
+            "FROM lineitem"
+        ),
+        "log": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CASE WHEN l_discount <= 0 THEN NULL ELSE ln(l_discount) END AS ln_disc "
+            "FROM lineitem"
+        ),
+        "softmax": (
+            "SELECT l_orderkey, l_linenumber, "
+            "exp(l_tax - max(l_tax) OVER ()) / "
+            "sum(exp(l_tax - max(l_tax) OVER ())) OVER () AS sm FROM lineitem"
+        ),
+        "ecdf": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "cume_dist() OVER (ORDER BY l_quantity) AS qty_ecdf FROM lineitem"
+        ),
+        "process_text": (
+            "SELECT c_custkey, regexp_extract(c_name, '#(\\d+)', 1) AS cust_num "
+            "FROM customer"
+        ),
+        "find_replace": (
+            "SELECT event_id, CASE event_type WHEN 'click' THEN 'c' "
+            "WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p' ELSE event_type END "
+            "AS event_type FROM events"
+        ),
+        "column_ops": (
+            "SELECT l_quantity AS qty, l_orderkey, l_returnflag FROM lineitem"
+        ),
+        "drop_constant_columns": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+        ),
+        "expand_column": (
+            "SELECT doc_id, lang, "
+            "CAST(lang = 'de' AS INT) AS de, CAST(lang = 'en' AS INT) AS en, "
+            "CAST(lang = 'es' AS INT) AS es, CAST(lang = 'fr' AS INT) AS fr, "
+            "CAST(lang = 'zh' AS INT) AS zh FROM documents"
+        ),
+        "currency_column_to_numeric": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice AS money FROM lineitem"
+        ),
+        "transform_column": (
+            "SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2 FROM lineitem"
+        ),
+        "conditional_join_equi": (
+            "SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+            "AND o_totalprice > l_extendedprice"
+        ),
+        "conditional_join_range": (
+            "SELECT p_partkey, s_suppkey, s_acctbal AS lo, s_acctbal + 500 AS hi "
+            "FROM part, supplier WHERE p_retailprice > s_acctbal "
+            "AND p_retailprice < s_acctbal + 500"
+        ),
+        "conditional_join_keep_first": (
+            "WITH j AS (SELECT p_partkey, s_acctbal AS lo, s_acctbal + 500 AS hi "
+            "FROM part, supplier WHERE p_retailprice > s_acctbal "
+            "AND p_retailprice < s_acctbal + 500) "
+            "SELECT p_partkey, lo, hi FROM j QUALIFY "
+            "row_number() OVER (PARTITION BY p_partkey ORDER BY lo, hi) = 1"
+        ),
+        "pivot_longer": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val "
+            "FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem"
+        ),
+        "pivot_wider": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\", "
+            "sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS \"O\" "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "complete": (
+            "WITH base AS (SELECT l_returnflag, CAST(l_quantity AS INT) AS qty, "
+            "count(*) AS n FROM lineitem WHERE l_quantity <= 5 GROUP BY 1, 2), "
+            "flags AS (SELECT DISTINCT l_returnflag FROM base), "
+            "qtys AS (SELECT DISTINCT qty FROM base) "
+            "SELECT flags.l_returnflag, qtys.qty, base.n FROM flags "
+            "CROSS JOIN qtys LEFT JOIN base USING (l_returnflag, qty)"
+        ),
+        "expand": (
+            "SELECT f.l_returnflag, s.l_linestatus FROM "
+            "(SELECT DISTINCT l_returnflag FROM lineitem) f CROSS JOIN "
+            "(SELECT DISTINCT l_linestatus FROM lineitem) s"
+        ),
+        "fill_missing_timestamps": (
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n "
+            "FROM events GROUP BY 1), "
+            "grid AS (SELECT unnest(generate_series((SELECT min(hr) FROM h), "
+            "(SELECT max(hr) FROM h), INTERVAL '1 hour')) AS hr) "
+            "SELECT strftime(grid.hr, '%Y-%m-%d %H:%M:%S') AS hr_str, h.n "
+            "FROM grid LEFT JOIN h ON grid.hr = h.hr"
+        ),
+        "fill_direction": (
+            "SELECT event_id, last_value(CASE WHEN event_type = 'click' THEN NULL "
+            "ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2 FROM events"
+        ),
+        # sort_naturally: ordering is not hash-comparable -> rows-only check
+    }

@@ -1,4 +1,17 @@
 from pyjanitor_spark.operators.clean_names import clean_names, clean_names_expr
+from pyjanitor_spark.operators.complete import (
+    cartesian_product,
+    complete,
+    expand,
+    expand_grid,
+    fill_missing_timestamps,
+)
+from pyjanitor_spark.operators.joins import conditional_join, get_join_indices
+from pyjanitor_spark.operators.reshape import (
+    pivot_longer,
+    pivot_longer_spec,
+    pivot_wider,
+)
 from pyjanitor_spark.operators.columns import (
     also,
     collapse_levels,

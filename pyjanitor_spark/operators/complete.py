@@ -1,0 +1,182 @@
+"""Completion / expansion verbs: expose implicit-missing rows.
+
+``expand`` builds the cartesian product of per-column value sets
+(tidyr expand; ref ``expand_grid.py:141-366``); ``complete`` left-joins
+the original frame onto that grid (ref ``complete.py:13-342``).
+
+Scale design: each value set is a ``distinct`` (one shuffle, tiny
+output); the grid is built by chained ``crossJoin`` of the DISTINCT
+sets (small × small — never the data itself); the final join streams the
+big table once against the (usually broadcastable) grid.  ``explicit=
+False`` fill uses a presence indicator from the left join — no second
+pass over the data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["expand", "expand_grid", "cartesian_product", "complete", "fill_missing_timestamps"]
+
+
+def _value_set(df: DataFrame, spec: Any, spark: SparkSession) -> DataFrame:
+    """One column-spec -> a small one-or-more-column distinct DataFrame."""
+    if isinstance(spec, str):
+        return df.select(spec).distinct()
+    if isinstance(spec, (list, tuple)) and all(isinstance(s, str) for s in spec):
+        # grouped columns: their OBSERVED combinations (tidyr nesting)
+        return df.select(*spec).distinct()
+    if isinstance(spec, dict):
+        # {name: iterable | DataFrame | callable(df)->iterable}
+        (name, values), = spec.items()
+        if isinstance(values, DataFrame):
+            return values
+        if callable(values):
+            values = values(df)
+        vals = [(v,) for v in values]
+        return spark.createDataFrame(vals, [name])
+    if isinstance(spec, DataFrame):
+        return spec
+    raise TypeError(f"unsupported expand spec: {type(spec)!r}")
+
+
+def expand(df: DataFrame, *specs: Any, by: Any | None = None) -> DataFrame:
+    """Cartesian product of the value sets of the given column specs
+    (ref ``expand_grid.py:141-366``).  With ``by``, the product is built
+    within each group (distinct by-keys crossed per-group via join)."""
+    spark = df.sparkSession
+    if by is None:
+        grids = [_value_set(df, s, spark) for s in specs]
+        out = grids[0]
+        for g in grids[1:]:
+            out = out.crossJoin(g)
+        return out
+    by_cols = [by] if isinstance(by, str) else list(by)
+    # per-group value sets: distinct (by, col) pairs, joined on by-keys.
+    # Each join key is the group key — co-partitioned hash joins, no
+    # cartesian blowup beyond the semantic output size.
+    grids = [df.select(*by_cols, *( [s] if isinstance(s, str) else list(s) )).distinct()
+             if isinstance(s, (str, list, tuple))
+             else _value_set(df, s, spark).crossJoin(df.select(*by_cols).distinct())
+             for s in specs]
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.join(g, on=by_cols, how="inner")
+    return out
+
+
+def expand_grid(spark: SparkSession, others: dict[str, Any]) -> DataFrame:
+    """Cartesian product of named arrays/frames (ref
+    ``expand_grid.py:27-137``).  Spark's crossJoin replaces the
+    mgrid/dtype trick (SURVEY.md §4)."""
+    if not others:
+        raise ValueError("others must be non-empty")
+    frames = []
+    for name, values in others.items():
+        if isinstance(values, DataFrame):
+            frames.append(values)
+        else:
+            frames.append(spark.createDataFrame([(v,) for v in values], [name]))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.crossJoin(f)
+    return out
+
+
+def cartesian_product(*dfs: DataFrame) -> DataFrame:
+    """Cross-join N DataFrames (ref ``expand_grid.py:406-...``)."""
+    if not dfs:
+        raise ValueError("need at least one DataFrame")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(d)
+    return out
+
+
+def complete(
+    df: DataFrame,
+    *specs: Any,
+    by: Any | None = None,
+    fill_value: Any | dict | None = None,
+    explicit: bool = True,
+) -> DataFrame:
+    """Expose implicit-missing combinations as explicit null rows (ref
+    ``complete.py:13-342``).
+
+    grid = expand(specs[, by]) LEFT-joined by the original frame.
+    ``fill_value`` fills the value columns; ``explicit=False`` fills ONLY
+    newly-created rows (presence indicator from the join, mirroring the
+    reference's merge ``indicator`` trick)."""
+    grid = expand(df, *specs, by=by)
+    keys = grid.columns
+    # presence indicator BEFORE the join (any non-key column could be null
+    # legitimately)
+    marked = df.withColumn("__present", F.lit(1))
+    joined = grid.join(marked, on=keys, how="left")
+    value_cols = [c for c in df.columns if c not in set(keys)]
+    out = joined
+    if fill_value is not None:
+        fills = (
+            fill_value if isinstance(fill_value, dict)
+            else {c: fill_value for c in value_cols}
+        )
+        updates = {}
+        for c, v in fills.items():
+            if c not in value_cols:
+                continue
+            if explicit:
+                updates[c] = F.coalesce(F.col(c), F.lit(v))
+            else:
+                updates[c] = F.when(
+                    F.col("__present").isNull() & F.col(c).isNull(), F.lit(v)
+                ).otherwise(F.col(c))
+        out = out.withColumns(updates)
+    return out.drop("__present")
+
+
+def fill_missing_timestamps(
+    df: DataFrame,
+    frequency: str,
+    column_name: str = "ts",
+    first_time_stamp: Any | None = None,
+    last_time_stamp: Any | None = None,
+    by: Any | None = None,
+) -> DataFrame:
+    """Reindex against a regular timestamp grid (ref
+    ``timeseries.py:14-76``).
+
+    Grid generated JVM-side: ``sequence(min, max, interval)`` +
+    ``explode`` — one row per grid point, no driver materialization.
+    ``frequency`` is a Spark interval string ('1 hour', '15 minutes').
+    With ``by``, a grid per group (min/max per group via one agg)."""
+    interval = F.expr(f"INTERVAL {frequency}")
+    if by is None:
+        if first_time_stamp is None or last_time_stamp is None:
+            row = df.agg(
+                F.min(column_name).alias("mn"), F.max(column_name).alias("mx")
+            ).first()
+            lo = first_time_stamp or row["mn"]
+            hi = last_time_stamp or row["mx"]
+        else:
+            lo, hi = first_time_stamp, last_time_stamp
+        grid = df.sparkSession.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"), interval
+                )
+            ).alias(column_name)
+        )
+        return grid.join(df, on=column_name, how="left")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    bounds = df.groupBy(*by_cols).agg(
+        F.min(column_name).alias("__mn"), F.max(column_name).alias("__mx")
+    )
+    grid = bounds.select(
+        *by_cols,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), interval)).alias(column_name),
+    )
+    return grid.join(df, on=by_cols + [column_name], how="left")

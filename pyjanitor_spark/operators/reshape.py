@@ -1,0 +1,281 @@
+"""Reshape verbs: pivot_longer (tidyr unpivot) and pivot_wider.
+
+``pivot_longer`` follows the reference's two-stage design (SURVEY.md §3
+entry 3): (a) a pure-Python SPEC BUILDER over ``df.columns`` — regex /
+separator matching, ``.value`` placeholders (ref ``pivot.py:1044-1306``)
+— producing a spec table mapping each old column to its label values and
+target value-column; (b) a Spark EXECUTOR compiling the spec to a single
+``stack(n, ...)`` expression — one narrow JVM-side generator, no shuffle,
+no UDF; output rows = n_labels × input rows, streamed.
+
+``pivot_wider`` compiles to ``groupBy(index).pivot(names, values).agg``
+with the pivot label list learned in one bounded distinct action
+(schema-from-data, SURVEY.md §4) so Spark plans a single-pass pivot
+aggregate.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyjanitor_spark.utils.select import resolve_columns
+
+__all__ = ["pivot_longer", "pivot_longer_spec", "pivot_wider"]
+
+
+# ---------------------------------------------------------------- spec
+
+def _build_spec(
+    column_names: list[str],
+    names_to: list[str],
+    names_sep: str | None,
+    names_pattern: str | list[str] | None,
+    values_to: str,
+) -> list[dict]:
+    """Spec rows: {'.name': old_col, '.value': target_value_col,
+    <label_col>: label_value, ...} (ref spec builders
+    ``pivot.py:1044-1306``, re-derived from documented semantics)."""
+    spec: list[dict] = []
+    if isinstance(names_pattern, (list, tuple)):
+        # positional pairing: columns matching pattern[i] belong to value
+        # group names_to[i]; k-th match of each group pairs into row k
+        groups: list[list[str]] = [[] for _ in names_pattern]
+        for c in column_names:
+            for i, pat in enumerate(names_pattern):
+                if re.search(pat, c):
+                    groups[i].append(c)
+                    break
+        width = max(len(g) for g in groups)
+        for k in range(width):
+            for i, vname in enumerate(names_to):
+                if k < len(groups[i]):
+                    spec.append({".name": groups[i][k], ".value": vname, "__row": k})
+        return spec
+    for c in column_names:
+        if names_sep is not None:
+            parts = re.split(names_sep, c)
+        elif names_pattern is not None:
+            m = re.search(names_pattern, c)
+            if not m:
+                continue
+            parts = list(m.groups()) if m.groups() else [m.group(0)]
+        else:
+            parts = [c]
+        if len(parts) != len(names_to):
+            raise ValueError(
+                f"column {c!r} split into {len(parts)} parts; names_to has {len(names_to)}"
+            )
+        row: dict = {".name": c}
+        value_name = values_to
+        for part, dest in zip(parts, names_to):
+            if dest == ".value":
+                value_name = part if row.get("__v") is None else row["__v"] + part
+                row["__v"] = value_name
+            else:
+                row[dest] = part
+        row[".value"] = value_name
+        row.pop("__v", None)
+        spec.append(row)
+    return spec
+
+
+def _common_type(df: DataFrame, cols: list[str]) -> str | None:
+    """Least-surprising common cast for a stack value group."""
+    types = {dict(df.dtypes)[c] for c in cols}
+    if len(types) == 1:
+        return None
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    if types <= numeric:
+        return "double"
+    return "string"
+
+
+def _execute_spec(
+    df: DataFrame,
+    spec: list[dict],
+    index: list[str],
+    dropna: bool,
+    names_transform: dict[str, str] | None,
+) -> DataFrame:
+    label_cols = [k for k in spec[0] if k not in (".name", ".value", "__row")]
+    # group spec rows: one stack row per distinct label tuple (or __row id)
+    def gkey(r):
+        return r.get("__row", tuple(r.get(lc) for lc in label_cols))
+
+    groups: dict[Any, dict] = {}
+    order: list[Any] = []
+    for r in spec:
+        k = gkey(r)
+        if k not in groups:
+            groups[k] = {"labels": {lc: r.get(lc) for lc in label_cols}, "vals": {}}
+            order.append(k)
+        groups[k]["vals"][r[".value"]] = r[".name"]
+    value_names: list[str] = []
+    for r in spec:
+        if r[".value"] not in value_names:
+            value_names.append(r[".value"])
+    casts = {
+        v: _common_type(df, [r[".name"] for r in spec if r[".value"] == v])
+        for v in value_names
+    }
+    # one stack() expression: n label-tuples, each row emits label literals
+    # + the mapped source columns (NULL where a group lacks a column)
+    parts: list[str] = []
+    for k in order:
+        g = groups[k]
+        for lc in label_cols:
+            v = g["labels"][lc]
+            parts.append("NULL" if v is None else "'" + str(v).replace("'", "\\'") + "'")
+        for v in value_names:
+            src = g["vals"].get(v)
+            if src is None:
+                parts.append(f"CAST(NULL AS {casts[v] or dict(df.dtypes)[spec[0]['.name']]})")
+            elif casts[v]:
+                parts.append(f"CAST(`{src}` AS {casts[v]})")
+            else:
+                parts.append(f"`{src}`")
+    out_cols = label_cols + value_names
+    stack_expr = (
+        f"stack({len(order)}, {', '.join(parts)}) as ({', '.join('`'+c+'`' for c in out_cols)})"
+    )
+    out = df.selectExpr(*[f"`{c}`" for c in index], stack_expr)
+    if dropna:
+        pred = F.lit(False)
+        for v in value_names:
+            pred = pred | F.col(v).isNotNull()
+        out = out.filter(pred)
+    if names_transform:
+        out = out.withColumns(
+            {c: F.col(c).cast(t) for c, t in names_transform.items() if c in out.columns}
+        )
+    return out
+
+
+def pivot_longer(
+    df: DataFrame,
+    index: Any | None = None,
+    column_names: Any | None = None,
+    names_to: str | list[str] = "variable",
+    values_to: str = "value",
+    names_sep: str | None = None,
+    names_pattern: str | list[str] | None = None,
+    names_transform: dict[str, str] | None = None,
+    dropna: bool = False,
+) -> DataFrame:
+    """tidyr-style unpivot (ref ``pivot.py:26-410``): ``names_to`` may
+    contain ``.value`` placeholders; ``names_sep`` or ``names_pattern``
+    (single regex with groups, or list of regexes for positional pairing)
+    split old column names into the new label values."""
+    if index is not None:
+        idx = resolve_columns(df, index)
+        cols = (
+            resolve_columns(df, column_names)
+            if column_names is not None
+            else [c for c in df.columns if c not in set(idx)]
+        )
+    elif column_names is not None:
+        cols = resolve_columns(df, column_names)
+        idx = [c for c in df.columns if c not in set(cols)]
+    else:
+        raise ValueError("provide index and/or column_names")
+    nt = [names_to] if isinstance(names_to, str) else list(names_to)
+    spec = _build_spec(cols, nt, names_sep, names_pattern, values_to)
+    if not spec:
+        raise ValueError("no columns matched the pivot_longer spec")
+    return _execute_spec(df, spec, idx, dropna, names_transform)
+
+
+def pivot_longer_spec(
+    df: DataFrame,
+    spec: list[dict],
+    index: Any | None = None,
+    dropna: bool = False,
+    names_transform: dict[str, str] | None = None,
+) -> DataFrame:
+    """Escape hatch: user-supplied spec rows ``{'.name': old_column,
+    '.value': value_column, <label>: value, ...}`` (ref
+    ``pivot.py:413-553``)."""
+    used = {r[".name"] for r in spec}
+    idx = (
+        resolve_columns(df, index)
+        if index is not None
+        else [c for c in df.columns if c not in used]
+    )
+    for r in spec:
+        r.setdefault(".value", "value")
+    return _execute_spec(df, spec, idx, dropna, names_transform)
+
+
+# ---------------------------------------------------------------- wider
+
+def pivot_wider(
+    df: DataFrame,
+    index: Any,
+    names_from: Any,
+    values_from: Any,
+    names_sep: str = "_",
+    names_glue: str | None = None,
+    names_expand: bool = False,
+    fill_value: Any | None = None,
+) -> DataFrame:
+    """long -> wide (ref ``pivot.py:1865-2201``): groupBy(index)
+    .pivot(names_from, <learned labels>).agg(first(values_from)).
+
+    (index, names_from) combinations are unique in the reference's
+    contract, so ``first()`` is exact.  One bounded distinct action
+    learns the label list so the pivot is planned single-pass."""
+    idx = resolve_columns(df, index)
+    names = resolve_columns(df, names_from)
+    values = resolve_columns(df, values_from)
+    if len(names) == 1:
+        name_col = F.col(names[0]).cast("string")
+    else:
+        name_col = F.concat_ws(names_sep, *[F.col(c).cast("string") for c in names])
+    tagged = df.withColumn("__pname", name_col)
+    labels = [r[0] for r in tagged.select("__pname").distinct().orderBy("__pname").collect()]
+    if len(values) == 1:
+        agg = [F.first(F.col(values[0]), ignorenulls=False).alias("__v")]
+    else:
+        agg = [F.first(F.col(v), ignorenulls=False).alias(v) for v in values]
+    out = tagged.groupBy(*idx).pivot("__pname", labels).agg(*agg)
+    # normalize output names: single value -> bare label; multi-value ->
+    # value<sep>label (pandas MultiIndex flattening order)
+    renames: dict[str, str] = {}
+    for c in out.columns:
+        if c in idx:
+            continue
+        if len(values) == 1:
+            label = c[:-4] if c.endswith("___v") else c
+            new = label
+            if names_glue:
+                new = names_glue.format(**_glue_args(names, label, names_sep, values[0]))
+            renames[c] = new
+        else:
+            # spark names these "<label>_<valuealias>"
+            for v in values:
+                if c.endswith(f"_{v}"):
+                    label = c[: -(len(v) + 1)]
+                    new = f"{v}{names_sep}{label}"
+                    if names_glue:
+                        new = names_glue.format(
+                            **_glue_args(names, label, names_sep, v)
+                        )
+                    renames[c] = new
+                    break
+    out = out.withColumnsRenamed(renames)
+    if fill_value is not None:
+        out = out.na.fill(fill_value, subset=[c for c in out.columns if c not in idx])
+    return out
+
+
+def _glue_args(names: list[str], label: str, names_sep: str, value_name: str) -> dict:
+    parts = label.split(names_sep) if len(names) > 1 else [label]
+    args = {n: p for n, p in zip(names, parts)}
+    args["_value"] = value_name
+    args.setdefault("value", value_name)
+    return args

@@ -204,10 +204,10 @@ def change_type(
     updates = {}
     for c in cols:
         if ignore_exception == "fillna":
-            updates[c] = F.try_cast(F.col(c), dtype)
+            updates[c] = F.col(c).try_cast(dtype)
         elif ignore_exception == "keep_values":
             updates[c] = F.coalesce(
-                F.try_cast(F.col(c), dtype).cast("string"), F.col(c).cast("string")
+                F.col(c).try_cast(dtype).cast("string"), F.col(c).cast("string")
             )
         else:
             updates[c] = F.col(c).cast(dtype)
@@ -225,7 +225,7 @@ def currency_column_to_numeric(
     ``currency_column_to_numeric.py:12-197``)."""
     raw = F.col(column_name).cast("string")
     cleaned = F.regexp_replace(raw, r"[^0-9.\-eE+]", "")
-    num = F.try_cast(cleaned, "double")
+    num = cleaned.try_cast("double")
     expr = num
     if cast_non_numeric:
         for key, val in cast_non_numeric.items():

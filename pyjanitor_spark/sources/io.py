@@ -1,0 +1,96 @@
+"""Sources: parquet/CSV readers (ref ``janitor/io.py``).
+
+``read_table`` is the canonical testdata loader: it transparently
+handles parquet TIMESTAMP(NANOS) columns (written by pandas/pyarrow,
+rejected by Spark's vectorized reader) by reading them as raw nanos and
+converting to microsecond timestamps JVM-side (``timestamp_micros(ns div
+1000)`` — integer division, no double-precision loss at 1e18 ns).
+
+``read_csvs`` mirrors ``io.py:28-93``: a glob/list of CSVs becomes ONE
+DataFrame via Spark's native multi-file reader (scales to any number of
+files; schema drift surfaces as a per-file schema comparison).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import subprocess
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_table", "read_csvs", "read_commandline", "xlsx_table", "xlsx_cells"]
+
+_NANO_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_table(spark: SparkSession, path: str, nano_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Read parquet; convert TIMESTAMP(NANOS) columns (surfaced as long
+    under ``nanosAsLong``) back to timestamps."""
+    spark.conf.set(_NANO_CONF, "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def read_csvs(
+    spark: SparkSession,
+    files_path: str | list[str],
+    separate_df: bool = False,
+    **kwargs: Any,
+) -> DataFrame | dict[str, DataFrame]:
+    """Glob/list of CSVs -> one DataFrame (or dict per file when
+    ``separate_df``); ref ``io.py:28-93``."""
+    paths = (
+        sorted(_glob.glob(files_path)) if isinstance(files_path, str) else list(files_path)
+    )
+    if not paths:
+        raise ValueError(f"no files match {files_path!r}")
+    opts = {"header": "true", "inferSchema": "true", **{k: str(v) for k, v in kwargs.items()}}
+    if separate_df:
+        return {p: spark.read.options(**opts).csv(p) for p in paths}
+    first = spark.read.options(**opts).csv(paths[0])
+    for p in paths[1:]:
+        other = spark.read.options(**opts).csv(p)
+        if [f.name for f in other.schema.fields] != [f.name for f in first.schema.fields]:
+            raise ValueError(f"schema of {p!r} does not match {paths[0]!r}")
+    return spark.read.options(**opts).csv(paths)
+
+
+def read_commandline(spark: SparkSession, cmd: str, **kwargs: Any) -> DataFrame:
+    """Run a shell command, parse its stdout as CSV (ref ``io.py:96-152``).
+    Driver-side subprocess -> small DataFrame; for large pipes prefer
+    writing to a file and ``read_csvs``."""
+    import io as _io
+
+    import pandas as pd
+
+    out = subprocess.run(cmd, shell=True, capture_output=True, text=True, check=True)
+    pdf = pd.read_csv(_io.StringIO(out.stdout), **kwargs)
+    return spark.createDataFrame(pdf)
+
+
+def xlsx_table(spark: SparkSession, path: str, table: str | None = None):
+    """Extract declared Excel tables (ref ``io.py:159-342``).  Excel is
+    inherently single-machine: driver-side openpyxl parse -> DataFrame.
+    openpyxl is not bundled in this environment -> ImportError gate."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("xlsx_table requires openpyxl") from e
+    raise NotImplementedError("xlsx_table: driver-side openpyxl parse (stub)")
+
+
+def xlsx_cells(spark: SparkSession, path: str, **kwargs: Any):
+    """One-row-per-cell melt of a spreadsheet incl. formatting structs
+    (ref ``io.py:345-617``); StructType columns model the fill/font/border
+    dicts.  openpyxl-gated stub in this environment."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("xlsx_cells requires openpyxl") from e
+    raise NotImplementedError("xlsx_cells: driver-side openpyxl parse (stub)")

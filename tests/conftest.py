@@ -40,7 +40,9 @@ def orders(spark):
 
 @pytest.fixture(scope="session")
 def events(spark):
-    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyjanitor_spark.sources import read_table
+
+    return read_table(spark, f"{SF_DIR}/events.parquet")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,150 @@
+"""conditional_join differential tests: compare every strategy against
+the brute-force crossJoin+filter (the reference's own property-test
+approach, ``tests/functions/test_conditional_join.py``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+
+
+@pytest.fixture
+def df1(spark):
+    # canonical range-join pair from the reference docstring
+    # (conditional_join.py:99-120)
+    return spark.createDataFrame([(2,), (5,), (7,), (1,), (3,), (4,)], ["value_1"])
+
+
+@pytest.fixture
+def df2(spark):
+    return spark.createDataFrame(
+        [(0, 1), (3, 5), (7, 9), (12, 15), (0, 1), (2, 4), (3, 6), (1, 3)],
+        ["value_2A", "value_2B"],
+    )
+
+
+def brute(left, right, conds, how="inner"):
+    """crossJoin + filter reference implementation."""
+    r = right
+    for c in set(left.columns) & set(right.columns):
+        r = r.withColumnRenamed(c, f"right_{c}")
+    pred = None
+    opmap = {
+        "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    }
+    for lc, rc, op in conds:
+        rc2 = f"right_{rc}" if rc in left.columns else rc
+        c = opmap[op](F.col(lc), F.col(rc2))
+        pred = c if pred is None else pred & c
+    return left.crossJoin(r).filter(pred)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_range_join_inner(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(df1, df2, *conds)
+    exp = brute(df1, df2, conds)
+    assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
+
+
+def test_range_join_bucketized(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(df1, df2, *conds, use_bucket=True, bucket_width=2.0)
+    exp = brute(df1, df2, conds)
+    assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
+
+
+def test_single_op_le(df1, df2):
+    conds = [("value_1", "value_2A", "<=")]
+    got = pj.conditional_join(df1, df2, *conds)
+    exp = brute(df1, df2, conds)
+    assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
+
+
+def test_not_equal(df1, df2):
+    conds = [("value_1", "value_2A", "!=")]
+    got = pj.conditional_join(df1, df2, *conds)
+    exp = brute(df1, df2, conds)
+    assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
+
+
+def test_mixed_equi_nonequi(orders, lineitem):
+    conds = [
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", ">"),
+    ]
+    got = pj.conditional_join(orders, lineitem, *conds)
+    exp = brute(orders, lineitem, conds)
+    assert got.count() == exp.count()
+    # plan check: Catalyst must extract the equi key (no nested loop)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_keep_first(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(df1, df2, *conds, keep="first")
+    # one row per matching left row
+    exp = brute(df1, df2, conds).select("value_1").distinct()
+    assert got.count() == exp.count()
+    # keep='first' picks the smallest right keys per left row;
+    # value_1=2 matches only (1,3)
+    first_for_2 = got.filter(F.col("value_1") == 2).collect()
+    assert len(first_for_2) == 1
+    assert first_for_2[0]["value_2A"] == 1
+    # value_1=4 matches (3,5), (2,4)?->no (4<4 false), (3,6), (1,... no
+    # 4<3 false) => first by (value_2A asc, value_2B asc) = (3,5)
+    first_for_4 = got.filter(F.col("value_1") == 4).collect()
+    assert (first_for_4[0]["value_2A"], first_for_4[0]["value_2B"]) == (3, 5)
+
+
+def test_left_join(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(df1, df2, *conds, how="left")
+    inner_lefts = {r["value_1"] for r in brute(df1, df2, conds).collect()}
+    all_lefts = {r["value_1"] for r in df1.collect()}
+    nulls = got.filter(F.col("value_2A").isNull())
+    assert {r["value_1"] for r in nulls.collect()} == all_lefts - inner_lefts
+
+
+def test_indicator(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(df1, df2, *conds, how="outer", indicator=True)
+    vals = {r["_merge"] for r in got.collect()}
+    assert "both" in vals
+    assert got.filter(F.col("_merge") == "right_only").count() > 0
+
+
+def test_bucketized_left_join(df1, df2):
+    conds = [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    got = pj.conditional_join(
+        df1, df2, *conds, how="left", use_bucket=True, bucket_width=2.0
+    )
+    plain = pj.conditional_join(df1, df2, *conds, how="left")
+    assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(
+        plain.select("value_1", "value_2A", "value_2B")
+    )
+
+
+def test_get_join_indices(df1, df2):
+    idx = pj.get_join_indices(
+        df1, df2, [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    )
+    assert idx.columns == ["left_index", "right_index"]
+    assert idx.count() == brute(
+        df1, df2, [("value_1", "value_2A", ">"), ("value_1", "value_2B", "<")]
+    ).count()
+
+
+def test_collision_prefix(spark):
+    a = spark.createDataFrame([(1, 10)], ["k", "v"])
+    b = spark.createDataFrame([(1, 20)], ["k", "v"])
+    out = pj.conditional_join(a, b, ("k", "k", "=="))
+    assert set(out.columns) == {"k", "v", "right_k", "right_v"}

@@ -1,0 +1,163 @@
+"""pivot_longer / pivot_wider / complete / expand tests.
+
+Fixture shapes from FIXTURES.md F4-F6 (wide_iris, regex-spec frame,
+multi-.value frame, long_steps, abundance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+
+
+@pytest.fixture
+def iris(spark):
+    return spark.createDataFrame(
+        [(5.1, 3.5, 1.4, 0.2, "setosa"), (7.0, 3.2, 4.7, 1.4, "versicolor")],
+        ["Sepal.Length", "Sepal.Width", "Petal.Length", "Petal.Width", "Species"],
+    )
+
+
+def test_pivot_longer_simple(iris):
+    out = pj.pivot_longer(
+        iris, index="Species", names_to="part", values_to="measure"
+    )
+    rows = out.collect()
+    assert len(rows) == 8
+    assert set(out.columns) == {"Species", "part", "measure"}
+    got = {(r["Species"], r["part"]): r["measure"] for r in rows}
+    assert got[("setosa", "Sepal.Length")] == 5.1
+
+
+def test_pivot_longer_names_sep_dot_value(iris):
+    out = pj.pivot_longer(
+        iris, index="Species", names_to=[".value", "dim"], names_sep=r"\."
+    )
+    rows = out.collect()
+    # 2 rows per input row (Length / Width), value columns Sepal & Petal
+    assert len(rows) == 4
+    assert set(out.columns) == {"Species", "dim", "Sepal", "Petal"}
+    got = {(r["Species"], r["dim"]): (r["Sepal"], r["Petal"]) for r in rows}
+    assert got[("setosa", "Length")] == (5.1, 1.4)
+    assert got[("versicolor", "Width")] == (3.2, 1.4)
+
+
+def test_pivot_longer_names_pattern_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3)], ["id", "new_sp_m5564", "newrel_f65"]
+    )
+    out = pj.pivot_longer(
+        df,
+        index="id",
+        column_names=["new_sp_m5564", "newrel_f65"],
+        names_to=["diagnosis", "gender", "age"],
+        names_pattern=r"new_?(.+)_(.)(\d+)",
+    )
+    got = {(r["diagnosis"], r["gender"], r["age"]): r["value"] for r in out.collect()}
+    assert got[("sp", "m", "5564")] == 2
+    assert got[("rel", "f", "65")] == 3
+
+
+def test_pivot_longer_multi_value_pairing(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 3, 4, 50)], ["x_1_mean", "x_2_mean", "y_1_mean", "y_2_mean", "unit"]
+    )
+    out = pj.pivot_longer(
+        df,
+        index="unit",
+        names_to=["x_mean", "y_mean"],
+        names_pattern=[r"^x_", r"^y_"],
+    )
+    rows = sorted(out.collect(), key=lambda r: r["x_mean"])
+    assert len(rows) == 2
+    assert (rows[0]["x_mean"], rows[0]["y_mean"]) == (1, 3)
+    assert (rows[1]["x_mean"], rows[1]["y_mean"]) == (2, 4)
+
+
+def test_pivot_longer_spec_escape_hatch(iris):
+    spec = [
+        {".name": "Sepal.Length", ".value": "len", "part": "sepal"},
+        {".name": "Petal.Length", ".value": "len", "part": "petal"},
+    ]
+    out = pj.pivot_longer_spec(iris, spec, index="Species")
+    got = {(r["Species"], r["part"]): r["len"] for r in out.collect()}
+    assert got[("setosa", "sepal")] == 5.1
+    assert got[("setosa", "petal")] == 1.4
+
+
+def test_pivot_wider_roundtrip(spark):
+    long = spark.createDataFrame(
+        [(0.1, 1, "a", 10), (0.1, 2, "a", 20), (0.2, 1, "b", 30), (0.2, 2, "b", 40)],
+        ["dep", "step", "label", "value"],
+    )
+    wide = pj.pivot_wider(long, index=["dep", "label"], names_from="step", values_from="value")
+    rows = {(r["dep"], r["label"]): (r["1"], r["2"]) for r in wide.collect()}
+    assert rows[(0.1, "a")] == (10, 20)
+    assert rows[(0.2, "b")] == (30, 40)
+
+
+def test_pivot_wider_glue(spark):
+    long = spark.createDataFrame(
+        [(0.1, 1, 10), (0.1, 2, 20)], ["dep", "step", "a"]
+    )
+    wide = pj.pivot_wider(
+        long, index="dep", names_from="step", values_from="a",
+        names_glue="a_{step}",
+    )
+    assert set(wide.columns) == {"dep", "a_1", "a_2"}
+
+
+def test_complete(spark):
+    df = spark.createDataFrame(
+        [(1999, "Dog", 2), (2000, "Cat", 3)], ["Year", "Taxon", "Abundance"]
+    )
+    out = pj.complete(df, "Year", "Taxon")
+    assert out.count() == 4
+    missing = out.filter(F.col("Abundance").isNull()).count()
+    assert missing == 2
+
+
+def test_complete_fill_and_explicit(spark):
+    df = spark.createDataFrame(
+        [(1999, "Dog", None), (2000, "Cat", 3)],
+        "Year int, Taxon string, Abundance int",
+    )
+    out = pj.complete(df, "Year", "Taxon", fill_value=0, explicit=False)
+    got = {(r["Year"], r["Taxon"]): r["Abundance"] for r in out.collect()}
+    # pre-existing explicit null NOT filled; synthesized rows filled
+    assert got[(1999, "Dog")] is None
+    assert got[(1999, "Cat")] == 0
+    assert got[(2000, "Dog")] == 0
+    out2 = pj.complete(df, "Year", "Taxon", fill_value=0, explicit=True)
+    got2 = {(r["Year"], r["Taxon"]): r["Abundance"] for r in out2.collect()}
+    assert got2[(1999, "Dog")] == 0
+
+
+def test_complete_dict_range(spark):
+    df = spark.createDataFrame(
+        [(1999, "Dog", 2), (2001, "Dog", 3)], ["Year", "Taxon", "Abundance"]
+    )
+    out = pj.complete(df, {"Year": range(1999, 2002)}, "Taxon")
+    assert out.count() == 3
+
+
+def test_expand_grid(spark):
+    out = pj.expand_grid(spark, {"x": [1, 2], "y": ["a", "b", "c"]})
+    assert out.count() == 6
+    assert out.columns == ["x", "y"]
+
+
+def test_fill_missing_timestamps(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0), 1.0),
+            (dt.datetime(2024, 1, 1, 3), 2.0),
+        ],
+        ["ts", "v"],
+    )
+    out = pj.fill_missing_timestamps(df, "1 hour", column_name="ts")
+    assert out.count() == 4  # 0,1,2,3 hours
+    assert out.filter(F.col("v").isNull()).count() == 2
