@@ -433,6 +433,109 @@ def q_sort_naturally(spark, sf):
     return pj.sort_naturally(p, "p_brand").select("p_partkey", "p_brand")
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+def q_dedupe_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.dedupe_exact(d, "text", "doc_id").select("doc_id", "source")
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    d = pj.fingerprint(d, "text", dest="fp_exact", mode="exact")
+    d = pj.fingerprint(d, "text", dest="fp_rolling", mode="rolling")
+    return d.select("doc_id", "fp_exact", "fp_rolling")
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.simhash(d, "text", bits=32).select("doc_id", "simhash")
+
+
+def q_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
+
+
+def q_ngram_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+def q_embedding_near_dup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return pj.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4, block_col="label"
+    )
+
+
+def _query_vec(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    return e, [float(v) for v in row[0]]
+
+
+def q_cosine_topk(spark, sf):
+    e, qv = _query_vec(spark, sf)
+    return pj.cosine_topk(e, qv, "embedding", "vec_id", k=10)
+
+
+def q_lsh_bucket_topk(spark, sf):
+    e, qv = _query_vec(spark, sf)
+    return pj.lsh_bucket_topk(e, qv, "embedding", "vec_id", k=10, planes=8)
+
+
+def q_ivf_topk(spark, sf):
+    # centroid averages are float-sum order-dependent -> rows-only check
+    e, qv = _query_vec(spark, sf)
+    return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
+
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.token_count(d, "text").select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.quality_score(d, "text").select(
+        "doc_id", "q_len", "q_punct", "q_stop", "q_wordlen", "quality"
+    )
+
+
+def q_language_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.language_id(d, "text").select("doc_id", "lang", "lang_pred")
+
+
+def q_binary_metadata(spark, sf):
+    d = _t(spark, sf, "documents")
+    d = pj.attach_binary(d, "text")
+    return pj.binary_metadata(d).select("doc_id", "n_bytes", "magic", "digest")
+
+
+def q_decode_features(spark, sf):
+    # mapInPandas decode stub -> rows-only check
+    d = _t(spark, sf, "documents")
+    return pj.decode_features(pj.attach_binary(d, "text"))
+
+
+def q_frame_sample(spark, sf):
+    # mapInPandas frame demux stub -> rows-only check
+    d = _t(spark, sf, "documents")
+    return pj.frame_sample(pj.attach_binary(d, "text"), every=64)
+
+
+def q_flag_jumps(spark, sf):
+    ev = _t(spark, sf, "events")
+    out = pj.flag_jumps(
+        ev, ts_column="event_id", columns="value", by=["user_id"], threshold=5.0
+    )
+    return out.select("event_id", "value_jump")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "groupby_agg": q_groupby_agg,
@@ -484,6 +587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
         "fill_direction": q_fill_direction,
+        "dedupe_exact": q_dedupe_exact,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ivf_topk": q_ivf_topk,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "binary_metadata": q_binary_metadata,
+        "decode_features": q_decode_features,
+        "frame_sample": q_frame_sample,
+        "flag_jumps": q_flag_jumps,
     }
 
 
@@ -620,9 +739,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem"
         ),
         "softmax": (
-            "SELECT l_orderkey, l_linenumber, "
-            "exp(l_tax - max(l_tax) OVER ()) / "
-            "sum(exp(l_tax - max(l_tax) OVER ())) OVER () AS sm FROM lineitem"
+            # duckdb rejects nested window calls -> hoist exp() into a CTE
+            "WITH t AS (SELECT l_orderkey, l_linenumber, "
+            "exp(l_tax - max(l_tax) OVER ()) AS e FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, e / sum(e) OVER () AS sm FROM t"
         ),
         "ecdf": (
             "SELECT l_orderkey, l_linenumber, l_quantity, "
@@ -712,4 +832,185 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2 FROM events"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
+        # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
+        **_pipeline_oracles(),
+    }
+
+
+# --------------------------------------------------------------------------
+# pipeline-op oracles (documents / embeddings)
+# --------------------------------------------------------------------------
+
+_NORM_TEXT = "trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+# word 3-gram shingles over token list t (empty when <3 tokens)
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+_STOP_SQL = (
+    "['the','a','an','and','or','of','to','in','is','it','that','for','on',"
+    "'with','as','at','by','this','be','are']"
+)
+# cosine similarity between DOUBLE[] columns a and b (same fold order as
+# Spark's sequential aggregate/zip_with)
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(ds, d -> "
+        f"(((strpos('0123456789abcdef', substr(d, {b // 4 + 1}, 1)) - 1) "
+        f">> {b % 4}) & 1) * 2 - 1)) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, list_transform(list_distinct({_TOKS}), "
+        f"x -> md5(x)) AS ds FROM documents) "
+        f"SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM t"
+    )
+
+
+def _minhash_band_sql(k: int = 8, bands: int = 4) -> str:
+    r = k // bands
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(k)
+    )
+    band_key = " ".join(
+        f"WHEN {b} THEN " + " || '|' || ".join(f"m[{b * r + j + 1}]" for j in range(r))
+        for b in range(bands)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, {_SHINGLES} AS s FROM toks), "
+        f"sig AS (SELECT doc_id, [{sig}] AS m FROM sh WHERE len(s) > 0), "
+        f"bk AS (SELECT doc_id, band, CASE band {band_key} END AS key "
+        f"FROM sig, (SELECT unnest(range({bands})) AS band)) "
+        f"SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2 "
+        f"FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
+def _lsh_plane_sql(plane: int) -> str:
+    # sign of sum_d v[d] * s(p,d); s from last hex char of md5('lsh:p:d')
+    sign = (
+        f"CASE WHEN (strpos('0123456789abcdef', substr(md5('lsh:{plane}:' || "
+        f"CAST(d - 1 AS VARCHAR)), 32, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        f"CASE WHEN list_sum(list_transform(generate_series(1, len(v)), "
+        f"d -> v[d] * ({sign}))) > 0 THEN '1' ELSE '0' END"
+    )
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    quality = (
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, "
+        "length(text) AS n_chars, "
+        "length(regexp_replace(text, '[^.,;:!?''\"()]', '', 'g')) AS punct "
+        "FROM documents), "
+        "u AS (SELECT doc_id, len(toks) AS n_tok, n_chars, punct, "
+        f"len(list_intersect(list_transform(toks, x -> lower(x)), {_STOP_SQL})) "
+        "AS stop_hits FROM t), "
+        "v AS (SELECT doc_id, least(n_tok / 100.0, 1.0) AS q_len, "
+        "CASE WHEN n_chars > 0 THEN 1.0 - least(punct * 10.0 / n_chars, 1.0) "
+        "ELSE 0.0 END AS q_punct, "
+        "least(stop_hits / 5.0, 1.0) AS q_stop, "
+        "CASE WHEN n_tok > 0 AND n_chars * 1.0 / n_tok >= 3.0 "
+        "AND n_chars * 1.0 / n_tok <= 10.0 THEN 1.0 ELSE 0.5 END AS q_wordlen "
+        "FROM u) "
+        "SELECT doc_id, q_len, q_punct, q_stop, q_wordlen, "
+        "(q_len + q_punct + q_stop + q_wordlen) / 4.0 AS quality FROM v"
+    )
+    lang = (
+        f"WITH t AS (SELECT doc_id, lang, text, "
+        f"list_transform({_TOKS}, x -> lower(x)) AS toks FROM documents), "
+        "s AS (SELECT doc_id, lang, text, "
+        "len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en, "
+        "len(list_intersect(toks, ['der','die','und','das','ist'])) AS s_de, "
+        "len(list_intersect(toks, ['le','la','et','les','est'])) AS s_fr, "
+        "len(list_intersect(toks, ['el','la','los','que','es'])) AS s_es "
+        "FROM t) "
+        "SELECT doc_id, lang, "
+        "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+    )
+    jaccard = (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_1, id_2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_1 "
+        "JOIN sizes sb ON sb.doc_id = id_2 "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
+    )
+    near_dup = (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+        "FROM embeddings) "
+        "SELECT a.vec_id AS id_1, b.vec_id AS id_2, "
+        + _cos("a.v", "b.v")
+        + " AS cos FROM e a JOIN e b ON a.label = b.label "
+        "AND a.vec_id < b.vec_id WHERE " + _cos("a.v", "b.v") + " >= 0.4"
+    )
+    topk = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
+        "SELECT e.vec_id, " + _cos("e.v", "q.qv") + " AS cos "
+        "FROM e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
+    )
+    bucket = " || ".join(_lsh_plane_sql(p) for p in range(8))
+    lsh_topk = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {bucket} AS bkt FROM e), "
+        "q AS (SELECT v AS qv, bkt AS qb FROM b WHERE vec_id = 0) "
+        "SELECT b.vec_id, " + _cos("b.v", "q.qv") + " AS cos "
+        "FROM b, q WHERE b.bkt = q.qb ORDER BY cos DESC, b.vec_id LIMIT 10"
+    )
+    return {
+        "dedupe_exact": (
+            "SELECT doc_id, source FROM documents QUALIFY "
+            f"doc_id = min(doc_id) OVER (PARTITION BY {_NORM_TEXT})"
+        ),
+        "fingerprint": (
+            f"WITH t AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp_exact, "
+            f"{_TOKS} AS t FROM documents) "
+            f"SELECT doc_id, fp_exact, "
+            f"list_min(list_transform({_SHINGLES}, x -> md5(x))) AS fp_rolling "
+            "FROM t"
+        ),
+        "simhash": _simhash_sql(32),
+        "minhash_lsh_pairs": _minhash_band_sql(8, 4),
+        "ngram_jaccard_pairs": jaccard,
+        "embedding_near_dup": near_dup,
+        "cosine_topk": topk,
+        "lsh_bucket_topk": lsh_topk,
+        "token_count": (
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents"
+        ),
+        "quality_score": quality,
+        "language_id": lang,
+        "binary_metadata": (
+            "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+            "strpos('0123456789abcdef', substr(lower(hex(encode(text))), 1, 1)) "
+            "* 16 - 16 + strpos('0123456789abcdef', "
+            "substr(lower(hex(encode(text))), 2, 1)) - 1 AS magic, "
+            "md5(text) AS digest FROM documents"  # md5(VARCHAR) hashes UTF-8 bytes = Spark md5(binary payload)
+        ),
+        "flag_jumps": (
+            "WITH t AS (SELECT event_id, value, lag(value) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS prev FROM events) "
+            "SELECT event_id, CASE WHEN prev IS NULL THEN 0 "
+            "WHEN abs(value - prev) > 5.0 THEN 1 ELSE 0 END AS value_jump "
+            "FROM t"
+        ),
     }

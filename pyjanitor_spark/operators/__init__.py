@@ -6,7 +6,39 @@ from pyjanitor_spark.operators.complete import (
     expand_grid,
     fill_missing_timestamps,
 )
+from pyjanitor_spark.operators.dedup import (
+    cosine_sim,
+    dedupe_exact,
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from pyjanitor_spark.operators.joins import conditional_join, get_join_indices
+from pyjanitor_spark.operators.multimodal import (
+    attach_binary,
+    binary_metadata,
+    decode_features,
+    frame_sample,
+)
+from pyjanitor_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_bucket,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from pyjanitor_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from pyjanitor_spark.operators.timeseries import (
+    flag_jumps,
+    sort_timestamps_monotonically,
+)
 from pyjanitor_spark.operators.reshape import (
     pivot_longer,
     pivot_longer_spec,

@@ -1,0 +1,272 @@
+"""Deduplication for large-scale corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+* ``dedupe_exact`` — hash-groupBy on a normalized md5 key: ONE shuffle
+  on a 32-byte key regardless of document size; keeps the min-id row
+  per group (deterministic, no row-order dependence).
+* ``minhash_lsh_pairs`` — shingle → k md5-min signature → b bands →
+  EQUI-join on (band_id, band_key).  The only shuffle is on short band
+  keys; candidate verification happens after the join.  Never compares
+  all pairs: cost ∝ Σ bucket².
+* ``simhash`` — 64-bit (configurable) sign-aggregated fingerprint; near
+  dups share the fingerprint or differ in few bits.  Pure expressions.
+* ``ngram_jaccard_pairs`` — EXACT Jaccard via shingle-explode +
+  pair-count: |A∩B| from a self-equi-join on shingle, |A∪B| = |A|+|B|−∩.
+  Shuffles on shingle strings — the exact-verification path, typically
+  run on LSH candidates only (pass ``candidates=``).
+* ``embedding_near_dup`` — cosine pairs within blocks (``block_col``,
+  e.g. a cluster/LSH bucket), avoiding the all-pairs cross join.
+
+All hashes are md5-derived => reproducible across engines (DuckDB
+oracle computes identical values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.operators.text_analysis import word_shingles
+
+__all__ = [
+    "dedupe_exact",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "cosine_sim",
+]
+
+
+def dedupe_exact(
+    df: DataFrame,
+    column_name: str,
+    id_col: str,
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the min-``id_col`` row per normalized-text
+    group.  min-id (not 'first seen') is the distributed-deterministic
+    keep rule."""
+    col = F.col(column_name)
+    key = F.md5(F.trim(F.lower(F.regexp_replace(col, r"\s+", " ")))) if normalize else F.md5(col)
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("__keep", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    column_name: str,
+    k: int = 8,
+    shingle_n: int = 3,
+    dest: str = "minhash",
+) -> DataFrame:
+    """k-permutation MinHash signature.
+
+    Permutation i is the md5 keyed by ``'{i}:'`` prefix; the signature
+    element is the lexicographic min digest over the shingle set — a
+    valid uniform permutation proxy that any engine reproduces exactly.
+    k expressions over one shingle array: single scan, no shuffle."""
+    sh = word_shingles(F.col(column_name), shingle_n)
+
+    # NB: the lambda must take exactly one parameter — PySpark passes the
+    # array index to any second parameter (even a defaulted one)
+    def perm(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(*[F.array_min(F.transform(sh, perm(f"{i}:"))) for i in range(k)])
+    return df.withColumn(dest, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_1 < id_2) sharing ≥1 LSH band.
+
+    signature[k] → ``bands`` bands of k/bands rows; band key = concat of
+    its signature elements; pairs = self-equi-join on (band_idx, key)
+    then distinct.  The join shuffles only (band, key) — scalable."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    # docs with no shingles have an all-null signature: concat_ws would
+    # give them a shared "" band key and pair every short doc — drop them
+    sigged = minhash_signature(df, column_name, k, shingle_n).filter(
+        F.element_at(F.col("minhash"), 1).isNotNull()
+    )
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.element_at(F.col("minhash"), b * r + j + 1) for j in range(r)]
+        ).alias(f"__band_{b}")
+        for b in range(bands)
+    ]
+    keyed = sigged.select(F.col(id_col), *band_cols)
+    buckets = keyed.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"__band_{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(
+    df: DataFrame,
+    column_name: str,
+    bits: int = 64,
+    dest: str = "simhash",
+) -> DataFrame:
+    """SimHash fingerprint: per-token md5 bit votes, sign-aggregated.
+
+    bit b of token t = nibble ``md5(t)[b div 4]`` >> (b mod 4) & 1;
+    fingerprint bit = 1 iff Σ(2·bit−1) > 0.  Compiled to ``aggregate``
+    over the token array per bit — pure codegen, one scan.  ``bits`` ≤
+    128 (md5 width)."""
+    if bits > 128:
+        raise ValueError("bits must be <= 128 (md5 width)")
+    toks = F.array_distinct(F.split(F.trim(F.col(column_name)), r"\s+"))
+    digests = F.transform(toks, F.md5)
+    # sum votes per bit with aggregate(); build the integer fingerprint
+    def _vote(b: int):
+        pos, shift = b // 4 + 1, b % 4
+
+        def merge(acc, d):
+            bit = F.shiftright(
+                F.conv(F.substring(d, pos, 1), 16, 10).cast("int"), shift
+            ).bitwiseAND(F.lit(1))
+            return acc + (bit * 2 - 1)
+
+        return F.aggregate(digests, F.lit(0), merge)
+
+    votes = [_vote(b) for b in range(bits)]
+    fp = F.lit(0).cast("decimal(38,0)")
+    for b, v in enumerate(votes):
+        # exact power-of-two literals via decimal strings (2^127 < 1e38)
+        p = F.lit(str(2**b)).cast("decimal(38,0)")
+        fp = fp + F.when(v > 0, p).otherwise(F.lit(0).cast("decimal(38,0)"))
+    if bits <= 62:
+        fp = fp.cast("long")
+    return df.withColumn(dest, fp)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_1 < id_2, jaccard ≥
+    threshold).
+
+    |A∩B| via shingle-explode self-join (shuffle on shingle), |A∪B| =
+    |A|+|B|−|A∩B|.  With ``candidates`` (e.g. LSH output: columns id_1,
+    id_2) the join is semi-filtered first — the production shape."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(column_name), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_1", "id_2"), on=["id_1", "id_2"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(sa, "id_1")
+        .join(sb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+    return out
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns — ``zip_with`` dot
+    product and ``aggregate`` norms, all JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
+    threshold).
+
+    With ``block_col`` (cluster id / LSH bucket) the self-join is
+    equi-keyed on the block — cost Σ block² instead of n².  Without it,
+    a full cross join: only for small frames (documented)."""
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    slim = df.select(*cols)
+    a = slim.alias("a")
+    b = slim.alias("b")
+    on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_col:
+        on.insert(0, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = cosine_sim(
+        F.col(f"a.{vec_col}").cast("array<double>"),
+        F.col(f"b.{vec_col}").cast("array<double>"),
+    )
+    return (
+        a.join(b, on=on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            dot.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

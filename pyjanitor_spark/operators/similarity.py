@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force cosine top-k against one query vector:
+  the query is a LITERAL array folded into the plan (broadcast by
+  construction), similarity is ``zip_with``/``aggregate`` codegen, and
+  top-k is ``orderBy(...).limit(k)`` which Spark executes as
+  per-partition TakeOrdered + driver merge of k·p candidates — no full
+  sort, no shuffle of the data.
+* ``ivf_topk`` — IVF-style: rank cluster centroids (one small agg),
+  scan only the ``nprobe`` nearest clusters (partition-pruned filter),
+  then brute-force inside.  With a cluster column from KMeans (Spark ML)
+  or any partitioner, the scan cost drops by ~n_clusters/nprobe.
+* ``lsh_bucket_topk`` — random-hyperplane LSH bucketing: sign bits of
+  dot products with md5-derived ±1 hyperplanes (deterministic across
+  engines); candidates = same-bucket rows, then exact re-rank.
+
+Reference has no similarity search — these are the training-data
+pipeline extensions (see build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.operators.dedup import cosine_sim
+
+__all__ = ["cosine_topk", "ivf_topk", "lsh_bucket_topk", "hyperplane_bucket"]
+
+
+def _qvec(query: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query]).cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k: returns (id, cos), ties broken by id."""
+    sim = cosine_sim(F.col(vec_col).cast("array<double>"), _qvec(query))
+    return (
+        df.select(F.col(id_col), sim.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def centroids(df: DataFrame, vec_col: str, cluster_col: str) -> DataFrame:
+    """Elementwise-mean centroid per cluster: posexplode → (cluster,
+    pos) avg → re-assemble with array_agg sorted by pos.  One shuffle on
+    (cluster,pos); output is n_clusters rows (tiny)."""
+    exploded = df.select(
+        F.col(cluster_col), F.posexplode(F.col(vec_col).cast("array<double>"))
+    )
+    per_pos = exploded.groupBy(cluster_col, "pos").agg(F.avg("col").alias("v"))
+    return per_pos.groupBy(cluster_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("v")))
+        ).alias("__pv")
+    ).select(
+        cluster_col, F.transform(F.col("__pv"), lambda s: s["v"]).alias("centroid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` clusters whose centroids are
+    most cosine-similar to the query, brute-force only inside them.
+
+    Two bounded small actions: centroid agg (n_clusters rows) and the
+    centroid ranking; the big-table scan is filtered to the probed
+    clusters (prunes partitions when the table is partitioned by
+    cluster)."""
+    cents = centroids(df, vec_col, cluster_col)
+    ranked = (
+        cents.select(
+            F.col(cluster_col),
+            cosine_sim(F.col("centroid"), _qvec(query)).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col(cluster_col).asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe = [r[cluster_col] for r in ranked]
+    return cosine_topk(df.filter(F.col(cluster_col).isin(probe)), query, vec_col, id_col, k)
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, planes: int = 8, seed: str = "lsh"
+) -> Column:
+    """LSH bucket id: for plane p, sign of Σ_d s(p,d)·v_d with s(p,d) =
+    ±1 from the low bit of md5(f'{seed}:{p}:{d}') — deterministic and
+    engine-portable.  Returns a ``planes``-char '0'/'1' string."""
+    import hashlib
+
+    bits = []
+    for p in range(planes):
+        terms = None
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            s = 1.0 if int(h[-1], 16) & 1 else -1.0
+            t = F.element_at(vec, d + 1).cast("double") * F.lit(s)
+            terms = t if terms is None else terms + t
+        bits.append(F.when(terms > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """ANN via hyperplane-LSH: exact re-rank within the query's bucket.
+    The hyperplane signs are hashed constants folded into the plan —
+    the bucket assignment is a pure projection (scan-time)."""
+    dim = len(query)
+    bucketed = df.withColumn(
+        "__bkt", hyperplane_bucket(F.col(vec_col).cast("array<double>"), dim, planes)
+    )
+    import hashlib
+
+    qbits = ""
+    for p in range(planes):
+        acc = 0.0
+        for d in range(dim):
+            h = hashlib.md5(f"lsh:{p}:{d}".encode()).hexdigest()
+            s = 1.0 if int(h[-1], 16) & 1 else -1.0
+            acc += s * float(query[d])
+        qbits += "1" if acc > 0 else "0"
+    return cosine_topk(
+        bucketed.filter(F.col("__bkt") == qbits), query, vec_col, id_col, k
+    )

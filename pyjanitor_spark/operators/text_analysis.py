@@ -1,0 +1,157 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+token counting, quality scoring, language ID, document fingerprinting.
+
+No reference analog (pyjanitor has none) — these are the pipeline
+operators a 100 TB corpus needs.  Everything is built from JVM-side
+Column expressions (split / regexp / aggregate / transform) — zero
+Python UDFs, so the hot path stays in whole-stage codegen and scales
+linearly with executors.  Hash primitives use ``md5`` so results are
+reproducible across engines (the DuckDB oracle computes the identical
+value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "word_shingles",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+]
+
+# BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
+# usual "GPT-2 style" coarse split without the byte-level merge table.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column, mode: str = "whitespace") -> Column:
+    """Token array: 'whitespace' split or 'bpe' regex pre-tokenization."""
+    if mode == "whitespace":
+        return F.split(F.trim(col), r"\s+")
+    if mode == "bpe":
+        return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+    raise ValueError(f"bad mode {mode!r}")
+
+
+def word_shingles(col: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
+
+    Built with ``transform`` over token positions — one pass, JVM-side."""
+    toks = tokens(col)
+    count = F.size(toks) - F.lit(n - 1)
+    # guard: sequence(1, 0) would DESCEND to [1, 0] and index toks[0]
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(sep, *[F.element_at(toks, i + j) for j in range(n)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_count(df: DataFrame, column_name: str, dest: str = "n_tokens", mode: str = "whitespace") -> DataFrame:
+    """Token count per row (whitespace or BPE-ish regex)."""
+    return df.withColumn(dest, F.size(tokens(F.col(column_name), mode)))
+
+
+# small practical stopword list (public, language-agnostic core English)
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "be", "are",
+]
+
+
+def quality_score(df: DataFrame, column_name: str, dest: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, punctuation
+    ratio, stopword hit rate, mean word length band.
+
+    Emits component columns ``q_len``, ``q_punct``, ``q_stop``,
+    ``q_wordlen`` plus the blended ``dest`` score — all plain
+    expressions."""
+    col = F.col(column_name)
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()]", ""))
+    stop_hits = F.size(F.array_intersect(F.transform(toks, F.lower), F.array(*[F.lit(s) for s in _STOPWORDS])))
+    mean_wl = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    q_len = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    q_punct = F.when(n_chars > 0, 1.0 - F.least(punct.cast("double") * 10.0 / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
+    q_stop = F.least(stop_hits.cast("double") / F.lit(5.0), F.lit(1.0))
+    q_wordlen = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        df.withColumn("q_len", q_len)
+        .withColumn("q_punct", q_punct)
+        .withColumn("q_stop", q_stop)
+        .withColumn("q_wordlen", q_wordlen)
+        .withColumn(dest, (q_len + q_punct + q_stop + q_wordlen) / F.lit(4.0))
+    )
+
+
+# character/stopword markers per language — tiny public heuristic lists
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+    "zh": [],  # CJK detected by script below
+}
+_CJK_RE = r"[一-鿿]"
+
+
+def language_id(df: DataFrame, column_name: str, dest: str = "lang_pred") -> DataFrame:
+    """n-gram/stopword heuristic language ID.
+
+    Score per language = distinct marker-word hits; CJK script presence
+    short-circuits to 'zh'.  Ties resolve in a fixed language order —
+    fully deterministic.  One expression tree, no UDF."""
+    toks = F.transform(tokens(F.col(column_name)), F.lower)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+        if markers
+    }
+    best = None
+    best_score = None
+    for lang in ("en", "de", "fr", "es"):
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    pred = F.when(
+        F.regexp_count(F.col(column_name), F.lit(_CJK_RE)) > 0, F.lit("zh")
+    ).otherwise(F.when(best_score > 0, best).otherwise(F.lit("und")))
+    return df.withColumn(dest, pred)
+
+
+def fingerprint(
+    df: DataFrame,
+    column_name: str,
+    dest: str = "fp",
+    mode: str = "exact",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Document fingerprint:
+
+    * ``exact``  — md5 of case/whitespace-normalized text (exact dedup key)
+    * ``rolling`` — min-md5 over word shingles (a 1-permutation MinHash:
+      robust to local edits, the rolling-hash analog that is portable
+      across engines)"""
+    col = F.col(column_name)
+    if mode == "exact":
+        norm = F.lower(F.regexp_replace(col, r"\s+", " "))
+        return df.withColumn(dest, F.md5(F.trim(norm)))
+    if mode == "rolling":
+        sh = word_shingles(col, shingle_n)
+        return df.withColumn(dest, F.array_min(F.transform(sh, F.md5)))
+    raise ValueError(f"bad mode {mode!r}")

@@ -1,0 +1,180 @@
+"""Tests for training-data pipeline operators: dedup, similarity,
+text analysis, multimodal, timeseries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_dedupe_exact(docs):
+    out = pj.dedupe_exact(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 2, 3}  # 4 deduped (min-id keep)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = pj.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4, shingle_n=2)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dups always collide
+    # near-dups 1~2 share most shingles; with 4 bands of 2 they collide whp
+    assert (1, 2) in got or (2, 4) in got
+
+
+def test_ngram_jaccard(docs):
+    out = pj.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=2, threshold=0.4)
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 4)] == 1.0
+    assert 0.4 <= got[(1, 2)] < 1.0
+    assert (1, 3) not in got
+
+
+def test_simhash_near_dups_close(docs):
+    out = pj.simhash(docs, "text", bits=32, dest="sh")
+    got = {r["doc_id"]: int(r["sh"]) for r in out.collect()}
+    assert got[1] == got[4]
+    ham_12 = bin(got[1] ^ got[2]).count("1")
+    ham_13 = bin(got[1] ^ got[3]).count("1")
+    assert ham_12 < ham_13
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.99, 0.1, 0.0], "a"),
+            (3, [0.0, 1.0, 0.0], "a"),
+        ],
+        ["id", "vec", "blk"],
+    )
+    out = pj.embedding_near_dup(df, "id", "vec", threshold=0.9, block_col="blk")
+    got = {(r["id_1"], r["id_2"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_topk(embeddings):
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = pj.cosine_topk(embeddings, q, "embedding", "vec_id", k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0  # self is most similar
+    assert abs(rows[0]["cos"] - 1.0) < 1e-9
+
+
+def test_ivf_topk_recall(embeddings):
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 7).first()["embedding"]]
+    brute = {r["vec_id"] for r in pj.cosine_topk(embeddings, q, "embedding", "vec_id", 10).collect()}
+    ivf = {r["vec_id"] for r in pj.ivf_topk(embeddings, q, "embedding", "vec_id", "label", 10, nprobe=3).collect()}
+    # embeddings are clustered by label -> probing 3/10 clusters should
+    # recover most of the true top-10
+    assert len(brute & ivf) >= 6
+
+
+def test_lsh_bucket_topk(embeddings):
+    q = [float(v) for v in embeddings.filter(F.col("vec_id") == 3).first()["embedding"]]
+    out = pj.lsh_bucket_topk(embeddings, q, "embedding", "vec_id", k=5, planes=4)
+    rows = out.collect()
+    assert rows and rows[0]["vec_id"] == 3
+
+
+def test_token_count(docs):
+    out = pj.token_count(docs, "text")
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert got[1] == 9
+    out2 = pj.token_count(docs, "text", mode="bpe")
+    assert out2.first()["n_tokens"] >= 9
+
+
+def test_quality_score(docs):
+    out = pj.quality_score(docs, "text")
+    got = {r["doc_id"]: r for r in out.collect()}
+    for r in got.values():
+        assert 0.0 <= r["quality"] <= 1.0
+    assert got[1]["q_stop"] > 0  # 'the' x2 + 'over'... -> stopword hits
+    assert got[3]["q_stop"] == 0  # no stopwords in doc 3
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist hier"),
+            (3, "le chat et la maison est grande"),
+            (4, "el perro y la casa que es grande"),
+            (5, "你好 世界"),
+            (6, "xyzzy plugh"),
+        ],
+        ["id", "text"],
+    )
+    out = pj.language_id(df, "text")
+    got = {r["id"]: r["lang_pred"] for r in out.collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "zh"
+    assert got[6] == "und"
+
+
+def test_fingerprint_modes(docs):
+    exact = pj.fingerprint(docs, "text", mode="exact")
+    got = {r["doc_id"]: r["fp"] for r in exact.collect()}
+    assert got[1] == got[4] != got[3]
+    rolling = pj.fingerprint(docs, "text", mode="rolling", shingle_n=2)
+    got_r = {r["doc_id"]: r["fp"] for r in rolling.collect()}
+    assert got_r[1] == got_r[4]
+
+
+def test_multimodal_pipeline(docs):
+    binned = pj.attach_binary(docs, "text")
+    meta = pj.binary_metadata(binned)
+    m = {r["doc_id"]: (r["n_bytes"], r["magic"]) for r in meta.collect()}
+    assert m[1][0] == len("the quick brown fox jumps over the lazy dog")
+    assert m[1][1] == ord("t")
+    feats = pj.decode_features(binned)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == m[1][0]
+    assert rows[1]["feat_dim"] == 4
+    assert rows[1]["feat_mean"] == rows[4]["feat_mean"]  # deterministic
+    frames = pj.frame_sample(binned, every=16)
+    assert frames.filter(F.col("doc_id") == 1).count() == (m[1][0] + 15) // 16
+
+
+def test_flag_jumps(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, h), float(v))
+            for h, v in [(0, 1.0), (1, 1.1), (2, 5.0), (3, 5.1)]
+        ],
+        ["ts", "v"],
+    )
+    out = pj.flag_jumps(df, "ts", ["v"], scale="absolute", threshold=1.0)
+    got = {r["ts"].hour: r["v_jump"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_sort_timestamps_monotonically(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h), h) for h in [3, 1, 2, 1]], ["ts", "v"]
+    )
+    out = pj.sort_timestamps_monotonically(df, "ts", strict=True)
+    assert out.count() == 3
