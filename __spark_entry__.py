@@ -536,6 +536,23 @@ def q_flag_jumps(spark, sf):
     return out.select("event_id", "value_jump")
 
 
+def q_data_description(spark, sf):
+    c = _t(spark, sf, "customer")
+    return pj.data_description(c)
+
+
+def q_convert_units(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.convert_units(li, "l_quantity", "kg", "lb", dest_column_name="qty_lb")
+    return out.select(*KEYS, "qty_lb")
+
+
+def q_inflate_currency(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.inflate_currency(li, "l_extendedprice", rate=1.23)
+    return out.select(*KEYS, "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "groupby_agg": q_groupby_agg,
@@ -603,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_features": q_decode_features,
         "frame_sample": q_frame_sample,
         "flag_jumps": q_flag_jumps,
+        "data_description": q_data_description,
+        "convert_units": q_convert_units,
+        "inflate_currency": q_inflate_currency,
     }
 
 
@@ -1012,5 +1032,25 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT event_id, CASE WHEN prev IS NULL THEN 0 "
             "WHEN abs(value - prev) > 5.0 THEN 1 ELSE 0 END AS value_jump "
             "FROM t"
+        ),
+        "data_description": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, count({c}) AS count, "
+            f"1.0 - count({c}) * 1.0 / count(*) AS pct_missing, "
+            f"'{t}' AS dtype FROM customer"
+            for c, t in [
+                ("c_custkey", "bigint"),
+                ("c_name", "string"),
+                ("c_nationkey", "int"),
+                ("c_acctbal", "double"),
+                ("c_mktsegment", "string"),
+            ]
+        ),
+        "convert_units": (
+            "SELECT l_orderkey, l_linenumber, "
+            "l_quantity * (1.0 / 0.45359237) AS qty_lb FROM lineitem"
+        ),
+        "inflate_currency": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice * 1.23 "
+            "AS l_extendedprice FROM lineitem"
         ),
     }

@@ -15,6 +15,14 @@ from pyjanitor_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pyjanitor_spark.operators.domain import (
+    convert_units,
+    data_description,
+    inflate_currency,
+    join_apply,
+    join_fasta,
+    toset,
+)
 from pyjanitor_spark.operators.joins import conditional_join, get_join_indices
 from pyjanitor_spark.operators.multimodal import (
     attach_binary,

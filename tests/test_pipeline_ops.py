@@ -178,3 +178,25 @@ def test_sort_timestamps_monotonically(spark):
     )
     out = pj.sort_timestamps_monotonically(df, "ts", strict=True)
     assert out.count() == 3
+
+
+def test_word_shingles_short_text(spark):
+    # regression: sequence(1, 0) descends to [1, 0] and indexes toks[0]
+    from pyjanitor_spark.operators.text_analysis import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c")], ["id", "text"]
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a b c"]
+
+
+def test_minhash_permutations_distinct(docs):
+    # regression: a two-parameter transform() lambda receives the array
+    # index, collapsing every permutation to the same hash family
+    sig = pj.minhash_signature(docs, "text", k=4).first()["minhash"]
+    assert len(set(sig)) == 4
