@@ -1,0 +1,7 @@
+from pyjanitor_spark.streaming.verbs import (  # noqa: F401
+    STREAMING_SAFE_VERBS,
+    sessionize,
+    streaming_dedupe,
+    streaming_quality_filter,
+    windowed_agg,
+)

@@ -1,0 +1,172 @@
+"""Structured Streaming surface.
+
+The reference (`janitor/`) has no streaming at all — no watermarks, no
+event-time windows, no stateful operators (SURVEY.md §2.10).  This
+module is the engine's forward-looking surface for the same verbs on
+unbounded data:
+
+* every **expression-only** verb in the package (clean_names, filters,
+  case_when, coalesce, text_analysis, fingerprints, …) already works on
+  a streaming DataFrame unchanged — they are pure projections/filters.
+  ``STREAMING_SAFE_VERBS`` names them so users (and tests) can check.
+* verbs built on **global windows / total order** (ecdf, softmax,
+  z_score, fill_direction, row_to_names, …) are batch-only by
+  construction; calling them on a stream raises in Spark itself.
+* this module adds the genuinely streaming-native pieces: watermarked
+  event-time aggregation, streaming dedup (exact fingerprint within a
+  watermark), and session windows.
+
+Scale notes: state stores are per-key; watermarks bound state size.
+``streaming_dedupe`` keys state on the 32-hex fingerprint — state is
+O(distinct docs within the watermark horizon), independent of document
+length.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# expression-only verbs: safe on streaming DataFrames unchanged
+STREAMING_SAFE_VERBS = [
+    "clean_names",
+    "rename_column",
+    "rename_columns",
+    "reorder_columns",
+    "remove_columns",
+    "limit_column_characters",
+    "filter_string",
+    "filter_on",
+    "filter_date",
+    "filter_column_isin",
+    "dropnotnull",
+    "update_where",
+    "case_when",
+    "flag_nulls",
+    "coalesce",
+    "fill_empty",
+    "concatenate_columns",
+    "deconcatenate_column",
+    "change_type",
+    "convert_excel_date",
+    "convert_matlab_date",
+    "convert_unix_date",
+    "to_datetime",
+    "truncate_datetime_dataframe",
+    "currency_column_to_numeric",
+    "find_replace",
+    "bin_numeric",
+    "round_to_fraction",
+    "jitter",
+    "transform_column",
+    "process_text",
+    "concatenate_columns",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "simhash",
+    "binary_metadata",
+    "convert_units",
+    "inflate_currency",
+]
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_column: str,
+    window_duration: str,
+    aggs: dict[str, tuple[str, str]],
+    by: list[str] | None = None,
+    slide_duration: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling.
+
+    ``aggs`` maps output name -> (column, agg_fn_name); ``watermark``
+    (e.g. ``'10 minutes'``) bounds state and admits late rows up to the
+    delay.  Works identically on batch frames (window() is just an
+    expression there).
+
+    At scale: the shuffle key is (window, *by) — pick ``by`` with enough
+    cardinality to spread state across executors.
+    """
+    out = df
+    if watermark is not None and out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    win = F.window(F.col(ts_column), window_duration, slide_duration or window_duration)
+    keys = [win.alias("window")] + [F.col(c) for c in (by or [])]
+    exprs = [
+        getattr(F, fn)(F.col(col)).alias(name) for name, (col, fn) in aggs.items()
+    ]
+    return out.groupBy(*keys).agg(*exprs)
+
+
+def streaming_dedupe(
+    df: DataFrame,
+    column_name: str,
+    watermark: str | None = None,
+    ts_column: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup on a text fingerprint.
+
+    Batch: falls back to ``dropDuplicates`` on the fingerprint.
+    Streaming: ``dropDuplicatesWithinWatermark`` keys state on the
+    32-hex md5 — state size is bounded by the watermark horizon, not by
+    stream length (the exact semantics a 100 TB/day ingest dedup needs).
+    """
+    col = F.col(column_name)
+    key = (
+        F.md5(F.trim(F.lower(F.regexp_replace(col, r"\s+", " "))))
+        if normalize
+        else F.md5(col)
+    )
+    out = df.withColumn("__fp", key)
+    if out.isStreaming:
+        if watermark is None or ts_column is None:
+            raise ValueError(
+                "streaming_dedupe on a stream needs watermark= and ts_column="
+            )
+        out = out.withWatermark(ts_column, watermark)
+        return out.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    return out.dropDuplicates(["__fp"]).drop("__fp")
+
+
+def sessionize(
+    df: DataFrame,
+    ts_column: str,
+    gap: str,
+    by: list[str],
+    aggs: dict[str, tuple[str, str]] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: group events separated by < ``gap`` into one
+    session per ``by`` key (``F.session_window``).  Streaming requires a
+    watermark (state cleanup); batch works directly."""
+    out = df
+    if watermark is not None and out.isStreaming:
+        out = out.withWatermark(ts_column, watermark)
+    win = F.session_window(F.col(ts_column), gap)
+    exprs = [
+        getattr(F, fn)(F.col(col)).alias(name)
+        for name, (col, fn) in (aggs or {"n_events": (ts_column, "count")}).items()
+    ]
+    return out.groupBy(win.alias("session"), *[F.col(c) for c in by]).agg(*exprs)
+
+
+def streaming_quality_filter(
+    df: DataFrame,
+    column_name: str,
+    min_quality: float = 0.5,
+    **kwargs: Any,
+) -> DataFrame:
+    """quality_score + threshold filter — expression-only, so it runs
+    unchanged on a stream (the shape of a streaming corpus-ingest
+    filter)."""
+    from pyjanitor_spark.operators.text_analysis import quality_score
+
+    scored = quality_score(df, column_name, **kwargs)
+    return scored.filter(F.col(kwargs.get("dest", "quality")) >= min_quality)

@@ -1,0 +1,174 @@
+"""Structured Streaming verbs: run real micro-batch streams against a
+memory sink and compare with the batch equivalents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+from pyjanitor_spark.streaming import (
+    STREAMING_SAFE_VERBS,
+    sessionize,
+    streaming_dedupe,
+    streaming_quality_filter,
+    windowed_agg,
+)
+
+
+@pytest.fixture()
+def stream_events(spark, tmp_path):
+    """A file-source stream over a small parquet directory."""
+    from pyjanitor_spark.sources import read_table
+
+    src = read_table(spark, "/root/testdata/sf0.001/events.parquet").limit(500)
+    path = str(tmp_path / "events_stream")
+    src.write.parquet(path)
+    batch = spark.read.parquet(path)
+    return spark.readStream.schema(batch.schema).parquet(path), batch
+
+
+def _run(q_df, name):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not q_df.isStreaming or True else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_agg_stream_matches_batch(spark, stream_events):
+    stream, batch = stream_events
+    out = windowed_agg(
+        stream,
+        "ts",
+        "1 hour",
+        {"n": ("event_id", "count"), "v": ("value", "sum")},
+        by=["event_type"],
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wagg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select window.start as s, event_type, n, v from wagg").collect()
+    exp = windowed_agg(
+        batch, "ts", "1 hour", {"n": ("event_id", "count"), "v": ("value", "sum")},
+        by=["event_type"],
+    ).select(F.col("window.start").alias("s"), "event_type", "n", "v").collect()
+
+    def key(rows):
+        return sorted((r["s"], r["event_type"], r["n"], round(r["v"] or 0, 6)) for r in rows)
+
+    # availableNow + watermark: final windows may be withheld until a
+    # later trigger; everything emitted must match the batch result
+    emitted = key(got)
+    expected = {k[:2]: k for k in key(exp)}
+    assert emitted, "stream emitted nothing"
+    for row in emitted:
+        assert expected[row[:2]] == row
+
+
+def test_streaming_dedupe(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "same text"),
+            (2, "2024-01-01 00:00:10", "same  TEXT"),  # normalized dup
+            (3, "2024-01-01 00:01:00", "other text"),
+        ],
+        ["id", "ts", "text"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "dedup_stream")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = streaming_dedupe(stream, "text", watermark="10 minutes", ts_column="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id from sdedup").collect()
+    kept = {r["id"] for r in rows}
+    assert len(kept) == 2 and 3 in kept and len(kept & {1, 2}) == 1
+
+    # batch fallback: same semantics via dropDuplicates
+    b = streaming_dedupe(df, "text")
+    assert b.count() == 2
+
+
+def test_streaming_dedupe_requires_watermark(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], ["id", "text"])
+    path = str(tmp_path / "nb")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    with pytest.raises(ValueError):
+        streaming_dedupe(stream, "text")
+
+
+def test_sessionize_batch(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:03:00"),
+            ("u1", "2024-01-01 01:00:00"),  # new session (> 5 min gap)
+            ("u2", "2024-01-01 00:00:00"),
+        ],
+        ["user", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, "ts", "5 minutes", by=["user"])
+    per_user = {
+        (r["user"],): r for r in out.groupBy("user").count().collect()
+    }
+    assert per_user[("u1",)]["count"] == 2
+    assert per_user[("u2",)]["count"] == 1
+
+
+def test_expression_verbs_run_on_stream(spark, stream_events):
+    stream, batch = stream_events
+    # a representative chain of expression-only verbs on the stream
+    out = pj.case_when(
+        pj.filter_column_isin(stream, "event_type", ["click", "view"]),
+        F.col("value") > 50,
+        F.lit("hi"),
+        column_name="band",
+        default=F.lit("lo"),
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exprchain")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c from exprchain").first()["c"]
+    exp = pj.filter_column_isin(batch, "event_type", ["click", "view"]).count()
+    assert got == exp
+
+
+def test_streaming_quality_filter_batch(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away."),
+            (2, "x"),
+        ],
+        ["id", "text"],
+    )
+    out = streaming_quality_filter(df, "text", min_quality=0.5)
+    assert {r["id"] for r in out.collect()} == {1}
+
+
+def test_safe_verb_list_is_accurate(spark):
+    # every listed verb exists in the package
+    for name in STREAMING_SAFE_VERBS:
+        assert hasattr(pj, name), name
