@@ -1,0 +1,9 @@
+from pyjanitor_spark.plans.inspect import (  # noqa: F401
+    broadcast_join_count,
+    codegen_stage_count,
+    executed_plan,
+    pushed_filters,
+    read_schema,
+    scan_columns,
+    shuffle_count,
+)

@@ -1,0 +1,103 @@
+"""Plan-shape tests: pin the physical properties that matter at 100 TB.
+
+Each test asserts a property of the optimized plan (pushdown, pruning,
+shuffle count, broadcast, codegen) rather than a result — regressions
+here are perf bugs even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+from pyjanitor_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+
+
+def test_filter_pushdown_reaches_scan(lineitem):
+    out = pj.filter_on(
+        pj.filter_column_isin(lineitem, "l_returnflag", ["A"]),
+        "l_quantity > 30",
+    ).select("l_orderkey", "l_quantity")
+    pf = " ".join(pushed_filters(out))
+    assert "l_returnflag" in pf and "l_quantity" in pf
+
+
+def test_column_pruning_reaches_scan(lineitem):
+    out = pj.clean_names(lineitem).select("l_orderkey", "l_quantity")
+    cols = scan_columns(out)
+    assert cols == {"l_orderkey", "l_quantity"}
+
+
+def test_expression_verbs_are_shuffle_free(lineitem):
+    out = pj.case_when(
+        pj.coalesce(
+            pj.clean_names(lineitem), ["l_returnflag", "l_linestatus"],
+            target_column_name="m",
+        ),
+        F.col("l_quantity") > 30, F.lit("hi"), column_name="band", default="lo",
+    )
+    assert shuffle_count(out) == 0
+    assert codegen_stage_count(out) >= 1
+
+
+def test_groupby_agg_single_shuffle(lineitem):
+    out = pj.groupby_agg(
+        lineitem, by=["l_returnflag"], new_column_name="s",
+        agg_column_name="l_quantity", agg="sum",
+    )
+    # window aggregate broadcast back to rows: exactly one shuffle on the key
+    assert shuffle_count(out) == 1
+
+
+def test_groupby_topk_single_shuffle(orders):
+    out = pj.groupby_topk(orders, by=["o_orderpriority"], column="o_totalprice", k=3)
+    assert shuffle_count(out) == 1
+
+
+def test_conditional_join_equi_uses_equi_keys(lineitem, orders):
+    out = pj.conditional_join(
+        orders, lineitem,
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", ">"),
+    )
+    # must plan a real equi join (hash/sort-merge), not a nested loop
+    from pyjanitor_spark.plans import executed_plan
+
+    plan = executed_plan(out)
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_shuffles_on_band_keys_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = pj.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4)
+    from pyjanitor_spark.plans import executed_plan
+
+    plan = executed_plan(pairs)
+    # candidate generation must be an equi join on (band, key) — never a
+    # cross/nested-loop pair enumeration
+    assert "NestedLoop" not in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    assert broadcast_join_count(out) == 1
+    assert shuffle_count(out) == 0
+
+
+def test_dedupe_exact_hashes_before_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pj.dedupe_exact(docs, "text", "doc_id")
+    # one shuffle, keyed on the md5 (32 bytes) — not on raw document text
+    assert shuffle_count(out) == 1
+    from pyjanitor_spark.plans import executed_plan
+
+    assert "md5" in executed_plan(out)
