@@ -437,42 +437,59 @@ def q_sort_naturally(spark, sf):
 # training-data pipeline ops (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
 
+def _docs(spark, sf):
+    # documents is a single small parquet file -> one input split; the
+    # hash-heavy pipeline ops want full parallelism, and the raw-text
+    # shuffle is trivial next to the per-row md5 work
+    return _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_dedupe_exact(spark, sf):
     d = _t(spark, sf, "documents")
     return pj.dedupe_exact(d, "text", "doc_id").select("doc_id", "source")
 
 
 def q_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     d = pj.fingerprint(d, "text", dest="fp_exact", mode="exact")
     d = pj.fingerprint(d, "text", dest="fp_rolling", mode="rolling")
     return d.select("doc_id", "fp_exact", "fp_rolling")
 
 
 def q_simhash(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.simhash(d, "text", bits=32).select("doc_id", "simhash")
 
 
 def q_minhash_lsh(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
 
 
 def q_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
+def _embs(spark, sf):
+    # embeddings is one small parquet file -> one input split; the dot-
+    # product-heavy similarity ops want all cores
+    return _t(spark, sf, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_embedding_near_dup(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     return pj.embedding_near_dup(
         e, "vec_id", "embedding", threshold=0.4, block_col="label"
     )
 
 
 def _query_vec(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     return e, [float(v) for v in row[0]]
 
@@ -494,19 +511,19 @@ def q_ivf_topk(spark, sf):
 
 
 def q_token_count(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.token_count(d, "text").select("doc_id", "n_tokens")
 
 
 def q_quality_score(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.quality_score(d, "text").select(
         "doc_id", "q_len", "q_punct", "q_stop", "q_wordlen", "quality"
     )
 
 
 def q_language_id(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return pj.language_id(d, "text").select("doc_id", "lang", "lang_pred")
 
 

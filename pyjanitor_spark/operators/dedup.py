@@ -100,18 +100,30 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    # docs with no shingles have an all-null signature: concat_ws would
-    # give them a shared "" band key and pair every short doc — drop them
-    sigged = minhash_signature(df, column_name, k, shingle_n).filter(
-        F.element_at(F.col("minhash"), 1).isNotNull()
+    # Physical shape: explode shingles -> hash-aggregate the k mins.
+    # One expression tree per row would inline the whole shingle+md5
+    # pipeline into every band column AND both join sides (k*bands*2
+    # re-evaluations, and past ~64KB the codegen bails to interpreted
+    # mode).  The explode/agg computes each md5 exactly once, map-side
+    # combines, and shuffles only (id, k hashes) per doc.  Docs with no
+    # shingles vanish at the explode (they can never pair).
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+    )
+    sig = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__m{i}")
+            for i in range(k)
+        ]
     )
     band_cols = [
-        F.concat_ws(
-            "|", *[F.element_at(F.col("minhash"), b * r + j + 1) for j in range(r)]
-        ).alias(f"__band_{b}")
+        F.concat_ws("|", *[F.col(f"__m{b * r + j}") for j in range(r)]).alias(
+            f"__band_{b}"
+        )
         for b in range(bands)
     ]
-    keyed = sigged.select(F.col(id_col), *band_cols)
+    keyed = sig.select(F.col(id_col), *band_cols)
     buckets = keyed.select(
         F.col(id_col),
         F.explode(
@@ -151,31 +163,45 @@ def simhash(
     """SimHash fingerprint: per-token md5 bit votes, sign-aggregated.
 
     bit b of token t = nibble ``md5(t)[b div 4]`` >> (b mod 4) & 1;
-    fingerprint bit = 1 iff Σ(2·bit−1) > 0.  Compiled to ``aggregate``
-    over the token array per bit — pure codegen, one scan.  ``bits`` ≤
-    128 (md5 width)."""
-    if bits > 128:
-        raise ValueError("bits must be <= 128 (md5 width)")
+    fingerprint bit = 1 iff Σ(2·bit−1) > 0.  One ``aggregate`` pass over
+    the token array accumulates all bit votes at once.  ``bits`` ≤ 126
+    (fingerprint is decimal(38,0); ≤62 narrows to bigint)."""
+    if bits > 126:
+        # 2^126 ~ 8.5e37 is the largest power of two inside decimal(38,0)
+        raise ValueError("bits must be <= 126 (decimal(38,0) fingerprint)")
     toks = F.array_distinct(F.split(F.trim(F.col(column_name)), r"\s+"))
     digests = F.transform(toks, F.md5)
-    # sum votes per bit with aggregate(); build the integer fingerprint
-    def _vote(b: int):
-        pos, shift = b // 4 + 1, b % 4
+    # ONE pass over the tokens: each digest contributes a ±1 vote vector
+    # for all bits at once (zip_with accumulator).  A per-bit aggregate()
+    # would traverse the array `bits` times and blow the expression past
+    # the codegen size limit (interpreted mode, ~30x slower).
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-        def merge(acc, d):
-            bit = F.shiftright(
-                F.conv(F.substring(d, pos, 1), 16, 10).cast("int"), shift
-            ).bitwiseAND(F.lit(1))
-            return acc + (bit * 2 - 1)
+    def tok_votes(d):
+        # bit b lives in hex nibble b//4 at weight 2^(b%4)
+        def one_bit(b):
+            nib = F.conv(F.substring(d, (b / 4).cast("int") + 1, 1), 16, 10).cast(
+                "int"
+            )
+            bit = F.floor(nib / F.pow(F.lit(2.0), (b % 4).cast("double"))).cast(
+                "int"
+            ) % 2
+            return (bit * 2 - 1).cast("long")
 
-        return F.aggregate(digests, F.lit(0), merge)
+        return F.transform(bit_idx, one_bit)
 
-    votes = [_vote(b) for b in range(bits)]
-    fp = F.lit(0).cast("decimal(38,0)")
-    for b, v in enumerate(votes):
-        # exact power-of-two literals via decimal strings (2^127 < 1e38)
-        p = F.lit(str(2**b)).cast("decimal(38,0)")
-        fp = fp + F.when(v > 0, p).otherwise(F.lit(0).cast("decimal(38,0)"))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        digests, zero, lambda acc, d: F.zip_with(acc, tok_votes(d), lambda a, v: a + v)
+    )
+    # exact power-of-two literals via decimal strings (2^127 < 1e38)
+    powers = F.array(*[F.lit(str(2**b)).cast("decimal(38,0)") for b in range(bits)])
+    zero_dec = F.lit(0).cast("decimal(38,0)")
+    fp = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(zero_dec)),
+        zero_dec,
+        lambda acc, x: acc + x,
+    )
     if bits <= 62:
         fp = fp.cast("long")
     return df.withColumn(dest, fp)

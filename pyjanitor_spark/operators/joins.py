@@ -52,20 +52,16 @@ def _build_condition(lcol: Column, rcol: Column, op: str) -> Column:
     raise ValueError(f"unsupported operator {op!r}")
 
 
-def _bucket_width(left: DataFrame, lo_col: str, hi_col: str | None) -> float | None:
-    """Pick a bucket width from the data range: one bounded agg action.
-    Aims for ~2k buckets across the span (coarse is fine — buckets only
-    pre-filter; the residual predicate does the exact work)."""
+def _left_range(left: DataFrame, lo_col: str) -> tuple[float, float] | None:
+    """Min/max of the left point column: one bounded agg action (parquet
+    footer stats make this a metadata scan on unfiltered reads)."""
     row = left.agg(
         F.min(F.col(lo_col).cast("double")).alias("mn"),
         F.max(F.col(lo_col).cast("double")).alias("mx"),
     ).first()
     if row["mn"] is None or row["mx"] is None:
         return None
-    span = float(row["mx"]) - float(row["mn"])
-    if span <= 0:
-        return None
-    return span / 2048.0
+    return float(row["mn"]), float(row["mx"])
 
 
 def conditional_join(
@@ -170,6 +166,17 @@ def _bucketized_join(
     scalable) then apply the exact residual predicate.  Mirrors the
     intent of the reference's sorted range search
     (``conditional_join.py:1004-1148``) with a shuffle-friendly plan.
+
+    Two properties keep the bucket explosion bounded regardless of how
+    wide the right intervals are relative to the left domain:
+
+    * intervals are CLAMPED to [left_min, left_max] first — right rows
+      that cannot match explode to zero rows, and no interval covers
+      more buckets than the left domain has;
+    * width targets ~256 buckets over the left span (beyond the point
+      where buckets stop pruning, extra granularity only multiplies the
+      replicated right rows).
+
     Falls back to the plain (nested-loop) join when the shape doesn't
     fit (multiple left columns, unbounded both sides, non-numeric)."""
     range_ops = [c for c in noneq if c[2] in (">", ">=", "<", "<=")]
@@ -185,18 +192,23 @@ def _bucketized_join(
             lo_expr = r if lo_expr is None else F.greatest(lo_expr, r)
         else:  # x < r -> upper bound
             hi_expr = r if hi_expr is None else F.least(hi_expr, r)
-    w = width or _bucket_width(left, lcol, None)
-    if w is None or not (lo_expr is not None and hi_expr is not None):
+    rng = _left_range(left, lcol)
+    if rng is None or not (lo_expr is not None and hi_expr is not None):
         # unbounded on one side: bucketization can't bound the span
         return left.join(rgt, on=pred, how="full" if how == "outer" else how)
+    mn, mx = rng
+    span = mx - mn
+    w = width or (span / 256.0 if span > 0 else 1.0)
     lb = left.withColumn("__cj_bkt", F.floor(F.col(lcol).cast("double") / F.lit(w)))
+    glo = F.greatest(lo_expr, F.lit(mn))
+    ghi = F.least(hi_expr, F.lit(mx))
     rb = rgt.withColumn(
         "__cj_bkt",
         F.explode(
-            F.sequence(
-                F.floor(lo_expr / F.lit(w)).cast("long"),
-                F.floor(hi_expr / F.lit(w)).cast("long"),
-            )
+            F.when(
+                glo <= ghi,
+                F.sequence(F.floor(glo / F.lit(w)), F.floor(ghi / F.lit(w))),
+            ).otherwise(F.array().cast("array<long>"))
         ),
     )
     if how == "inner":
