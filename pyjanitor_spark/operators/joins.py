@@ -71,10 +71,18 @@ def conditional_join(
     how: str = "inner",
     keep: str = "all",
     indicator: bool | str = False,
-    use_bucket: bool = False,
+    use_bucket: bool | None = None,
     bucket_width: float | None = None,
 ) -> DataFrame:
     """Join on arbitrary AND-combined comparison conditions.
+
+    ``use_bucket=None`` (default) auto-enables the interval-bucketized
+    rewrite for PURE range joins (no equality condition): Spark's native
+    plan for those is a nested loop — O(n·m) — which is only viable when
+    one side broadcasts.  Pass ``use_bucket=False`` to force the native
+    plan (can win when the right side is tiny), ``True`` to force
+    bucketization.  Mixed equi+non-equi joins always use the native
+    hash/sort-merge join on the equality keys.
 
     Colliding right-side column names are prefixed ``right_`` in the
     output (flat-name stand-in for the reference's left/right
@@ -93,6 +101,11 @@ def conditional_join(
         if rc not in right.columns:
             raise KeyError(f"right column {rc!r} missing")
 
+    eq_conds = [c for c in conditions if c[2] == "=="]
+    if use_bucket is None:
+        # pure non-equi join: Catalyst would plan a nested loop — default
+        # to the scalable bucketized rewrite
+        use_bucket = not eq_conds
     need_ids = keep != "all" or bool(indicator) or (use_bucket and how != "inner")
     left = df.withColumn(_L_ID, F.monotonically_increasing_id()) if need_ids else df
     rgt = (

@@ -1,0 +1,99 @@
+"""Differential property test for conditional_join: compare against a
+brute-force pure-Python evaluation on seeded random frames (the
+reference's own test strategy — `janitor/testing_utils/strategies.py`
+feeds hypothesis frames to a merge+filter brute force; we use fixed
+seeds for determinism and Spark-session economy)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+import pyjanitor_spark as pj
+
+OPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+SHAPES = [
+    [("a", "x", "<"), ("a", "y", ">")],          # pure range (bucket path)
+    [("a", "x", ">=")],                           # single inequality
+    [("b", "k", "=="), ("a", "x", "<")],          # mixed equi + non-equi
+    [("a", "x", "!=")],                           # pure not-equal
+]
+
+
+def _frames(seed: int):
+    rng = np.random.default_rng(seed)
+    left = [
+        {"a": int(rng.integers(0, 20)), "b": int(rng.integers(0, 4)), "lid": i}
+        for i in range(40)
+    ]
+    right = [
+        {
+            "x": int(rng.integers(0, 20)),
+            "y": int(rng.integers(-5, 15)),
+            "k": int(rng.integers(0, 4)),
+            "rid": i,
+        }
+        for i in range(30)
+    ]
+    return left, right
+
+
+def _brute(left, right, conds, how):
+    inner = [
+        {**l, **r}
+        for l in left
+        for r in right
+        if all(OPS[op](l[lc], r[rc]) for lc, rc, op in conds)
+    ]
+    rows = [tuple(sorted(d.items())) for d in inner]
+    if how in ("left", "outer"):
+        matched = {tuple(sorted(l.items())) for l in left} & {
+            tuple(sorted({k: d[k] for k in ("a", "b", "lid")}.items()))
+            for d in inner
+        }
+        for l in left:
+            if tuple(sorted(l.items())) not in matched:
+                rows.append(
+                    tuple(sorted({**l, "x": None, "y": None, "k": None, "rid": None}.items()))
+                )
+    if how in ("right", "outer"):
+        matched = {
+            tuple(sorted({k: d[k] for k in ("x", "y", "k", "rid")}.items()))
+            for d in inner
+        }
+        for r in right:
+            if tuple(sorted(r.items())) not in matched:
+                rows.append(
+                    tuple(sorted({**r, "a": None, "b": None, "lid": None}.items()))
+                )
+    return sorted(rows, key=_row_key)
+
+
+def _row_key(row):
+    # None-safe total order over (name, value) tuples
+    return [(k, v is None, str(v)) for k, v in row]
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+@pytest.mark.parametrize("conds", SHAPES, ids=["range", "single", "mixed", "ne"])
+def test_conditional_join_matches_brute_force(spark, seed, how, conds):
+    left, right = _frames(seed)
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, how=how)
+    got = sorted(
+        (tuple(sorted(r.asDict().items())) for r in out.collect()), key=_row_key
+    )
+    exp = _brute(left, right, conds, how)
+    assert got == exp
