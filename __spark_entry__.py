@@ -265,8 +265,11 @@ def q_count_cumulative_unique(spark, sf):
 
 
 def q_z_score(spark, sf):
+    # scalable form: broadcast-joined aggregate, not a 1-task global window
     c = _t(spark, sf, "customer")
-    return c.select("c_custkey", pjm.z_score(F.col("c_acctbal")).alias("z"))
+    return pjm.apply_math(c, "c_acctbal", pjm.z_score, dest="z").select(
+        "c_custkey", "z"
+    )
 
 
 def q_sigmoid(spark, sf):
@@ -280,8 +283,9 @@ def q_log(spark, sf):
 
 
 def q_softmax(spark, sf):
+    # scalable form: broadcast-joined aggregates, not a 1-task global window
     li = _t(spark, sf, "lineitem")
-    return li.select(*KEYS, pjm.softmax(F.col("l_tax")).alias("sm"))
+    return pjm.apply_math(li, "l_tax", pjm.softmax, dest="sm").select(*KEYS, "sm")
 
 
 def q_ecdf(spark, sf):

@@ -37,8 +37,11 @@ def sigmoid(col: Column) -> Column:
 
 def softmax(col: Column) -> Column:
     """exp(x)/sum(exp(x)) over the whole column (ref ``math.py:118-150``).
-    Max-subtracted for numerical stability; global window aggregates are
-    two-stage partial aggs (scalable)."""
+    Max-subtracted for numerical stability.
+
+    NB: an empty-partition window funnels ALL rows through one task —
+    fine on a laptop-sized frame, wrong at scale.  ``apply_math(df, c,
+    softmax)`` takes the scalable path (broadcast-joined aggregates)."""
     w = Window.partitionBy()
     shifted = F.exp(col - F.max(col).over(w))
     return shifted / F.sum(shifted).over(w)
@@ -112,7 +115,9 @@ def probit(col: Column, error: str = "warn") -> Column:
 
 
 def z_score(col: Column) -> Column:
-    """(x - mean)/std over the whole column (ref ``math.py:284-326``)."""
+    """(x - mean)/std over the whole column (ref ``math.py:284-326``).
+    Single-task global window — see ``apply_math`` for the scalable
+    frame-level form."""
     w = Window.partitionBy()
     return (col - F.avg(col).over(w)) / F.stddev(col).over(w)
 
@@ -124,5 +129,30 @@ def ecdf(col: Column) -> Column:
 
 
 def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> DataFrame:
-    """Frame-level wrapper: df.apply_math('x', sigmoid)."""
-    return df.withColumn(dest or column_name, fn(F.col(column_name)))
+    """Frame-level wrapper: ``apply_math(df, 'x', sigmoid)``.
+
+    For the whole-column statistics (``z_score``, ``softmax``) this takes
+    the SCALABLE path: a two-stage partial aggregate broadcast-joined
+    back to the rows (fully lazy, no empty-partition window, no
+    single-task stage).  Everything else is the plain expression."""
+    dest = dest or column_name
+    col = F.col(column_name)
+    if fn is z_score:
+        stats = df.agg(
+            F.avg(col).alias("__mu"), F.stddev(col).alias("__sd")
+        )
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .withColumn(dest, (col - F.col("__mu")) / F.col("__sd"))
+            .drop("__mu", "__sd")
+        )
+    if fn is softmax:
+        mx = df.agg(F.max(col).alias("__mx"))
+        with_mx = df.crossJoin(F.broadcast(mx))
+        tot = with_mx.agg(F.sum(F.exp(col - F.col("__mx"))).alias("__tot"))
+        return (
+            with_mx.crossJoin(F.broadcast(tot))
+            .withColumn(dest, F.exp(col - F.col("__mx")) / F.col("__tot"))
+            .drop("__mx", "__tot")
+        )
+    return df.withColumn(dest, fn(col))

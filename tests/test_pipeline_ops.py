@@ -200,3 +200,25 @@ def test_minhash_permutations_distinct(docs):
     # index, collapsing every permutation to the same hash family
     sig = pj.minhash_signature(docs, "text", k=4).first()["minhash"]
     assert len(set(sig)) == 4
+
+
+def test_apply_math_scalable_global_stats(spark):
+    # frame-level z_score/softmax must avoid the 1-task global window:
+    # broadcast-joined aggregates, results identical to the window form
+    import math as m
+
+    from pyjanitor_spark.functions import math as pjm
+    from pyjanitor_spark.plans import executed_plan
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], ["id", "x"])
+    z = pjm.apply_math(df, "x", pjm.z_score, dest="z")
+    plan = executed_plan(z)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    got = {r["id"]: r["z"] for r in z.collect()}
+    mu = sum(range(10)) / 10
+    sd = m.sqrt(sum((v - mu) ** 2 for v in range(10)) / 9)
+    assert abs(got[0] - (0 - mu) / sd) < 1e-12
+
+    sm = pjm.apply_math(df, "x", pjm.softmax, dest="s")
+    vals = [r["s"] for r in sm.collect()]
+    assert abs(sum(vals) - 1.0) < 1e-12
