@@ -557,6 +557,69 @@ def q_flag_jumps(spark, sf):
     return out.select("event_id", "value_jump")
 
 
+def q_exp(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, pjm.exp(F.col("l_discount")).alias("e"))
+
+
+def q_logit(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(*KEYS, pjm.logit(F.col("l_discount")).alias("lg"))
+
+
+def q_normal_cdf(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey", pjm.normal_cdf(F.col("c_acctbal") / 5000.0).alias("ncdf")
+    )
+
+
+def q_probit(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    # l_discount in [0, 0.1] -> shift into (0,1) interior
+    return li.select(*KEYS, pjm.probit(F.col("l_discount") + 0.2).alias("pb"))
+
+
+def q_convert_matlab_date(spark, sf):
+    _utc(spark)
+    li = _t(spark, sf, "lineitem").withColumn(
+        "mat", F.lit(719529.0) + F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    )
+    out = pj.convert_matlab_date(li, "mat")
+    return out.select(*KEYS, F.date_format("mat", "yyyy-MM-dd").alias("mat_day"))
+
+
+def q_remove_empty(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "allnull", F.lit(None).cast("string")
+    ).withColumn(
+        "ws", F.when(F.col("l_returnflag") == "N", None).otherwise(F.col("l_returnflag"))
+    )
+    rowdrop = pj.remove_empty(
+        li.select("l_orderkey", "l_linenumber", "ws", "allnull"), rows=True, columns=True
+    )
+    return rowdrop.select(*KEYS, "ws")
+
+
+def q_limit_column_characters(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = pj.limit_column_characters(li, 6)
+    return out  # l_orde, l_line, l_quan
+
+
+def q_label_encode(spark, sf):
+    o = _t(spark, sf, "orders")
+    return pj.label_encode(o, ["o_orderpriority"]).select(
+        "o_orderkey", "o_orderpriority_enc"
+    )
+
+
+def q_add_columns(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.add_columns(li, flag=F.lit(1), disc2=F.col("l_discount") * 2)
+    return out.select(*KEYS, "flag", "disc2")
+
+
 def q_data_description(spark, sf):
     c = _t(spark, sf, "customer")
     return pj.data_description(c)
@@ -644,6 +707,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_description": q_data_description,
         "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
+        "exp": q_exp,
+        "logit": q_logit,
+        "normal_cdf": q_normal_cdf,
+        "probit": q_probit,
+        "convert_matlab_date": q_convert_matlab_date,
+        "remove_empty": q_remove_empty,
+        "limit_column_characters": q_limit_column_characters,
+        "label_encode": q_label_encode,
+        "add_columns": q_add_columns,
     }
 
 
@@ -878,6 +950,50 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _poly_sql(coeffs: list[float], var: str) -> str:
+    """Horner form matching ``functions/math.py:poly`` association order:
+    (((c0*x + c1)*x + c2)*x + ...)."""
+    out = repr(coeffs[0])
+    for c in coeffs[1:]:
+        out = f"({out} * {var} + {c!r})"
+    return out
+
+
+def _normal_cdf_sql() -> str:
+    # mirrors math.py _erf (Abramowitz-Stegun 7.1.26), same op order
+    a = [1.061405429, -1.453152027, 1.421413741, -0.284496736, 0.254829592]
+    poly = _poly_sql(a, "t")
+    return (
+        "WITH t0 AS (SELECT c_custkey, (c_acctbal / 5000.0) / sqrt(2.0) AS x "
+        "FROM customer), "
+        "t1 AS (SELECT c_custkey, CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sgn, "
+        "abs(x) AS ax FROM t0), "
+        "t2 AS (SELECT c_custkey, sgn, ax, 1.0 / (1.0 + 0.3275911 * ax) AS t "
+        "FROM t1) "
+        f"SELECT c_custkey, 0.5 * (1.0 + sgn * (1.0 - {poly} * t * exp(-ax * ax))) "
+        "AS ncdf FROM t2"
+    )
+
+
+def _probit_sql() -> str:
+    # mirrors math.py probit (Acklam); the query feeds p in [0.2, 0.3],
+    # which is entirely the central branch
+    A = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    B = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    pa = _poly_sql(A, "r")
+    pb = _poly_sql(B, "r")
+    return (
+        "WITH t0 AS (SELECT l_orderkey, l_linenumber, l_discount + 0.2 AS p "
+        "FROM lineitem), "
+        "t1 AS (SELECT l_orderkey, l_linenumber, p, p - 0.5 AS q, "
+        "(p - 0.5) * (p - 0.5) AS r FROM t0) "
+        "SELECT l_orderkey, l_linenumber, CASE WHEN p <= 0 OR p >= 1 THEN NULL "
+        f"ELSE {pa} * q / ({pb} * r + 1.0) END AS pb FROM t1"
+    )
+
+
 # --------------------------------------------------------------------------
 # pipeline-op oracles (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -1069,6 +1185,38 @@ def _pipeline_oracles() -> dict[str, str]:
         "convert_units": (
             "SELECT l_orderkey, l_linenumber, "
             "l_quantity * (1.0 / 0.45359237) AS qty_lb FROM lineitem"
+        ),
+        "exp": (
+            "SELECT l_orderkey, l_linenumber, exp(l_discount) AS e FROM lineitem"
+        ),
+        "logit": (
+            "SELECT l_orderkey, l_linenumber, CASE WHEN l_discount <= 0 OR "
+            "l_discount >= 1 THEN NULL ELSE ln(l_discount / (1.0 - l_discount)) "
+            "END AS lg FROM lineitem"
+        ),
+        "normal_cdf": _normal_cdf_sql(),
+        "probit": _probit_sql(),
+        "convert_matlab_date": (
+            "SELECT l_orderkey, l_linenumber, strftime(DATE '1970-01-01' + "
+            "CAST((719529.0 + date_diff('day', DATE '1970-01-01', "
+            "CAST(l_shipdate AS DATE))) - 719529.0 AS INT), '%Y-%m-%d') "
+            "AS mat_day FROM lineitem"
+        ),
+        "remove_empty": (
+            "SELECT l_orderkey, l_linenumber, nullif(l_returnflag, 'N') AS ws "
+            "FROM lineitem"
+        ),
+        "limit_column_characters": (
+            "SELECT l_orderkey AS l_orde, l_linenumber AS l_line, "
+            "l_quantity AS l_quan FROM lineitem"
+        ),
+        "label_encode": (
+            "SELECT o_orderkey, CAST(dense_rank() OVER (ORDER BY o_orderpriority) "
+            "- 1 AS INT) AS o_orderpriority_enc FROM orders"
+        ),
+        "add_columns": (
+            "SELECT l_orderkey, l_linenumber, 1 AS flag, l_discount * 2 AS disc2 "
+            "FROM lineitem"
         ),
         "inflate_currency": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice * 1.23 "
