@@ -18,10 +18,13 @@ from pyjanitor_spark.operators import *  # noqa: F401,F403
 from pyjanitor_spark.operators import __dict__ as _ops_dict
 from pyjanitor_spark.utils import (  # noqa: F401
     ORDER_COL,
+    SALT_COL,
     DropLabel,
+    count_distinct_exact,
     ensure_order_column,
     get_index_labels,
     resolve_columns,
+    skew_join,
 )
 
 __version__ = "0.1.0"

@@ -33,8 +33,13 @@ __all__ = [
 
 
 def executed_plan(df: DataFrame) -> str:
-    """The physical plan string (post-optimization, pre-execution)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The physical plan string (post-optimization, pre-execution).
+
+    AdaptiveSparkPlan prints the current plan followed by an
+    ``== Initial Plan ==`` section; keep only the current plan so node
+    counts aren't doubled."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def shuffle_count(df: DataFrame) -> int:
