@@ -74,23 +74,68 @@ def read_commandline(spark: SparkSession, cmd: str, **kwargs: Any) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
-def xlsx_table(spark: SparkSession, path: str, table: str | None = None):
+def xlsx_table(
+    spark: SparkSession, path: str, table: str | None = None
+) -> DataFrame | dict[str, DataFrame]:
     """Extract declared Excel tables (ref ``io.py:159-342``).  Excel is
-    inherently single-machine: driver-side openpyxl parse -> DataFrame.
-    openpyxl is not bundled in this environment -> ImportError gate."""
+    inherently single-machine: driver-side openpyxl parse (bounded by the
+    workbook size) -> DataFrame.  openpyxl-gated (not bundled here)."""
     try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+        import openpyxl
+    except ImportError as e:  # pragma: no cover - gated dependency
         raise ImportError("xlsx_table requires openpyxl") from e
-    raise NotImplementedError("xlsx_table: driver-side openpyxl parse (stub)")
+    wb = openpyxl.load_workbook(path, data_only=True)  # pragma: no cover
+    out: dict[str, DataFrame] = {}  # pragma: no cover
+    for ws in wb.worksheets:  # pragma: no cover
+        for tname, tbl in getattr(ws, "tables", {}).items():
+            ref = tbl.ref if hasattr(tbl, "ref") else tbl
+            rows = [[c.value for c in row] for row in ws[ref]]
+            header, *data = rows
+            out[tname] = spark.createDataFrame(
+                [tuple(r) for r in data], schema=[str(h) for h in header]
+            )
+    if table is not None:  # pragma: no cover
+        if table not in out:
+            raise KeyError(f"no table named {table!r} in {path!r}")
+        return out[table]
+    return out  # pragma: no cover
 
 
-def xlsx_cells(spark: SparkSession, path: str, **kwargs: Any):
-    """One-row-per-cell melt of a spreadsheet incl. formatting structs
-    (ref ``io.py:345-617``); StructType columns model the fill/font/border
-    dicts.  openpyxl-gated stub in this environment."""
+def xlsx_cells(
+    spark: SparkSession,
+    path: str,
+    sheetnames: list[str] | None = None,
+    include_blank_cells: bool = False,
+) -> DataFrame:
+    """One-row-per-cell melt of a spreadsheet (ref ``io.py:345-617``):
+    (sheet, row, column, coordinate, data_type, value) — the dict-valued
+    formatting cells of the reference map to typed columns here.
+    Driver-side openpyxl parse, gated (openpyxl not bundled here)."""
     try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+        import openpyxl
+    except ImportError as e:  # pragma: no cover - gated dependency
         raise ImportError("xlsx_cells requires openpyxl") from e
-    raise NotImplementedError("xlsx_cells: driver-side openpyxl parse (stub)")
+    wb = openpyxl.load_workbook(path, data_only=False)  # pragma: no cover
+    rows = []  # pragma: no cover
+    for ws in wb.worksheets:  # pragma: no cover
+        if sheetnames is not None and ws.title not in sheetnames:
+            continue
+        for row in ws.iter_rows():
+            for cell in row:
+                if cell.value is None and not include_blank_cells:
+                    continue
+                rows.append(
+                    (
+                        ws.title,
+                        int(cell.row),
+                        int(cell.column),
+                        str(cell.coordinate),
+                        str(cell.data_type),
+                        None if cell.value is None else str(cell.value),
+                    )
+                )
+    return spark.createDataFrame(  # pragma: no cover
+        rows,
+        "sheet string, row int, column int, coordinate string, "
+        "data_type string, value string",
+    )

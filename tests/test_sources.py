@@ -1,0 +1,61 @@
+"""Source readers: read_csvs, read_commandline, xlsx gating."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyjanitor_spark as pj
+from pyjanitor_spark.sources import read_commandline, read_csvs, xlsx_cells, xlsx_table
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    (tmp_path / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    (tmp_path / "b.csv").write_text("k,v\n3,z\n")
+    (tmp_path / "bad.txt").write_text("k;v\n9;q\n")
+    return tmp_path
+
+
+def test_read_csvs_glob(spark, csv_dir):
+    df = read_csvs(spark, str(csv_dir / "*.csv"))
+    assert df.count() == 3
+    assert set(df.columns) == {"k", "v"}
+
+
+def test_read_csvs_separate(spark, csv_dir):
+    dfs = read_csvs(spark, str(csv_dir / "*.csv"), separate_df=True)
+    assert len(dfs) == 2
+    assert sum(d.count() for d in dfs.values()) == 3
+
+
+def test_read_csvs_schema_mismatch(spark, csv_dir):
+    (csv_dir / "c.csv").write_text("other,cols,here\n1,2,3\n")
+    with pytest.raises(ValueError, match="schema"):
+        read_csvs(spark, str(csv_dir / "*.csv"))
+
+
+def test_read_csvs_no_match(spark, csv_dir):
+    with pytest.raises(ValueError, match="no files"):
+        read_csvs(spark, str(csv_dir / "*.nope"))
+
+
+def test_read_commandline(spark, csv_dir):
+    df = read_commandline(spark, f"cat {csv_dir}/a.csv")
+    assert df.count() == 2
+    assert set(df.columns) == {"k", "v"}
+
+
+def test_xlsx_gated(spark, tmp_path):
+    # openpyxl is not bundled in this environment: the verbs must fail
+    # with a clear ImportError, not crash obscurely
+    pytest.importorskip_message = None
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl installed — gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="openpyxl"):
+        xlsx_table(spark, str(tmp_path / "x.xlsx"))
+    with pytest.raises(ImportError, match="openpyxl"):
+        xlsx_cells(spark, str(tmp_path / "x.xlsx"))
