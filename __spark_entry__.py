@@ -620,6 +620,69 @@ def q_add_columns(spark, sf):
     return out.select(*KEYS, "flag", "disc2")
 
 
+def q_expand_grid(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    flags = li.select("l_returnflag").distinct()
+    out = pj.expand_grid(
+        spark, {"prio": ["HI", "LO"], "flag": flags, "seg": ["A", "B", "C"]}
+    )
+    return out.select("prio", "l_returnflag", "seg")
+
+
+def q_cartesian_product(spark, sf):
+    r = _t(spark, sf, "region").select("r_regionkey")
+    n = _t(spark, sf, "nation").select("n_nationkey")
+    return pj.cartesian_product(r, n)
+
+
+def q_pivot_longer_spec(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    spec = [
+        {".name": "l_quantity", ".value": "val", "measure": "qty"},
+        {".name": "l_tax", ".value": "val", "measure": "tax"},
+    ]
+    out = pj.pivot_longer_spec(
+        li.select(*KEYS, "l_quantity", "l_tax"), spec, index=KEYS
+    )
+    return out.select(*KEYS, "measure", F.col("val").cast("double").alias("val"))
+
+
+def q_encode_categorical(spark, sf):
+    # metadata-only in the Spark model: strings stay strings
+    c = _t(spark, sf, "customer")
+    out = pj.encode_categorical(c, ["c_mktsegment"])
+    return out.select("c_custkey", "c_mktsegment")
+
+
+def q_move_reorder(spark, sf):
+    li = _t(spark, sf, "lineitem").select(*KEYS, "l_quantity", "l_tax")
+    out = pj.move(pj.reorder_columns(li, ["l_tax"]), "l_quantity", "l_tax", "after")
+    assert out.columns == ["l_tax", "l_quantity", "l_orderkey", "l_linenumber"]
+    return out
+
+
+def q_shuffle(spark, sf):
+    # random permutation: rows-only check (row content is order-free)
+    o = _t(spark, sf, "orders")
+    return pj.shuffle(o.select("o_orderkey", "o_totalprice"), random_state=42)
+
+
+def q_jitter(spark, sf):
+    # gaussian noise: rows-only check (randn stream is engine-specific)
+    li = _t(spark, sf, "lineitem")
+    out = pj.jitter(li, "l_quantity", "qty_j", scale=1.0, clip=(0.0, 60.0), random_state=7)
+    return out.select(*KEYS, "qty_j")
+
+
+def q_sort_column_value_order(spark, sf):
+    # total-order output: driver compare re-sorts, so values check like a set
+    o = _t(spark, sf, "orders")
+    out = pj.sort_column_value_order(
+        o, "o_orderpriority", {"1-URGENT": 0, "2-HIGH": 1, "3-MEDIUM": 2}
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
 def q_data_description(spark, sf):
     c = _t(spark, sf, "customer")
     return pj.data_description(c)
@@ -716,6 +779,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_column_characters": q_limit_column_characters,
         "label_encode": q_label_encode,
         "add_columns": q_add_columns,
+        "expand_grid": q_expand_grid,
+        "cartesian_product": q_cartesian_product,
+        "pivot_longer_spec": q_pivot_longer_spec,
+        "encode_categorical": q_encode_categorical,
+        "move_reorder": q_move_reorder,
+        "shuffle": q_shuffle,
+        "jitter": q_jitter,
+        "sort_column_value_order": q_sort_column_value_order,
     }
 
 
@@ -1218,6 +1289,29 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, 1 AS flag, l_discount * 2 AS disc2 "
             "FROM lineitem"
         ),
+        "expand_grid": (
+            "SELECT prio, l_returnflag, seg FROM (VALUES ('HI'), ('LO')) p(prio) "
+            "CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f "
+            "CROSS JOIN (VALUES ('A'), ('B'), ('C')) s(seg)"
+        ),
+        "cartesian_product": (
+            "SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation"
+        ),
+        "pivot_longer_spec": (
+            "SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS val "
+            "FROM lineitem UNION ALL "
+            "SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem"
+        ),
+        "encode_categorical": (
+            "SELECT c_custkey, c_mktsegment FROM customer"
+        ),
+        "move_reorder": (
+            "SELECT l_tax, l_quantity, l_orderkey, l_linenumber FROM lineitem"
+        ),
+        "sort_column_value_order": (
+            "SELECT o_orderkey, o_orderpriority FROM orders"
+        ),
+        # shuffle / jitter: random streams are engine-specific -> rows-only
         "inflate_currency": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice * 1.23 "
             "AS l_extendedprice FROM lineitem"
