@@ -1,5 +1,6 @@
 from pyjanitor_spark.streaming.verbs import (  # noqa: F401
     STREAMING_SAFE_VERBS,
+    running_counter,
     sessionize,
     streaming_dedupe,
     streaming_quality_filter,

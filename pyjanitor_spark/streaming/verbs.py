@@ -157,6 +157,70 @@ def sessionize(
     return out.groupBy(win.alias("session"), *[F.col(c) for c in by]).agg(*exprs)
 
 
+def running_counter(
+    df: DataFrame,
+    by: list[str],
+    ts_column: str,
+    watermark: str = "10 minutes",
+    timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-key running event counter that emits an updated (key, n_events,
+    last_ts) row on every micro-batch and expires idle keys after
+    ``timeout_ms`` (bounded state — the part a naive global
+    aggregation gets wrong on an unbounded stream).
+
+    The shape to copy for any custom stateful verb: state is a tiny
+    tuple per key, batches arrive as Arrow-backed pandas frames, and the
+    watermark + timeout bound both correctness (late data) and state
+    size.  Batch frames fall back to an ordinary groupBy count."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not df.isStreaming:
+        return df.groupBy(*by).agg(
+            F.count(F.lit(1)).alias("n_events"), F.max(ts_column).alias("last_ts")
+        )
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in by]
+        + [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf[ts_column].max()
+            last = mx if last is None else max(last, mx)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            [dict(zip([*by, "n_events", "last_ts"], [*key, n, last]))]
+        )
+
+    return (
+        df.withWatermark(ts_column, watermark)
+        .groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def streaming_quality_filter(
     df: DataFrame,
     column_name: str,

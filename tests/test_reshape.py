@@ -161,3 +161,21 @@ def test_fill_missing_timestamps(spark):
     out = pj.fill_missing_timestamps(df, "1 hour", column_name="ts")
     assert out.count() == 4  # 0,1,2,3 hours
     assert out.filter(F.col("v").isNull()).count() == 2
+
+
+def test_pivot_roundtrip_longer_then_wider(spark):
+    # pivot_longer followed by pivot_wider recovers the original frame
+    import pyjanitor_spark as pj
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, 0.7)], ["id", "qty", "tax"]
+    )
+    long = pj.pivot_longer(
+        df, index="id", names_to=["measure"], values_to="val"
+    )
+    wide = pj.pivot_wider(
+        long, index=["id"], names_from="measure", values_from="val"
+    )
+    got = sorted(map(tuple, wide.select("id", "qty", "tax").collect()))
+    exp = sorted(map(tuple, df.collect()))
+    assert got == exp

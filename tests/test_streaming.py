@@ -172,3 +172,38 @@ def test_safe_verb_list_is_accurate(spark):
     # every listed verb exists in the package
     for name in STREAMING_SAFE_VERBS:
         assert hasattr(pj, name), name
+
+
+def test_running_counter_stateful(spark, tmp_path):
+    from pyjanitor_spark.streaming import running_counter
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00"),
+            ("u1", "2024-01-01 00:01:00"),
+            ("u2", "2024-01-01 00:00:30"),
+        ],
+        ["user", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "rc_stream")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = running_counter(stream, ["user"], "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rcount")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user, max(n_events) n from rcount group by user"
+    ).collect()
+    got = {r["user"]: r["n"] for r in rows}
+    assert got == {"u1": 2, "u2": 1}
+
+    # batch fallback: plain groupBy count
+    b = running_counter(df, ["user"], "ts")
+    gb = {r["user"]: r["n_events"] for r in b.collect()}
+    assert gb == {"u1": 2, "u2": 1}
