@@ -40,7 +40,12 @@ def _public_verbs():
         if name.startswith("_"):
             continue
         fn = getattr(_ops, name)
-        if inspect.isfunction(fn):
+        if not inspect.isfunction(fn):
+            continue
+        params = list(inspect.signature(fn).parameters)
+        # only df-first verbs become DataFrame methods; session-first
+        # builders (expand_grid) and Column helpers stay module-level
+        if params and params[0] == "df":
             out[name] = fn
     return out
 
