@@ -179,3 +179,67 @@ def test_pivot_roundtrip_longer_then_wider(spark):
     got = sorted(map(tuple, wide.select("id", "qty", "tax").collect()))
     exp = sorted(map(tuple, df.collect()))
     assert got == exp
+
+
+def test_pivot_longer_dropna_and_transform(spark):
+    import pyjanitor_spark as pj
+
+    df = spark.createDataFrame(
+        [(1, 10.0, None), (2, None, 5.0)],
+        "id int, x_2020 double, x_2021 double",
+    )
+    out = pj.pivot_longer(
+        df,
+        index="id",
+        names_to=["var", "year"],
+        names_sep="_",
+        values_to="v",
+        dropna=True,
+        names_transform={"year": "int"},
+    )
+    rows = {(r["id"], r["year"]): r["v"] for r in out.collect()}
+    assert rows == {(1, 2020): 10.0, (2, 2021): 5.0}
+    assert dict(out.dtypes)["year"] == "int"
+
+
+def test_pivot_longer_named_group_pattern(spark):
+    import pyjanitor_spark as pj
+
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id int, wk1 double, wk2 double")
+    out = pj.pivot_longer(
+        df, index="id", names_to=["week"], names_pattern=r"wk(\d)", values_to="v"
+    )
+    got = sorted((r["week"], r["v"]) for r in out.collect())
+    assert got == [("1", 2.0), ("2", 3.0)]
+
+
+def test_pivot_longer_pattern_list_pairs_positionally(spark):
+    import pyjanitor_spark as pj
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.1, 20.0, 0.2)],
+        "id int, qty_a double, tax_a double, qty_b double, tax_b double",
+    )
+    out = pj.pivot_longer(
+        df, index="id", names_to=["qty", "tax"], names_pattern=["^qty", "^tax"]
+    )
+    got = sorted((r["qty"], r["tax"]) for r in out.collect())
+    assert got == [(10.0, 0.1), (20.0, 0.2)]
+
+
+def test_fill_direction_all_modes(spark):
+    import pyjanitor_spark as pj
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 10.0), (3, None), (4, 20.0), (5, None)],
+        "ord int, v double",
+    )
+    for direction, expected in [
+        ("down", {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0}),
+        ("up", {1: 10.0, 2: 10.0, 3: 20.0, 4: 20.0, 5: None}),
+        ("downup", {1: 10.0, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0}),
+        ("updown", {1: 10.0, 2: 10.0, 3: 20.0, 4: 20.0, 5: 20.0}),
+    ]:
+        out = pj.fill_direction(df, {"v": direction}, order_by="ord")
+        got = {r["ord"]: r["v"] for r in out.collect()}
+        assert got == expected, direction
