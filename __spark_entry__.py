@@ -549,6 +549,13 @@ def q_frame_sample(spark, sf):
     return pj.frame_sample(pj.attach_binary(d, "text"), every=64)
 
 
+def q_resize_payload(spark, sf):
+    # mapInPandas resize stub -> rows-only check (binary output)
+    d = _t(spark, sf, "documents")
+    out = pj.resize_payload(pj.attach_binary(d, "text"), target_bytes=32)
+    return out.select("doc_id", "orig_bytes", F.length("payload").alias("n_bytes"))
+
+
 def q_flag_jumps(spark, sf):
     ev = _t(spark, sf, "events")
     out = pj.flag_jumps(
@@ -766,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metadata": q_binary_metadata,
         "decode_features": q_decode_features,
         "frame_sample": q_frame_sample,
+        "resize_payload": q_resize_payload,
         "flag_jumps": q_flag_jumps,
         "data_description": q_data_description,
         "convert_units": q_convert_units,
@@ -1310,6 +1318,10 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "sort_column_value_order": (
             "SELECT o_orderkey, o_orderpriority FROM orders"
+        ),
+        "resize_payload": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS orig_bytes, "
+            "32 AS n_bytes FROM documents"
         ),
         # shuffle / jitter: random streams are engine-specific -> rows-only
         "inflate_currency": (

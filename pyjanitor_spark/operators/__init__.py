@@ -29,6 +29,7 @@ from pyjanitor_spark.operators.multimodal import (
     binary_metadata,
     decode_features,
     frame_sample,
+    resize_payload,
 )
 from pyjanitor_spark.operators.similarity import (
     cosine_topk,

@@ -29,6 +29,7 @@ __all__ = [
     "binary_metadata",
     "decode_features",
     "frame_sample",
+    "resize_payload",
 ]
 
 
@@ -97,6 +98,51 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, _FEATURE_SCHEMA)
+
+
+def resize_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_bytes: int = 64,
+) -> DataFrame:
+    """'Resize' the opaque payload to a fixed byte length by uniform
+    resampling — the stand-in for an image resize (PIL ``Image.resize``
+    in production; this container has no image libs, so the transform is
+    a deterministic byte resample with the same Spark shape: fixed
+    output schema, Arrow batches, payload never leaves the executor)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("orig_bytes", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            outs, origs = [], []
+            for b in pdf[payload_col]:
+                data = bytes(b)
+                n = len(data)
+                if n == 0:
+                    outs.append(b"\x00" * target_bytes)
+                else:
+                    outs.append(
+                        bytes(data[(i * n) // target_bytes] for i in range(target_bytes))
+                    )
+                origs.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": outs,
+                    "orig_bytes": pd.Series(origs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
 def frame_sample(

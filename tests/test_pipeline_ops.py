@@ -222,3 +222,15 @@ def test_apply_math_scalable_global_stats(spark):
     sm = pjm.apply_math(df, "x", pjm.softmax, dest="s")
     vals = [r["s"] for r in sm.collect()]
     assert abs(sum(vals) - 1.0) < 1e-12
+
+
+def test_resize_payload(docs):
+    binned = pj.attach_binary(docs, "text")
+    out = pj.resize_payload(binned, target_bytes=16)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(len(bytes(r["payload"])) == 16 for r in rows.values())
+    assert rows[1]["orig_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog"
+    )
+    # identical inputs resize identically (deterministic stub)
+    assert bytes(rows[1]["payload"]) == bytes(rows[4]["payload"])
