@@ -7,15 +7,15 @@ Scale design notes (the point of each algorithm at 100 TB):
   on a 32-byte key regardless of document size; keeps the min-id row
   per group (deterministic, no row-order dependence).
 * ``minhash_lsh_pairs`` — shingle → k md5-min signature → b bands →
-  EQUI-join on (band_id, band_key).  The only shuffle is on short band
-  keys; candidate verification happens after the join.  Never compares
-  all pairs: cost ∝ Σ bucket².
+  bucket by (band_id, band_key), emit each bucket's pairs in-task.  The
+  only shuffle is on short band keys; candidate verification happens on
+  the emitted pairs.  Never compares all pairs: cost ∝ Σ bucket².
 * ``simhash`` — 64-bit (configurable) sign-aggregated fingerprint; near
   dups share the fingerprint or differ in few bits.  Pure expressions.
 * ``ngram_jaccard_pairs`` — EXACT Jaccard via shingle-explode +
-  pair-count: |A∩B| from a self-equi-join on shingle, |A∪B| = |A|+|B|−∩.
-  Shuffles on shingle strings — the exact-verification path, typically
-  run on LSH candidates only (pass ``candidates=``).
+  bucketed pair-count: |A∩B| by grouping on the shingle string,
+  |A∪B| = |A|+|B|−∩.  One shuffle on shingles — the exact-verification
+  path, typically run on LSH candidates only (pass ``candidates=``).
 * ``embedding_near_dup`` — cosine pairs within blocks (``block_col``,
   e.g. a cluster/LSH bucket), avoiding the all-pairs cross join.
 
@@ -39,6 +39,23 @@ __all__ = [
     "embedding_near_dup",
     "cosine_sim",
 ]
+
+
+def _pairs_in_bucket(ids: Column) -> Column:
+    """All ordered pairs (id_1 < id_2) from a SORTED id array — the
+    in-task pair emitter for bucketed candidate generation.
+
+    ``transform``'s second lambda parameter is the 0-based element
+    index; successors of element i start at 1-based position i+2."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
+            ),
+        )
+    )
 
 
 def dedupe_exact(
@@ -135,20 +152,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # ONE shuffle on (band, key): collect the bucket's ids and emit its
+    # pairs in-task (a self-join would recompute the whole signature
+    # pipeline for both sides and shuffle it twice).  Bucket sizes are
+    # bounded by near-dup cluster sizes, so the collect_list is safe;
+    # cost stays ∝ Σ bucket² either way.
     pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.key") == F.col("b.key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
-        )
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
+        .select("p.id_1", "p.id_2")
         .distinct()
     )
     return pairs
@@ -218,20 +232,30 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similarity pairs (id_1 < id_2, jaccard ≥
     threshold).
 
-    |A∩B| via shingle-explode self-join (shuffle on shingle), |A∪B| =
-    |A|+|B|−|A∩B|.  With ``candidates`` (e.g. LSH output: columns id_1,
-    id_2) the join is semi-filtered first — the production shape."""
+    |A∩B| by bucketing on the shingle: ONE shuffle keyed on the shingle
+    string, each shingle's doc-id list collected sorted in-task, pairs
+    emitted and counted (vs. a self-join, which computes and shuffles
+    the shingle table twice).  |A∪B| = |A|+|B|−|A∩B| with |A| computed
+    shuffle-free as ``size(word_shingles(...))`` on the base table.
+    With ``candidates`` (e.g. LSH output: columns id_1, id_2) the pair
+    stream is semi-filtered first — the production shape at corpus
+    scale, where a stop-shingle's quadratic bucket would otherwise
+    dominate (exact all-pairs Jaccard is inherently Σ bucket²)."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(column_name), shingle_n)).alias("s")
     )
+    # per-doc shingle-set size from the exploded table: a count-agg of
+    # (id) pairs.  NOT a size() expression on the base table — predicate
+    # pushdown would re-inline the whole shingle pipeline into the
+    # single-task file scan (once for the filter, again for the
+    # projection, per join side) and kick it out of codegen.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
-        )
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
+        .groupBy(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     if candidates is not None:
