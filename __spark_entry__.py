@@ -707,6 +707,52 @@ def q_inflate_currency(spark, sf):
     return out.select(*KEYS, "l_extendedprice")
 
 
+def q_repetition_score(spark, sf):
+    d = _docs(spark, sf)
+    return pj.repetition_score(d, "text", shingle_n=2).select(
+        "doc_id", "rep_word_frac", "rep_ngram_frac"
+    )
+
+
+def q_pii_redact(spark, sf):
+    # the synthetic corpus carries no PII; inject a deterministic email +
+    # SSN/phone per doc so the redaction path is actually exercised
+    d = _docs(spark, sf).withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" tel 555-123-4567"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return pj.pii_redact(d, "text2").select(
+        "doc_id", "text2_redacted", "pii_email_count", "pii_ssn_count", "pii_phone_count"
+    )
+
+
+def q_deterministic_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.deterministic_sample(d, "doc_id", 0.25, salt="s").select("doc_id")
+
+
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "de": 0.2}, default_fraction=0.05, salt="s"
+    ).select("doc_id", "lang")
+
+
+def q_split_train_holdout(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.split_train_holdout(d, "doc_id", holdout_fraction=0.1).select(
+        "doc_id", "is_holdout"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "groupby_agg": q_groupby_agg,
@@ -795,6 +841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle": q_shuffle,
         "jitter": q_jitter,
         "sort_column_value_order": q_sort_column_value_order,
+        "repetition_score": q_repetition_score,
+        "pii_redact": q_pii_redact,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "split_train_holdout": q_split_train_holdout,
     }
 
 
@@ -1026,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
         **_pipeline_oracles(),
+        **_sampling_oracles(),
     }
 
 
@@ -1142,6 +1194,64 @@ def _lsh_plane_sql(plane: int) -> str:
         f"CASE WHEN list_sum(list_transform(generate_series(1, len(v)), "
         f"d -> v[d] * ({sign}))) > 0 THEN '1' ELSE '0' END"
     )
+
+
+def _hex8_int(h: str) -> str:
+    """DuckDB: integer value of the first 8 hex nibbles of expression
+    ``h`` (Spark equivalent: ``conv(substring(h,1,8),16,10)``)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * {16 ** (8 - p)}"
+        for p in range(1, 9)
+    ) + ")"
+
+
+def _sampling_oracles() -> dict[str, str]:
+    bucket = _hex8_int("h") + " % 1000000"
+    pii_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    pii_ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    pii_phone = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+    return {
+        "repetition_score": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "u AS (SELECT doc_id, toks, len(toks) AS n FROM t) "
+            "SELECT doc_id, "
+            "CASE WHEN n > 0 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n "
+            "ELSE 0.0 END AS rep_word_frac, "
+            "CASE WHEN n - 1 > 0 THEN 1.0 - CAST(len(list_distinct("
+            "list_transform(generate_series(1, n - 1), i -> toks[i] || ' ' || toks[i+1])"
+            ")) AS DOUBLE) / (n - 1) ELSE 0.0 END AS rep_ngram_frac FROM u"
+        ),
+        "pii_redact": (
+            "WITH t AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com' || "
+            "(CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' "
+            "WHEN doc_id % 3 = 1 THEN ' tel 555-123-4567' ELSE '' END) AS text2 "
+            "FROM documents) "
+            "SELECT doc_id, "
+            f"regexp_replace(regexp_replace(regexp_replace(text2, "
+            f"'{pii_email}', '[EMAIL]', 'g'), '{pii_ssn}', '[SSN]', 'g'), "
+            f"'{pii_phone}', '[PHONE]', 'g') AS text2_redacted, "
+            f"CAST(len(regexp_extract_all(text2, '{pii_email}')) AS INT) AS pii_email_count, "
+            f"CAST(len(regexp_extract_all(text2, '{pii_ssn}')) AS INT) AS pii_ssn_count, "
+            f"CAST(len(regexp_extract_all(text2, '{pii_phone}')) AS INT) AS pii_phone_count "
+            "FROM t"
+        ),
+        "deterministic_sample": (
+            "WITH t AS (SELECT doc_id, md5('s:' || CAST(doc_id AS VARCHAR)) AS h "
+            f"FROM documents) SELECT doc_id FROM t WHERE {bucket} < 250000"
+        ),
+        "stratified_sample": (
+            "WITH t AS (SELECT doc_id, lang, md5('s:' || CAST(doc_id AS VARCHAR)) "
+            f"AS h FROM documents) SELECT doc_id, lang FROM t WHERE {bucket} < "
+            "(CASE WHEN lang = 'en' THEN 500000 WHEN lang = 'de' THEN 200000 "
+            "ELSE 50000 END)"
+        ),
+        "split_train_holdout": (
+            "WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) "
+            f"AS h FROM documents) SELECT doc_id, {bucket} < 100000 "
+            "AS is_holdout FROM t"
+        ),
+    }
 
 
 def _pipeline_oracles() -> dict[str, str]:

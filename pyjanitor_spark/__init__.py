@@ -16,6 +16,15 @@ from __future__ import annotations
 from pyjanitor_spark import functions  # noqa: F401
 from pyjanitor_spark.operators import *  # noqa: F401,F403
 from pyjanitor_spark.operators import __dict__ as _ops_dict
+from pyjanitor_spark.sources import (  # noqa: F401
+    read_bucketed_table,
+    read_csvs,
+    read_table,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)
 from pyjanitor_spark.utils import (  # noqa: F401
     ORDER_COL,
     SALT_COL,

@@ -37,10 +37,17 @@ from pyjanitor_spark.operators.similarity import (
     ivf_topk,
     lsh_bucket_topk,
 )
+from pyjanitor_spark.operators.sampling import (
+    deterministic_sample,
+    split_train_holdout,
+    stratified_sample,
+)
 from pyjanitor_spark.operators.text_analysis import (
     fingerprint,
     language_id,
+    pii_redact,
     quality_score,
+    repetition_score,
     token_count,
     word_shingles,
 )

@@ -22,6 +22,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "repetition_score",
+    "pii_redact",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
@@ -155,3 +157,66 @@ def fingerprint(
         sh = word_shingles(col, shingle_n)
         return df.withColumn(dest, F.array_min(F.transform(sh, F.md5)))
     raise ValueError(f"bad mode {mode!r}")
+
+
+def repetition_score(
+    df: DataFrame,
+    column_name: str,
+    dest: str = "rep_word_frac",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filter):
+
+    * ``dest`` — fraction of word occurrences that are repeats
+      (``1 - distinct/total``); high values flag boilerplate/spam.
+    * ``rep_ngram_frac`` — same for word ``shingle_n``-grams, which
+      catches repeated phrases that unique words miss.
+
+    Pure per-row expressions — no shuffle, embarrassingly parallel."""
+    col = F.col(column_name)
+    toks = tokens(col)
+    n = F.size(toks)
+    word_frac = F.when(
+        n > 0, 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    # word_shingles is already distinct; recount raw n-grams for the ratio
+    n_grams = F.greatest(n - F.lit(shingle_n - 1), F.lit(0))
+    ngram_frac = F.when(
+        n_grams > 0,
+        1.0 - F.size(word_shingles(col, shingle_n)).cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(dest, word_frac).withColumn("rep_ngram_frac", ngram_frac)
+
+
+# Conservative, engine-portable (Java regex == RE2) PII patterns.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    column_name: str,
+    dest: str | None = None,
+    kinds: tuple[str, ...] = ("email", "ssn", "phone"),
+    counts: bool = True,
+) -> DataFrame:
+    """Redact PII spans with ``[KIND]`` markers and (optionally) emit a
+    per-kind match count column ``pii_<kind>_count``.
+
+    Order matters: SSN before phone (an SSN also matches the loose phone
+    shape).  All regexp — codegen'd, no UDF, safe in streaming too."""
+    dest = dest or f"{column_name}_redacted"
+    out = F.col(column_name)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    df = df.withColumn(dest, out)
+    if counts:
+        for kind in kinds:
+            df = df.withColumn(
+                f"pii_{kind}_count",
+                F.regexp_count(F.col(column_name), F.lit(PII_PATTERNS[kind])),
+            )
+    return df

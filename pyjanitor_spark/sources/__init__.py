@@ -5,3 +5,10 @@ from pyjanitor_spark.sources.io import (  # noqa: F401
     xlsx_cells,
     xlsx_table,
 )
+from pyjanitor_spark.sources.sinks import (  # noqa: F401
+    read_bucketed_table,
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_parquet,
+)

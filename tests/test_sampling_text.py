@@ -1,0 +1,120 @@
+"""Deterministic sampling + repetition/PII text ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("doc_id").collect())
+
+
+class TestDeterministicSample:
+    def test_stable_under_repartition(self, documents):
+        a = _ids(pj.deterministic_sample(documents.repartition(1), "doc_id", 0.3))
+        b = _ids(pj.deterministic_sample(documents.repartition(7), "doc_id", 0.3))
+        assert a == b and len(a) > 0
+
+    def test_fraction_approx(self, documents):
+        total = documents.count()
+        kept = pj.deterministic_sample(documents, "doc_id", 0.5).count()
+        assert abs(kept / total - 0.5) < 0.15
+
+    def test_salt_changes_sample(self, documents):
+        a = _ids(pj.deterministic_sample(documents, "doc_id", 0.3, salt="x"))
+        b = _ids(pj.deterministic_sample(documents, "doc_id", 0.3, salt="y"))
+        assert a != b
+
+    def test_flag_mode_matches_filter(self, documents):
+        flagged = pj.deterministic_sample(documents, "doc_id", 0.3, dest="keep")
+        assert flagged.count() == documents.count()
+        assert _ids(flagged.filter("keep")) == _ids(
+            pj.deterministic_sample(documents, "doc_id", 0.3)
+        )
+
+    def test_nested_fractions_monotone(self, documents):
+        """The 10% sample is a subset of the 20% sample (same salt) —
+        the property that makes threshold-based sampling resumable."""
+        small = set(_ids(pj.deterministic_sample(documents, "doc_id", 0.1)))
+        big = set(_ids(pj.deterministic_sample(documents, "doc_id", 0.2)))
+        assert small <= big
+
+
+class TestStratifiedSample:
+    def test_per_stratum_fractions(self, documents):
+        out = pj.stratified_sample(
+            documents, "lang", "doc_id", {"en": 1.0, "de": 0.0}, default_fraction=0.0
+        )
+        langs = {r[0] for r in out.select("lang").distinct().collect()}
+        assert langs == {"en"}
+        assert out.count() == documents.filter("lang = 'en'").count()
+
+    def test_default_fraction(self, documents):
+        out = pj.stratified_sample(
+            documents, "lang", "doc_id", {"en": 0.0}, default_fraction=1.0
+        )
+        assert out.filter("lang = 'en'").count() == 0
+        assert out.count() == documents.filter("lang <> 'en'").count()
+
+
+class TestSplitTrainHoldout:
+    def test_partition_is_total_and_stable(self, documents):
+        out = pj.split_train_holdout(documents, "doc_id", holdout_fraction=0.2)
+        assert out.count() == documents.count()
+        again = pj.split_train_holdout(documents.repartition(5), "doc_id", 0.2)
+        a = sorted(tuple(r) for r in out.select("doc_id", "is_holdout").collect())
+        b = sorted(tuple(r) for r in again.select("doc_id", "is_holdout").collect())
+        assert a == b
+
+
+class TestRepetitionScore:
+    def test_hand_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a a a"), (3, "x y z"), (4, "")], ["doc_id", "t"]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in pj.repetition_score(df, "t", shingle_n=2).collect()
+        }
+        assert abs(rows[1]["rep_word_frac"] - (1 - 2 / 3)) < 1e-12
+        # bigrams of "a a b": ["a a", "a b"] -> 2 distinct of 2 raw
+        assert rows[1]["rep_ngram_frac"] == 0.0
+        # "a a a": bigrams ["a a", "a a"] -> 1 distinct of 2 raw
+        assert rows[2]["rep_ngram_frac"] == 0.5
+        assert rows[3]["rep_word_frac"] == 0.0
+        assert rows[4]["rep_word_frac"] == 0.0 and rows[4]["rep_ngram_frac"] == 0.0
+
+    def test_no_shuffle(self, documents):
+        from pyjanitor_spark.plans import shuffle_count
+
+        assert shuffle_count(pj.repetition_score(documents, "text")) == 0
+
+
+class TestPiiRedact:
+    def test_redactions(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob.smith+x@corp.example.org now"),
+                (2, "ssn 123-45-6789 phone 555-123-4567"),
+                (3, "call 555.123.4567"),
+                (4, "clean text"),
+            ],
+            ["doc_id", "t"],
+        )
+        out = {r["doc_id"]: r for r in pj.pii_redact(df, "t").collect()}
+        assert out[1]["t_redacted"] == "mail [EMAIL] now"
+        assert out[1]["pii_email_count"] == 1
+        # SSN wins over the looser phone shape for the first number
+        assert out[2]["t_redacted"] == "ssn [SSN] phone [PHONE]"
+        assert out[2]["pii_ssn_count"] == 1 and out[2]["pii_phone_count"] == 1
+        assert out[3]["t_redacted"] == "call [PHONE]"
+        assert out[4]["t_redacted"] == "clean text"
+        assert out[4]["pii_email_count"] == 0
+
+    def test_custom_dest_and_kinds(self, spark):
+        df = spark.createDataFrame([(1, "a@b.co 123-45-6789")], ["doc_id", "t"])
+        out = pj.pii_redact(df, "t", dest="clean", kinds=("email",), counts=False).collect()[0]
+        assert out["clean"] == "[EMAIL] 123-45-6789"
+        assert "pii_email_count" not in out.asDict()
