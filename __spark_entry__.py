@@ -381,6 +381,28 @@ def q_conditional_join_keep_first(spark, sf):
     return out.select("p_partkey", "lo", "hi")
 
 
+def q_conditional_join_left(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    out = pj.conditional_join(
+        o, li,
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", "<"),
+        how="left",
+    )
+    return out.select("o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice")
+
+
+def q_conditional_join_outer(spark, sf):
+    r = _t(spark, sf, "region").select("r_regionkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    out = pj.conditional_join(
+        r, n, ("r_regionkey", "n_regionkey", "=="), ("r_regionkey", "n_nationkey", ">"),
+        how="outer",
+    )
+    return out.select("r_regionkey", "n_nationkey", "n_regionkey")
+
+
 def q_pivot_longer(spark, sf):
     li = _t(spark, sf, "lineitem").select(
         *KEYS, "l_quantity", "l_discount", "l_tax"
@@ -798,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
         "conditional_join_keep_first": q_conditional_join_keep_first,
+        "conditional_join_left": q_conditional_join_left,
+        "conditional_join_outer": q_conditional_join_outer,
         "pivot_longer": q_pivot_longer,
         "pivot_wider": q_pivot_wider,
         "complete": q_complete,
@@ -1034,6 +1058,16 @@ def oracle_sql() -> dict[str, str]:
             "AND p_retailprice < s_acctbal + 500) "
             "SELECT p_partkey, lo, hi FROM j QUALIFY "
             "row_number() OVER (PARTITION BY p_partkey ORDER BY lo, hi) = 1"
+        ),
+        "conditional_join_left": (
+            "SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice "
+            "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+            "AND o_totalprice < l_extendedprice"
+        ),
+        "conditional_join_outer": (
+            "SELECT r_regionkey, n_nationkey, n_regionkey "
+            "FROM region FULL OUTER JOIN nation ON r_regionkey = n_regionkey "
+            "AND r_regionkey > n_nationkey"
         ),
         "pivot_longer": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val "

@@ -80,7 +80,15 @@ def expand_grid(spark: SparkSession, others: dict[str, Any]) -> DataFrame:
         if isinstance(values, DataFrame):
             frames.append(values)
         else:
-            frames.append(spark.createDataFrame([(v,) for v in values], [name]))
+            # JVM-side literal frame (single partition): createDataFrame
+            # would build a Python-RDD-backed scan whose tasks each spin
+            # up Python workers — multiplied by the cross-join's task
+            # grid that dominated the wall clock
+            frames.append(
+                spark.range(0, 1, 1, 1).select(
+                    F.explode(F.array(*[F.lit(v) for v in values])).alias(name)
+                )
+            )
     out = frames[0]
     for f in frames[1:]:
         out = out.crossJoin(f)

@@ -1,8 +1,10 @@
 from pyjanitor_spark.streaming.verbs import (  # noqa: F401
     STREAMING_SAFE_VERBS,
+    foreach_batch_sink,
     running_counter,
     sessionize,
     streaming_dedupe,
     streaming_quality_filter,
     windowed_agg,
+    write_stream_parquet,
 )

@@ -71,6 +71,11 @@ STREAMING_SAFE_VERBS = [
     "binary_metadata",
     "convert_units",
     "inflate_currency",
+    "repetition_score",
+    "pii_redact",
+    "deterministic_sample",
+    "stratified_sample",
+    "split_train_holdout",
 ]
 
 
@@ -234,3 +239,54 @@ def streaming_quality_filter(
 
     scored = quality_score(df, column_name, **kwargs)
     return scored.filter(F.col(kwargs.get("dest", "quality")) >= min_quality)
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+    output_mode: str = "append",
+    available_now: bool = False,
+    processing_time: str | None = None,
+):
+    """Streaming parquet sink with exactly-once file commits.
+
+    The checkpoint directory carries the source offsets + sink commit
+    log, so a restarted query resumes without duplicating files.
+    ``available_now=True`` drains everything currently available and
+    stops — the batch-backfill mode.  Returns the ``StreamingQuery``."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Route a stream through ``batch_fn(batch_df, batch_id)`` — the
+    escape hatch for sinks Spark lacks (merge/upsert, dedupe-against-
+    store, multi-table fanout).  ``batch_fn`` sees a normal batch
+    DataFrame, so every batch-only verb works inside it; Spark
+    guarantees per-batch-id at-least-once with replays identifiable by
+    ``batch_id`` (make the body idempotent on it).  Returns the
+    ``StreamingQuery``."""
+    w = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

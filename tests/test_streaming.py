@@ -207,3 +207,45 @@ def test_running_counter_stateful(spark, tmp_path):
     b = running_counter(df, ["user"], "ts")
     gb = {r["user"]: r["n_events"] for r in b.collect()}
     assert gb == {"u1": 2, "u2": 1}
+
+
+def test_write_stream_parquet_sink(spark, stream_events, tmp_path):
+    """Stream -> expression verbs -> parquet sink; restart resumes from
+    the checkpoint without duplicating rows."""
+    from pyjanitor_spark.streaming import write_stream_parquet
+
+    stream, batch = stream_events
+    out_path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    staged = pj.deterministic_sample(stream, "event_id", 0.5, dest="keep")
+    q = write_stream_parquet(
+        staged, out_path, ckpt, partition_by=["event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    assert got.count() == batch.count()
+    assert "keep" in got.columns
+    # restart on the same checkpoint: nothing new to process, no dupes
+    q2 = write_stream_parquet(staged, out_path, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == batch.count()
+
+
+def test_foreach_batch_sink(spark, stream_events, tmp_path):
+    """foreachBatch runs batch-only verbs (here: dedupe_exact) per
+    micro-batch and lands the result wherever the callback says."""
+    from pyjanitor_spark.streaming import foreach_batch_sink
+
+    stream, batch = stream_events
+    out_path = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def handle(bdf, batch_id):
+        deduped = pj.dedupe_exact(bdf.withColumn("t", F.col("event_type")), "t", "event_id")
+        deduped.drop("t").write.mode("append").parquet(out_path)
+
+    q = foreach_batch_sink(stream, handle, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    # one survivor per event_type (all data arrives in one micro-batch here)
+    assert got.count() == batch.select("event_type").distinct().count()
