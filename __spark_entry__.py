@@ -729,6 +729,17 @@ def q_inflate_currency(spark, sf):
     return out.select(*KEYS, "l_extendedprice")
 
 
+def q_near_dup_clusters(spark, sf):
+    d = _docs(spark, sf)
+    pairs = pj.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
+    return pj.near_dup_clusters(pairs, nodes=d, id_col="doc_id")
+
+
+def q_dedupe_near(spark, sf):
+    d = _docs(spark, sf)
+    return pj.dedupe_near(d, "doc_id", "text").select("doc_id")
+
+
 def q_repetition_score(spark, sf):
     d = _docs(spark, sf)
     return pj.repetition_score(d, "text", shingle_n=2).select(
@@ -865,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle": q_shuffle,
         "jitter": q_jitter,
         "sort_column_value_order": q_sort_column_value_order,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedupe_near": q_dedupe_near,
         "repetition_score": q_repetition_score,
         "pii_redact": q_pii_redact,
         "deterministic_sample": q_deterministic_sample,
@@ -1112,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
         **_pipeline_oracles(),
         **_sampling_oracles(),
+        **_cluster_oracles(),
     }
 
 
@@ -1237,6 +1251,33 @@ def _hex8_int(h: str) -> str:
         f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * {16 ** (8 - p)}"
         for p in range(1, 9)
     ) + ")"
+
+
+def _cluster_oracles() -> dict[str, str]:
+    """Connected components over the (engine-reproducible) MinHash-LSH
+    pair graph, as a DuckDB recursive transitive closure — feasible at
+    oracle scale; the Spark side uses log-round label propagation."""
+    mh = _minhash_band_sql(8, 4)
+    closure = (
+        "WITH RECURSIVE edges AS ("
+        f"SELECT id_1 AS src, id_2 AS dst FROM ({mh}) "
+        f"UNION SELECT id_2, id_1 FROM ({mh})), "
+        "reach(src, dst) AS ("
+        "SELECT src, dst FROM edges "
+        "UNION "
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+        "cl AS (SELECT src, least(src, min(dst)) AS c FROM reach GROUP BY src) "
+    )
+    return {
+        "near_dup_clusters": (
+            closure + "SELECT d.doc_id, COALESCE(cl.c, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN cl ON d.doc_id = cl.src"
+        ),
+        "dedupe_near": (
+            closure + "SELECT d.doc_id FROM documents d LEFT JOIN cl "
+            "ON d.doc_id = cl.src WHERE COALESCE(cl.c, d.doc_id) = d.doc_id"
+        ),
+    }
 
 
 def _sampling_oracles() -> dict[str, str]:

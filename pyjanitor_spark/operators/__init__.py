@@ -9,9 +9,11 @@ from pyjanitor_spark.operators.complete import (
 from pyjanitor_spark.operators.dedup import (
     cosine_sim,
     dedupe_exact,
+    dedupe_near,
     embedding_near_dup,
     minhash_lsh_pairs,
     minhash_signature,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
 )

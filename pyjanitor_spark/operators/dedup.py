@@ -38,6 +38,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "cosine_sim",
+    "near_dup_clusters",
+    "dedupe_near",
 ]
 
 
@@ -320,3 +322,98 @@ def embedding_near_dup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    dest: str = "cluster_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup ``pairs`` (columns id_1,
+    id_2): every id gets ``dest`` = the MIN id reachable through the
+    pair graph — the canonical representative of its duplicate cluster.
+
+    Iterative min-label propagation with pointer jumping (each round:
+    take the min label over graph neighbors, then hop ``l(v) <-
+    l(l(v))``), so rounds ~ O(log diameter) — near-dup clusters are
+    shallow, typically 2-4 rounds.  Each round is two shuffles on ids;
+    ``localCheckpoint`` truncates the growing lineage, and one bounded
+    driver action per round checks convergence (this is inherently an
+    iterative algorithm — the documented exception to pure-lazy verbs).
+
+    ``nodes`` (a frame with ``id_col``) adds unpaired ids as singleton
+    clusters (``dest`` = own id).
+    """
+    e1 = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    edges = e1.union(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        prop = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        )
+        # pointer jumping: follow the label's own label
+        hop = (
+            prop.alias("a")
+            .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
+            .select(
+                F.col("a.id").alias("id"),
+                F.coalesce(F.col("b.lbl"), F.col("a.lbl")).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            hop.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = hop
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), F.col("lbl").alias(dest))
+    if nodes is not None:
+        all_ids = nodes.select(F.col(id_col)).distinct()
+        out = all_ids.join(out, id_col, "left").select(
+            F.col(id_col), F.coalesce(F.col(dest), F.col(id_col)).alias(dest)
+        )
+    return out
+
+
+def dedupe_near(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs
+    (optionally verified with exact n-gram Jaccard ≥
+    ``jaccard_threshold``) -> connected components -> keep the min-id
+    row of every cluster.  The distributed pipeline a 100 TB corpus
+    dedup actually runs; every stage shuffles short keys only."""
+    pairs = minhash_lsh_pairs(df, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n)
+    if jaccard_threshold is not None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, column_name,
+            shingle_n=shingle_n, threshold=jaccard_threshold, candidates=pairs,
+        ).select("id_1", "id_2")
+    clusters = near_dup_clusters(pairs, nodes=None, id_col=id_col, max_iter=max_iter)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")

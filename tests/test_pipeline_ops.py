@@ -234,3 +234,28 @@ def test_resize_payload(docs):
     )
     # identical inputs resize identically (deterministic stub)
     assert bytes(rows[1]["payload"]) == bytes(rows[4]["payload"])
+
+
+def test_near_dup_clusters_components(spark):
+    # {1,2,3} via chain, {5,6}, singleton 9 through nodes=
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (5, 6)], ["id_1", "id_2"])
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], ["doc_id"])
+    got = sorted(tuple(r) for r in pj.near_dup_clusters(pairs, nodes=nodes).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9)]
+
+
+def test_near_dup_clusters_long_chain(spark):
+    # pointer jumping must collapse a diameter-9 path well inside max_iter
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10, 19)], ["id_1", "id_2"])
+    out = pj.near_dup_clusters(chain, max_iter=8)
+    assert {r[0] for r in out.select("cluster_id").collect()} == {10}
+
+
+def test_dedupe_near_end_to_end(docs):
+    kept = pj.dedupe_near(docs, "doc_id", "text", jaccard_threshold=0.5)
+    n, n0 = kept.count(), docs.count()
+    assert 0 < n < n0
+    # kept set contains exactly one representative per cluster: re-running
+    # dedup on the deduped set removes nothing
+    again = pj.dedupe_near(kept, "doc_id", "text", jaccard_threshold=0.5)
+    assert again.count() == n
