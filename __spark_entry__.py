@@ -516,7 +516,14 @@ def q_embedding_near_dup(spark, sf):
 
 def _query_vec(spark, sf):
     e = _embs(spark, sf)
-    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    # fetch the query vector from the RAW table (filter reaches the scan);
+    # going through _embs' repartition would shuffle everything first
+    row = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
     return e, [float(v) for v in row[0]]
 
 
