@@ -18,11 +18,16 @@ from pyjanitor_spark.operators.dedup import (
     simhash,
 )
 from pyjanitor_spark.operators.domain import (
+    convert_currency,
+    convert_stock,
     convert_units,
     data_description,
+    get_symbol,
     inflate_currency,
     join_apply,
     join_fasta,
+    skiperror,
+    skipna,
     toset,
 )
 from pyjanitor_spark.operators.joins import conditional_join, get_join_indices

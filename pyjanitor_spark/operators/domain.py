@@ -22,9 +22,14 @@ __all__ = [
     "join_fasta",
     "convert_units",
     "inflate_currency",
+    "convert_currency",
+    "convert_stock",
+    "get_symbol",
     "join_apply",
     "toset",
     "data_description",
+    "skipna",
+    "skiperror",
 ]
 
 
@@ -135,6 +140,73 @@ def inflate_currency(
             "inside the engine)"
         )
     return df.withColumn(column_name, F.col(column_name) * F.lit(float(rate)))
+
+
+def convert_currency(*args: Any, **kwargs: Any) -> None:
+    """Deliberately unavailable, mirroring the reference: the backing
+    exchange-rate API is dead and ``janitor/finance.py:407-436`` raises
+    at call time.  Use :func:`inflate_currency` with a driver-resolved
+    ``rate`` instead."""
+    raise NotImplementedError(
+        "convert_currency is disabled (upstream API no longer exists; the "
+        "reference raises too).  Resolve a rate driver-side and use "
+        "inflate_currency(df, col, rate=...)."
+    )
+
+
+def convert_stock(stock_symbol: str, company: dict[str, str] | None = None) -> str:
+    """Stock ticker -> company name (ref ``janitor/finance.py:697-…``,
+    a web lookup).  Network stays outside the engine: pass ``company``,
+    a driver-resolved ``{symbol: name}`` mapping."""
+    if company is None:
+        raise ValueError(
+            "convert_stock needs company= (a driver-resolved {symbol: name} "
+            "mapping); the engine performs no network lookups"
+        )
+    return company[stock_symbol.upper()]
+
+
+def get_symbol(company_name: str, symbols: dict[str, str] | None = None) -> str | None:
+    """Company name -> ticker (ref ``janitor/finance.py:728-…``); the
+    inverse of :func:`convert_stock`, same driver-resolved-mapping
+    contract.  Returns None when not found (reference behavior)."""
+    if symbols is None:
+        raise ValueError(
+            "get_symbol needs symbols= (a driver-resolved {name: symbol} "
+            "mapping); the engine performs no network lookups"
+        )
+    for name, sym in symbols.items():
+        if name.lower() == company_name.lower():
+            return sym
+    return None
+
+
+def skipna(fn: Callable) -> Callable:
+    """Wrap a scalar callable so nulls pass through untouched (ref
+    ``janitor/utils.py:416-444``) — for ``transform_column``'s
+    pandas_udf path, where the reference applies user fns to NaNs."""
+
+    def wrapper(x: Any) -> Any:
+        return None if x is None else fn(x)
+
+    wrapper.__name__ = getattr(fn, "__name__", "skipna_wrapped")
+    return wrapper
+
+
+def skiperror(fn: Callable, return_x: bool = False, return_val: Any = None) -> Callable:
+    """Wrap a scalar callable so exceptions yield ``return_val`` (or the
+    input itself with ``return_x=True``) instead of failing the task
+    (ref ``janitor/utils.py:447-485``).  At 100 TB a one-in-a-billion
+    malformed value must not kill the job."""
+
+    def wrapper(x: Any) -> Any:
+        try:
+            return fn(x)
+        except Exception:
+            return x if return_x else return_val
+
+    wrapper.__name__ = getattr(fn, "__name__", "skiperror_wrapped")
+    return wrapper
 
 
 def join_apply(

@@ -59,3 +59,28 @@ def test_data_description(spark):
     assert got["k"]["count"] == 4 and got["k"]["pct_missing"] == 0.0
     assert got["s"]["count"] == 2 and abs(got["s"]["pct_missing"] - 0.5) < 1e-12
     assert got["s"]["dtype"] == "string"
+
+
+def test_convert_currency_raises():
+    with pytest.raises(NotImplementedError):
+        pj.convert_currency()
+
+
+def test_convert_stock_get_symbol():
+    company = {"AAPL": "Apple Inc."}
+    assert pj.convert_stock("aapl", company=company) == "Apple Inc."
+    with pytest.raises(ValueError):
+        pj.convert_stock("AAPL")
+    symbols = {"Apple Inc.": "AAPL"}
+    assert pj.get_symbol("apple inc.", symbols=symbols) == "AAPL"
+    assert pj.get_symbol("Nope Corp", symbols=symbols) is None
+
+
+def test_skipna_skiperror_with_transform_column(spark):
+    df = spark.createDataFrame([("3",), (None,), ("bad",)], ["v"])
+    safe = pj.skiperror(pj.skipna(int))
+    out = pj.transform_column(
+        df, "v", safe, dest_column_name="n", return_type="long"
+    )
+    vals = [r["n"] for r in out.orderBy(F.col("v").asc_nulls_first()).collect()]
+    assert vals == [None, 3, None]
