@@ -17,6 +17,12 @@ from pyjanitor_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pyjanitor_spark.operators.chemistry import (
+    maccs_keys_fingerprint,
+    molecular_descriptors,
+    morgan_fingerprint,
+    smiles2mol,
+)
 from pyjanitor_spark.operators.domain import (
     convert_currency,
     convert_stock,

@@ -84,3 +84,15 @@ def test_skipna_skiperror_with_transform_column(spark):
     )
     vals = [r["n"] for r in out.orderBy(F.col("v").asc_nulls_first()).collect()]
     assert vals == [None, 3, None]
+
+
+def test_chemistry_verbs_are_rdkit_gated(spark):
+    df = spark.createDataFrame([("CCO",)], ["smiles"])
+    for fn in (
+        pj.smiles2mol,
+        pj.morgan_fingerprint,
+        pj.maccs_keys_fingerprint,
+        pj.molecular_descriptors,
+    ):
+        with pytest.raises(ImportError, match="rdkit"):
+            fn(df, "smiles")

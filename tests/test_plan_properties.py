@@ -101,3 +101,46 @@ def test_dedupe_exact_hashes_before_shuffle(spark):
     from pyjanitor_spark.plans import executed_plan
 
     assert "md5" in executed_plan(out)
+
+
+def test_minhash_pair_generation_is_join_free(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = pj.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=4)
+    from pyjanitor_spark.plans import executed_plan
+
+    # bucketed in-task pair emit: the signature pipeline is computed
+    # once; any Join node means the self-join shape regressed
+    assert "Join" not in executed_plan(pairs)
+
+
+def test_ngram_jaccard_avoids_scan_side_shingle_filters(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pj.ngram_jaccard_pairs(docs, "doc_id", "text")
+    from pyjanitor_spark.plans import executed_plan
+
+    plan = executed_plan(out)
+    # the regression shape computed per-doc sizes as size(word_shingles)
+    # on the base table: pushdown re-inlined the whole shingle pipeline
+    # into the file scan's DataFilters (evaluated on a single input task,
+    # out of codegen) — 30x slower at sf0.1
+    assert "DataFilters: [(size(" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_expand_grid_literals_are_jvm_side(spark, lineitem):
+    flags = lineitem.select("l_returnflag").distinct()
+    out = pj.expand_grid(spark, {"p": ["HI", "LO"], "f": flags, "s": ["A", "B"]})
+    from pyjanitor_spark.plans import executed_plan
+
+    # createDataFrame literals would appear as Python-RDD scans whose
+    # tasks spin up Python workers across the cross-join task grid
+    assert "ExistingRDD" not in executed_plan(out)
+
+
+def test_sampling_verbs_are_shuffle_free(documents):
+    assert shuffle_count(pj.deterministic_sample(documents, "doc_id", 0.5)) == 0
+    assert shuffle_count(
+        pj.stratified_sample(documents, "lang", "doc_id", {"en": 0.5})
+    ) == 0
+    assert shuffle_count(pj.split_train_holdout(documents, "doc_id")) == 0
+    assert shuffle_count(pj.pii_redact(documents, "text")) == 0
