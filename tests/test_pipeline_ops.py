@@ -4,6 +4,8 @@ text analysis, multimodal, timeseries."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import pyjanitor_spark as pj
@@ -259,3 +261,43 @@ def test_dedupe_near_end_to_end(docs):
     # dedup on the deduped set removes nothing
     again = pj.dedupe_near(kept, "doc_id", "text", jaccard_threshold=0.5)
     assert again.count() == n
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=0,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_near_dup_clusters_matches_union_find(spark, edges):
+    """Property: distributed label propagation == driver union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = sorted({n for e in edges for n in e})
+    for a, b in edges:
+        union(a, b)
+    # union always hangs the larger root under the smaller, so the root
+    # IS the component min — the same canonical label the verb emits
+    expect = {n: find(n) for n in nodes}
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], ["id_1", "id_2"]
+    )
+    got = {r[0]: r[1] for r in pj.near_dup_clusters(pairs, id_col="id").collect()}
+    assert got == expect
