@@ -359,12 +359,12 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        prop = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                labels.id.alias("id"),
-                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
-            )
+        # carry the round-start label through so convergence is a flag on
+        # this round's output, not an extra join against the old labels
+        prop = labels.join(nbr, labels.id == nbr.src, "left").select(
+            labels.id.alias("id"),
+            F.col("lbl").alias("lbl0"),
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
         )
         # pointer jumping: follow the label's own label
         hop = (
@@ -373,15 +373,13 @@ def near_dup_clusters(
             .select(
                 F.col("a.id").alias("id"),
                 F.coalesce(F.col("b.lbl"), F.col("a.lbl")).alias("lbl"),
+                (F.coalesce(F.col("b.lbl"), F.col("a.lbl")) != F.col("a.lbl0")).alias(
+                    "__changed"
+                ),
             )
         ).localCheckpoint()
-        changed = (
-            hop.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = hop
+        changed = hop.filter(F.col("__changed")).count()  # scans the checkpoint
+        labels = hop.drop("__changed")
         if changed == 0:
             break
     out = labels.select(F.col("id").alias(id_col), F.col("lbl").alias(dest))
