@@ -538,7 +538,8 @@ def q_lsh_bucket_topk(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
-    # centroid averages are float-sum order-dependent -> rows-only check
+    # centroids sum in DECIMAL (exact, order-independent) so the oracle
+    # reproduces them bit-for-bit despite distributed aggregation
     e, qv = _query_vec(spark, sf)
     return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
 
@@ -1404,6 +1405,22 @@ def _pipeline_oracles() -> dict[str, str]:
         "SELECT b.vec_id, " + _cos("b.v", "q.qv") + " AS cos "
         "FROM b, q WHERE b.bkt = q.qb ORDER BY cos DESC, b.vec_id LIMIT 10"
     )
+    # centroids sum in DECIMAL (exact, order-independent) with ONE final
+    # double rounding — matching the Spark side bit-for-bit
+    ivf = (
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "px AS (SELECT label, t.i AS i, v[t.i] AS val FROM e, "
+        "UNNEST(generate_series(1, len(v))) AS t(i)), "
+        "cent AS (SELECT label, i, CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) "
+        "/ COUNT(*) AS c FROM px GROUP BY label, i), "
+        "carr AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label), "
+        "probe AS (SELECT label FROM carr, q ORDER BY "
+        + _cos("carr.cv", "q.qv")
+        + " DESC, label LIMIT 2) "
+        "SELECT e.vec_id, " + _cos("e.v", "q.qv") + " AS cos "
+        "FROM e JOIN probe USING (label), q ORDER BY cos DESC, e.vec_id LIMIT 10"
+    )
     return {
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "
@@ -1422,6 +1439,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "embedding_near_dup": near_dup,
         "cosine_topk": topk,
         "lsh_bucket_topk": lsh_topk,
+        "ivf_topk": ivf,
         "token_count": (
             f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents"
         ),

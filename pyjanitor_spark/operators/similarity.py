@@ -55,7 +55,17 @@ def centroids(df: DataFrame, vec_col: str, cluster_col: str) -> DataFrame:
     exploded = df.select(
         F.col(cluster_col), F.posexplode(F.col(vec_col).cast("array<double>"))
     )
-    per_pos = exploded.groupBy(cluster_col, "pos").agg(F.avg("col").alias("v"))
+    # sum in DECIMAL: decimal addition is exact, so the centroid is
+    # independent of partitioning/combine order (a double sum is not),
+    # making results reproducible across cluster layouts AND engines
+    # (the DuckDB oracle recomputes the identical value); the single
+    # rounding happens once, at the final cast-to-double division
+    per_pos = exploded.groupBy(cluster_col, "pos").agg(
+        (
+            F.sum(F.col("col").cast("decimal(27,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
     return per_pos.groupBy(cluster_col).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("pos"), F.col("v")))
