@@ -737,6 +737,15 @@ def q_inflate_currency(spark, sf):
     return out.select(*KEYS, "l_extendedprice")
 
 
+def q_dedupe_against(spark, sf):
+    # incremental dedup: new batch (non-en docs) against the kept corpus
+    # (en docs) — rows of the batch are never compared with each other
+    d = _docs(spark, sf)
+    new = d.filter(F.col("lang") != "en")
+    ref = d.filter(F.col("lang") == "en")
+    return pj.dedupe_against(new, ref, "doc_id", "text").select("doc_id")
+
+
 def q_near_dup_clusters(spark, sf):
     d = _docs(spark, sf)
     pairs = pj.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
@@ -886,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_column_value_order": q_sort_column_value_order,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
+        "dedupe_against": q_dedupe_against,
         "repetition_score": q_repetition_score,
         "pii_redact": q_pii_redact,
         "deterministic_sample": q_deterministic_sample,
@@ -1261,6 +1271,25 @@ def _hex8_int(h: str) -> str:
     ) + ")"
 
 
+def _bands_with_lang_sql(k: int = 8, bands: int = 4) -> str:
+    """CTE prefix: (doc_id, lang, band, key) MinHash band keys."""
+    r = k // bands
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x)))" for i in range(k)
+    )
+    band_key = " ".join(
+        f"WHEN {b} THEN " + " || '|' || ".join(f"m[{b * r + j + 1}]" for j in range(r))
+        for b in range(bands)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents), "
+        f"sh AS (SELECT doc_id, lang, {_SHINGLES} AS s FROM toks), "
+        f"sig AS (SELECT doc_id, lang, [{sig}] AS m FROM sh WHERE len(s) > 0), "
+        f"bk AS (SELECT doc_id, lang, band, CASE band {band_key} END AS key "
+        f"FROM sig, (SELECT unnest(range({bands})) AS band)) "
+    )
+
+
 def _cluster_oracles() -> dict[str, str]:
     """Connected components over the (engine-reproducible) MinHash-LSH
     pair graph, as a DuckDB recursive transitive closure — feasible at
@@ -1284,6 +1313,14 @@ def _cluster_oracles() -> dict[str, str]:
         "dedupe_near": (
             closure + "SELECT d.doc_id FROM documents d LEFT JOIN cl "
             "ON d.doc_id = cl.src WHERE COALESCE(cl.c, d.doc_id) = d.doc_id"
+        ),
+        "dedupe_against": (
+            _bands_with_lang_sql(8, 4)
+            + ", hit AS (SELECT DISTINCT n.doc_id FROM bk n "
+            "JOIN bk r ON n.band = r.band AND n.key = r.key "
+            "WHERE n.lang <> 'en' AND r.lang = 'en') "
+            "SELECT d.doc_id FROM documents d WHERE d.lang <> 'en' "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM hit)"
         ),
     }
 

@@ -19,7 +19,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # representative mix: scan+filter, window agg, dedup window, ordered
-# windows, grouped topk, math, reshape-ish expressions
+# windows, grouped topk, math, reshape-ish expressions, plus the
+# corpus-pipeline ops (LSH dedup end-to-end, ANN, hash sampling)
 HEADLINE = [
     "groupby_agg",
     "filter_date",
@@ -31,6 +32,10 @@ HEADLINE = [
     "ecdf",
     "min_max_scale",
     "clean_names",
+    "minhash_lsh_pairs",
+    "dedupe_near",
+    "cosine_topk",
+    "deterministic_sample",
 ]
 
 

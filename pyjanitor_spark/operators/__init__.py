@@ -8,6 +8,7 @@ from pyjanitor_spark.operators.complete import (
 )
 from pyjanitor_spark.operators.dedup import (
     cosine_sim,
+    dedupe_against,
     dedupe_exact,
     dedupe_near,
     embedding_near_dup,

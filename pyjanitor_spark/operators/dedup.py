@@ -40,6 +40,7 @@ __all__ = [
     "cosine_sim",
     "near_dup_clusters",
     "dedupe_near",
+    "dedupe_against",
 ]
 
 
@@ -415,3 +416,59 @@ def dedupe_near(
     clusters = near_dup_clusters(pairs, nodes=None, id_col=id_col, max_iter=max_iter)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     return df.join(losers, id_col, "left_anti")
+
+
+def dedupe_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dedup: drop rows of ``df`` that near-duplicate
+    anything in ``reference`` (e.g. a new crawl batch against the
+    already-kept corpus) — rows of ``df`` are never compared with each
+    other.
+
+    Both sides run the same MinHash band pipeline; a band-key LEFT SEMI
+    join marks collisions, an ANTI join keeps the clean rows.  The only
+    shuffle is on (band, key); the reference side can be precomputed
+    and reused across batches (signatures are deterministic)."""
+
+    def _buckets(frame: DataFrame) -> DataFrame:
+        if k % bands:
+            raise ValueError("k must be divisible by bands")
+        r = k // bands
+        shingled = frame.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+        )
+        sig = shingled.groupBy(id_col).agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__m{i}")
+                for i in range(k)
+            ]
+        )
+        return sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat_ws(
+                                "|", *[F.col(f"__m{b * r + j}") for j in range(r)]
+                            ).alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    hits = _buckets(df).join(
+        _buckets(reference).select("band", "key"), ["band", "key"], "left_semi"
+    ).select(id_col).distinct()
+    return df.join(hits, id_col, "left_anti")

@@ -301,3 +301,23 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
     )
     got = {r[0]: r[1] for r in pj.near_dup_clusters(pairs, id_col="id").collect()}
     assert got == expect
+
+
+def test_dedupe_against_reference(spark):
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of ref
+            (11, "completely different words about spark engines and scale"),
+            (12, "completely different words about spark engines and scale"),  # dup WITHIN batch: must survive
+        ],
+        ["doc_id", "text"],
+    )
+    kept = pj.dedupe_against(new, ref, "doc_id", "text")
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    # 10 collides with the reference; 11/12 only duplicate each other,
+    # and batch-internal dups are NOT this verb's job
+    assert ids == [11, 12]
