@@ -14,16 +14,30 @@ Spark logical plan; Catalyst does the optimization.  Three usage forms:
 from __future__ import annotations
 
 from pyjanitor_spark import functions  # noqa: F401
+from pyjanitor_spark.functions.math import (  # noqa: F401
+    ecdf,
+    exp,
+    log,
+    logit,
+    normal_cdf,
+    probit,
+    sigmoid,
+    softmax,
+    z_score,
+)
 from pyjanitor_spark.operators import *  # noqa: F401,F403
 from pyjanitor_spark.operators import __dict__ as _ops_dict
 from pyjanitor_spark.sources import (  # noqa: F401
     read_bucketed_table,
+    read_commandline,
     read_csvs,
     read_table,
     write_bucketed_table,
     write_csv,
     write_json,
     write_parquet,
+    xlsx_cells,
+    xlsx_table,
 )
 from pyjanitor_spark.utils import (  # noqa: F401
     ORDER_COL,

@@ -76,9 +76,12 @@ from pyjanitor_spark.operators.reshape import (
 )
 from pyjanitor_spark.operators.columns import (
     also,
+    change_index_dtype,
     collapse_levels,
     drop_constant_columns,
     drop_duplicate_columns,
+    explode_index,
+    get_columns,
     get_features_targets,
     limit_column_characters,
     move,
@@ -88,6 +91,8 @@ from pyjanitor_spark.operators.columns import (
     reorder_columns,
     row_to_names,
     select,
+    select_columns,
+    select_rows,
     then,
 )
 from pyjanitor_spark.operators.filters import (
@@ -141,4 +146,5 @@ from pyjanitor_spark.operators.transforms import (
     transform_column,
     transform_columns,
     truncate_datetime_dataframe,
+    unionize_dataframe_categories,
 )

@@ -21,6 +21,9 @@ from pyjanitor_spark.utils.strings import make_unique
 
 __all__ = [
     "select",
+    "select_columns",
+    "select_rows",
+    "get_columns",
     "rename_column",
     "rename_columns",
     "reorder_columns",
@@ -31,6 +34,8 @@ __all__ = [
     "limit_column_characters",
     "row_to_names",
     "collapse_levels",
+    "explode_index",
+    "change_index_dtype",
     "also",
     "then",
     "get_features_targets",
@@ -41,6 +46,34 @@ def select(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
     """Unified column selection (ref ``select.py:332-447``): names, globs,
     regexes, slices, callables, DropLabel."""
     return df.select(*resolve_columns(df, *args, invert=invert))
+
+
+def select_columns(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
+    """Deprecated alias of :func:`select` (ref ``select.py:34-251``)."""
+    return select(df, *args, invert=invert)
+
+
+def select_rows(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
+    """Row selection (ref ``select.py:261-327``).
+
+    Spark rows carry no labels, so selectors are SQL predicate strings or
+    ``Column`` conditions (the reference itself recommends ``.loc`` over
+    this verb; our model makes predicates the only scalable row address).
+    Multiple selectors OR together, matching label-list union semantics.
+    """
+    if not args:
+        return df
+    conds = [F.expr(a) if isinstance(a, str) else a for a in args]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return df.filter(~cond if invert else cond)
+
+
+def get_columns(df: DataFrame, label: Any) -> DataFrame:
+    """Select columns by any selector, usable mid-chain on grouped data in
+    the reference (ref ``select.py:477-497``); here a plain projection."""
+    return df.select(*resolve_columns(df, label))
 
 
 def rename_column(df: DataFrame, old_column_name: str, new_column_name: str) -> DataFrame:
@@ -194,9 +227,113 @@ def row_to_names(
 def collapse_levels(df: DataFrame, sep: str = "_", glue: str | None = None) -> DataFrame:
     """Flatten 'MultiIndex' columns (ref ``collapse_levels.py:11-155``).
 
-    In the flat-name model this is the identity unless columns carry a
-    separator structure; kept for API parity."""
-    return df
+    MultiIndex columns map to ``StructType`` columns in our model
+    (SURVEY.md §1.4), so this flattens every struct column into one
+    output column per field, named ``f"{col}{sep}{field}"`` (or
+    ``glue.format(...)`` with ``{0}``/``{1}`` placeholders).  Non-struct
+    columns pass through — a frame that never went through
+    :func:`explode_index` is returned unchanged, matching the
+    reference's single-level no-op."""
+    from pyspark.sql.types import StructType
+
+    out: list[F.Column] = []
+    changed = False
+    for field in df.schema.fields:
+        if isinstance(field.dataType, StructType):
+            changed = True
+            for sub in field.dataType.fieldNames():
+                name = (
+                    glue.format(field.name, sub)
+                    if glue is not None
+                    else f"{field.name}{sep}{sub}"
+                )
+                out.append(F.col(field.name)[sub].alias(name))
+        else:
+            out.append(F.col(field.name))
+    return df.select(*out) if changed else df
+
+
+def explode_index(
+    df: DataFrame,
+    names_sep: str | None = None,
+    names_pattern: str | None = None,
+    axis: str = "columns",
+    level_names: list | None = None,
+) -> DataFrame:
+    """Split flat column names into 'MultiIndex' columns (ref
+    ``explode_index.py:15-112``).
+
+    MultiIndex columns map to ``StructType`` columns (SURVEY.md §1.4):
+    ``max_speed_mean`` / ``max_speed_median`` with ``names_sep='_'``
+    become one struct column ``max`` with fields ``speed_mean`` and
+    ``speed_median`` (we split on the FIRST separator occurrence — two
+    levels, the Spark-natural nesting depth); columns whose name has no
+    separator pass through unchanged.  ``names_pattern`` uses the first
+    regex group as the struct name and the second as the field name.  :func:`collapse_levels` is the exact inverse.
+    ``level_names`` is accepted for signature parity (struct columns
+    carry no axis-level names).
+    """
+    import re as _re
+
+    if axis != "columns":
+        raise ValueError(
+            "axis='index' requires a row index; Spark rows are unlabelled "
+            "(SURVEY.md §1.4) — only axis='columns' is supported"
+        )
+    if (names_sep is None) == (names_pattern is None):
+        raise ValueError("provide exactly one of names_sep or names_pattern")
+
+    groups: dict[str, list[tuple[str, str]]] = {}
+    passthrough: dict[str, None] = {}
+    order: list[tuple[str, bool]] = []  # (name, is_struct) in first-seen order
+    for c in df.columns:
+        if names_sep is not None:
+            parts = c.split(names_sep, 1)
+            head, rest = (parts[0], parts[1]) if len(parts) == 2 else (None, None)
+        else:
+            m = _re.search(names_pattern, c)
+            if m and len(m.groups()) >= 2 and m.group(1) and m.group(2):
+                head, rest = m.group(1), m.group(2)
+            else:
+                head, rest = None, None
+        if head is None:
+            passthrough[c] = None
+            order.append((c, False))
+        else:
+            if head not in groups:
+                order.append((head, True))
+            groups.setdefault(head, []).append((c, rest))
+
+    if not groups:
+        return df
+    out: list[F.Column] = []
+    for name, is_struct in order:
+        if not is_struct:
+            out.append(F.col(name))
+        else:
+            fields = [F.col(src).alias(fld) for src, fld in groups[name]]
+            out.append(F.struct(*fields).alias(name))
+    return df.select(*out)
+
+
+def change_index_dtype(df: DataFrame, dtype: str, axis: str = "index") -> DataFrame:
+    """Cast the row-order column (ref ``change_index_dtype.py:14-...``).
+
+    The pandas row index maps to our explicit order column
+    (``ORDER_COL``, SURVEY.md §1.4); this casts it.  Raises if the frame
+    has no order column — there is no implicit index to cast on Spark.
+    """
+    from pyjanitor_spark.utils.order import ORDER_COL
+
+    if axis != "index":
+        raise ValueError("only axis='index' exists; column dtypes use change_type")
+    if ORDER_COL not in df.columns:
+        raise ValueError(
+            f"no explicit order column {ORDER_COL!r}; Spark frames have no "
+            "implicit row index (SURVEY.md §1.4) — add one with "
+            "ensure_order_column first"
+        )
+    return df.withColumn(ORDER_COL, F.col(ORDER_COL).cast(dtype))
 
 
 def also(df: DataFrame, func: Callable[[DataFrame], Any], *args: Any, **kwargs: Any) -> DataFrame:

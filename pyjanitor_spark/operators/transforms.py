@@ -35,6 +35,7 @@ __all__ = [
     "factorize_columns",
     "label_encode",
     "encode_categorical",
+    "unionize_dataframe_categories",
     "concatenate_columns",
     "deconcatenate_column",
     "expand_column",
@@ -412,6 +413,24 @@ def encode_categorical(df: DataFrame, column_names: Any = None, **kwargs: Any) -
     ``complete``/``pivot_wider`` expansion are passed to those verbs
     directly.  Identity here, kept for API parity."""
     return df
+
+
+def unionize_dataframe_categories(
+    *dataframes: DataFrame, column_names: Any = None
+) -> list[DataFrame]:
+    """Union categorical dtypes across frames before concatenation (ref
+    ``functions/utils.py:40-137``).
+
+    Spark categoricals are plain strings (SURVEY.md §1.4) — a union of
+    string columns never degrades to a wider dtype, so no category-set
+    reconciliation is needed.  Validates inputs and returns them
+    unchanged; kept so reference pipelines run verbatim."""
+    if not dataframes:
+        raise ValueError("pass at least one DataFrame")
+    for d in dataframes:
+        if not isinstance(d, DataFrame):
+            raise TypeError("inputs must be Spark DataFrames")
+    return list(dataframes)
 
 
 def concatenate_columns(
