@@ -63,6 +63,7 @@ from pyjanitor_spark.operators.text_analysis import (
     quality_score,
     repetition_score,
     token_count,
+    top_ngrams,
     word_shingles,
 )
 from pyjanitor_spark.operators.timeseries import (

@@ -41,6 +41,7 @@ __all__ = [
     "near_dup_clusters",
     "dedupe_near",
     "dedupe_against",
+    "bloom_dedupe_against",
 ]
 
 
@@ -472,3 +473,99 @@ def dedupe_against(
         _buckets(reference).select("band", "key"), ["band", "key"], "left_semi"
     ).select(id_col).distinct()
     return df.join(hits, id_col, "left_anti")
+
+
+def bloom_dedupe_against(
+    df: DataFrame,
+    reference: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Incremental EXACT dedup at corpus scale: drop rows of ``df`` whose
+    ``key_col`` value appears anywhere in ``reference`` (the already-kept
+    corpus), without shuffling the clean majority of ``df``.
+
+    A plain ``left_anti`` join shuffles every row of BOTH sides on the
+    key.  At 100 TB the new batch is mostly clean, so we build a Bloom
+    filter over the reference keys instead (~10 bits/key at 1% fpp —
+    40×+ smaller than the keys themselves) and apply it JVM-side:
+
+    1. reference → h md5-derived bit positions per key → bitmap words
+       via ``groupBy(word).agg(bit_or)`` (map-side combine; the shuffle
+       carries ≤ m/64 rows) → one bounded driver collect (m/8 bytes).
+    2. the bitmap rides into ``df``'s scan as a 1-row broadcast (array
+       of longs); membership = h ``element_at``/bitwiseAND checks — pure
+       codegen'd expressions, no Python in the row path.
+    3. rows failing any bit check are DEFINITELY clean and never
+       shuffle.  With ``exact=True`` (default) the small bloom-positive
+       remainder (true dups + ~fpp false positives) is verified with a
+       real anti join, so the result is exactly the anti-join semantics;
+       ``exact=False`` skips verification and may drop ~fpp clean rows.
+
+    Beyond ~1e9 reference keys the single bitmap outgrows one broadcast —
+    shard it by ``pmod(hash(key), shards)`` and apply per-shard (same
+    construction; see SCALE.md).
+
+    No reference analog: pyjanitor's ``drop_duplicates`` world is
+    single-frame; this is the training-pipeline "new crawl vs corpus"
+    primitive (cf. ``dedupe_against`` for the NEAR-dup variant).
+    """
+    import math
+    from functools import reduce as _reduce
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    n = expected_items if expected_items is not None else max(reference.count(), 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    h = max(1, round(m / n * math.log(2)))
+    nwords = (m + 63) // 64
+
+    def _positions(key: Column) -> list[Column]:
+        # 15 hex nibbles = 60 bits — fits a signed long exactly
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(h)
+        ]
+
+    words = (
+        reference.select(F.explode(F.array(*_positions(F.col(key_col)))).alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.shiftleft(F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__word"))
+    )
+    bitmap = [0] * nwords
+    for row in words.collect():  # bounded: ≤ m/64 rows (documented action)
+        bitmap[row["__w"]] = row["__word"]
+
+    spark = df.sparkSession
+    bm_df = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
+    probed = df.join(F.broadcast(bm_df))
+    checks = [
+        F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1).bitwiseAND(
+            F.shiftleft(F.lit(1).cast("long"), (p % 64).cast("int"))
+        )
+        != 0
+        for p in _positions(F.col(key_col))
+    ]
+    is_candidate = _reduce(lambda a, b: a & b, checks)
+    clean = probed.filter(~is_candidate).drop("__bloom")
+    if not exact:
+        return clean
+    survivors = (
+        probed.filter(is_candidate)
+        .drop("__bloom")
+        .join(reference.select(key_col), key_col, "left_anti")
+    )
+    return clean.unionByName(survivors)

@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "repetition_score",
     "pii_redact",
+    "top_ngrams",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
@@ -40,22 +41,21 @@ def tokens(col: Column, mode: str = "whitespace") -> Column:
     raise ValueError(f"bad mode {mode!r}")
 
 
-def word_shingles(col: Column, n: int = 3, sep: str = " ") -> Column:
-    """Word n-gram shingle array (distinct), the MinHash/Jaccard unit.
+def word_shingles(col: Column, n: int = 3, sep: str = " ", distinct: bool = True) -> Column:
+    """Word n-gram shingle array, the MinHash/Jaccard unit (``distinct``)
+    or the frequency-count unit (``distinct=False``, every occurrence).
 
     Built with ``transform`` over token positions — one pass, JVM-side."""
     toks = tokens(col)
     count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(sep, *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
     # guard: sequence(1, 0) would DESCEND to [1, 0] and index toks[0]
-    return F.when(
-        count >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(sep, *[F.element_at(toks, i + j) for j in range(n)]),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def token_count(df: DataFrame, column_name: str, dest: str = "n_tokens", mode: str = "whitespace") -> DataFrame:
@@ -220,3 +220,31 @@ def pii_redact(
                 F.regexp_count(F.col(column_name), F.lit(PII_PATTERNS[kind])),
             )
     return df
+
+
+def top_ngrams(
+    df: DataFrame,
+    column_name: str,
+    n: int = 2,
+    k: int = 20,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-level top-``k`` most frequent word ``n``-grams (every
+    occurrence counts, unlike the distinct shingles MinHash uses).
+
+    Shape: explode → ``groupBy(ngram).count()`` — partial (map-side)
+    aggregation means the shuffle carries one row per distinct n-gram per
+    partition, not one per occurrence — then ``orderBy().limit(k)``,
+    which Spark executes as ``TakeOrderedAndProject`` (per-partition
+    top-k, merge of k-row heaps on the driver; no global sort at any
+    scale).  Ties break on the n-gram string so results are
+    deterministic."""
+    grams = df.select(
+        F.explode(word_shingles(F.col(column_name), n, sep, distinct=False)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
