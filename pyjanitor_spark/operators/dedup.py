@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyjanitor_spark.operators.text_analysis import word_shingles
+from pyjanitor_spark.utils.expr import let
 
 __all__ = [
     "dedupe_exact",
@@ -93,15 +94,22 @@ def minhash_signature(
     Permutation i is the md5 keyed by ``'{i}:'`` prefix; the signature
     element is the lexicographic min digest over the shingle set — a
     valid uniform permutation proxy that any engine reproduces exactly.
-    k expressions over one shingle array: single scan, no shuffle."""
-    sh = word_shingles(F.col(column_name), shingle_n)
+    k expressions over one shingle array: single scan, no shuffle.  The
+    shingle array is ``let``-bound: HOFs are CodegenFallback (no
+    subexpression elimination), so the k transforms would otherwise each
+    re-run the whole shingle pipeline."""
 
     # NB: the lambda must take exactly one parameter — PySpark passes the
     # array index to any second parameter (even a defaulted one)
     def perm(prefix: str):
         return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
-    sig = F.array(*[F.array_min(F.transform(sh, perm(f"{i}:"))) for i in range(k)])
+    sig = let(
+        word_shingles(F.col(column_name), shingle_n),
+        lambda sh: F.array(
+            *[F.array_min(F.transform(sh, perm(f"{i}:"))) for i in range(k)]
+        ),
+    )
     return df.withColumn(dest, sig)
 
 

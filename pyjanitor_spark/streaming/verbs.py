@@ -79,6 +79,18 @@ STREAMING_SAFE_VERBS = [
 ]
 
 
+def _with_watermark(df: DataFrame, ts_column: str, delay: str) -> DataFrame:
+    """``withWatermark`` with an NTZ guard: Spark requires the event-time
+    column to be TIMESTAMP (LTZ) and rejects TIMESTAMP_NTZ with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.  Parquet round-trips can surface
+    NTZ (Spark 4.x infers it for timestamps written without a zone), so
+    cast before watermarking — values are preserved under the session
+    timezone."""
+    if dict(df.dtypes).get(ts_column) == "timestamp_ntz":
+        df = df.withColumn(ts_column, F.col(ts_column).cast("timestamp"))
+    return df.withWatermark(ts_column, delay)
+
+
 def windowed_agg(
     df: DataFrame,
     ts_column: str,
@@ -100,7 +112,7 @@ def windowed_agg(
     """
     out = df
     if watermark is not None and out.isStreaming:
-        out = out.withWatermark(ts_column, watermark)
+        out = _with_watermark(out, ts_column, watermark)
     win = F.window(F.col(ts_column), window_duration, slide_duration or window_duration)
     keys = [win.alias("window")] + [F.col(c) for c in (by or [])]
     exprs = [
@@ -135,7 +147,7 @@ def streaming_dedupe(
             raise ValueError(
                 "streaming_dedupe on a stream needs watermark= and ts_column="
             )
-        out = out.withWatermark(ts_column, watermark)
+        out = _with_watermark(out, ts_column, watermark)
         return out.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
     return out.dropDuplicates(["__fp"]).drop("__fp")
 
@@ -153,7 +165,7 @@ def sessionize(
     watermark (state cleanup); batch works directly."""
     out = df
     if watermark is not None and out.isStreaming:
-        out = out.withWatermark(ts_column, watermark)
+        out = _with_watermark(out, ts_column, watermark)
     win = F.session_window(F.col(ts_column), gap)
     exprs = [
         getattr(F, fn)(F.col(col)).alias(name)
@@ -214,7 +226,7 @@ def running_counter(
         )
 
     return (
-        df.withWatermark(ts_column, watermark)
+        _with_watermark(df, ts_column, watermark)
         .groupBy(*by)
         .applyInPandasWithState(
             update,
