@@ -289,8 +289,11 @@ def q_softmax(spark, sf):
 
 
 def q_ecdf(spark, sf):
+    # scalable form: parallel sort + offset ranks, not a 1-task cume_dist window
     li = _t(spark, sf, "lineitem")
-    return li.select(*KEYS, "l_quantity", pjm.ecdf(F.col("l_quantity")).alias("qty_ecdf"))
+    return pjm.apply_math(li, "l_quantity", pjm.ecdf, dest="qty_ecdf").select(
+        *KEYS, "l_quantity", "qty_ecdf"
+    )
 
 
 def q_process_text(spark, sf):

@@ -155,4 +155,23 @@ def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> 
             .withColumn(dest, F.exp(col - F.col("__mx")) / F.col("__tot"))
             .drop("__mx", "__tot")
         )
+    if fn is ecdf:
+        # scalable exact cume_dist: range-partitioned total sort (orderBy —
+        # a parallel sort, unlike a global window), positional rank via
+        # per-partition row_number + broadcast partition offsets, and tie
+        # resolution through a per-VALUE window (keyed shuffle).  No
+        # single-task stage anywhere.
+        from pyjanitor_spark.utils.order import positional_index
+
+        total = df.agg(F.count(F.lit(1)).alias("__n"))
+        ranked = positional_index(df.orderBy(col.asc()), "__rank")
+        w_val = Window.partitionBy(col)
+        return (
+            ranked.crossJoin(F.broadcast(total))
+            .withColumn(
+                dest,
+                F.max(F.col("__rank") + 1).over(w_val).cast("double") / F.col("__n"),
+            )
+            .drop("__rank", "__n")
+        )
     return df.withColumn(dest, fn(col))

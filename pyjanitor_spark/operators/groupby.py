@@ -34,7 +34,15 @@ _AGGS = {
     "median": lambda c: F.percentile_approx(c, 0.5),
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
-    "nunique": F.countDistinct,
+    "nunique": F.countDistinct,  # grouped path only; see _WINDOWED_AGGS
+}
+
+# aggregates needing a custom windowed form: distinct aggregates are
+# rejected inside windows, so nunique becomes size(collect_set) — which
+# also ignores nulls, matching pandas nunique.  (.over must attach to the
+# aggregate itself, size() wraps outside the window.)
+_WINDOWED_AGGS = {
+    "nunique": lambda c, w: F.size(F.collect_set(c).over(w)),
 }
 
 
@@ -53,11 +61,13 @@ def groupby_agg(
     form their own group natively (== dropna=False); ``dropna=True``
     nulls out the result for null-keyed rows, matching pandas."""
     keys = resolve_columns(df, by)
-    fn = _AGGS.get(agg)
-    if fn is None:
+    if agg not in _AGGS:
         raise KeyError(f"unsupported agg {agg!r}")
     w = Window.partitionBy(*keys)
-    expr = fn(F.col(agg_column_name)).over(w)
+    if agg in _WINDOWED_AGGS:
+        expr = _WINDOWED_AGGS[agg](F.col(agg_column_name), w)
+    else:
+        expr = _AGGS[agg](F.col(agg_column_name)).over(w)
     if dropna:
         null_key = None
         for k in keys:

@@ -136,16 +136,33 @@ def conditional_join(
         joined = left.join(rgt, on=pred, how="full" if how == "outer" else how)
 
     if keep != "all":
-        order_cols = [F.col(rname(rc)) for _, rc, _ in conditions]
+        # order by the right condition columns, then by every remaining
+        # right data column (fixed name order) — a content-based
+        # tie-break, so right rows tying on the condition values cannot
+        # flip across partition layouts or AQE reruns.  Rows still tied
+        # after that are identical, so either pick is the same output.
+        cond_rnames = [rname(rc) for _, rc, _ in conditions]
+        types = dict(joined.dtypes)
+        tie = [
+            c
+            for c in sorted(set(rname(c) for c in right.columns) - set(cond_rnames))
+            if not types.get(c, "").startswith("map")  # maps aren't orderable
+        ]
+        order_cols = [F.col(c) for c in cond_rnames + tie]
         order = (
             [c.asc_nulls_last() for c in order_cols]
             if keep == "first"
             else [c.desc_nulls_last() for c in order_cols]
         )
         w = Window.partitionBy(_L_ID).orderBy(*order)
+        keep_row = F.col("__cj_rn") == 1
+        if how in ("right", "outer", "full"):
+            # unmatched right rows share the NULL _L_ID partition; keep
+            # them all instead of collapsing them to one arbitrary row
+            keep_row = keep_row | F.col(_L_ID).isNull()
         joined = (
             joined.withColumn("__cj_rn", F.row_number().over(w))
-            .filter(F.col("__cj_rn") == 1)
+            .filter(keep_row)
             .drop("__cj_rn")
         )
 
@@ -256,11 +273,13 @@ def _patch_outer(left: DataFrame, rgt: DataFrame, inner: DataFrame, how: str) ->
 def get_join_indices(
     df: DataFrame, right: DataFrame, conditions: list[tuple[str, str, str]]
 ) -> DataFrame:
-    """Matching (left_index, right_index) row-id pairs (ref
-    ``conditional_join.py:559-560``).  Row ids are generated
-    ``monotonically_increasing_id`` values — stable within this plan."""
-    left = df.withColumn("left_index", F.monotonically_increasing_id())
-    rgt = right.withColumn("right_index", F.monotonically_increasing_id())
+    """Matching (left_index, right_index) POSITIONAL row-index pairs (ref
+    ``conditional_join.py:559-560`` returns numpy positional indices).
+    Indices are 0-based positions in each frame's current row order."""
+    from pyjanitor_spark.utils.order import positional_index
+
+    left = positional_index(df, "left_index")
+    rgt = positional_index(right, "right_index")
     pred = None
     for lc, rc, op in conditions:
         c = _build_condition(left[lc], rgt[rc], op)

@@ -29,7 +29,31 @@ from pyspark.sql import functions as F
 
 ORDER_COL = "_row_order"
 
-__all__ = ["ORDER_COL", "ensure_order_column"]
+__all__ = ["ORDER_COL", "ensure_order_column", "positional_index"]
+
+
+def positional_index(df: DataFrame, name: str) -> DataFrame:
+    """0-based positional row index in the frame's current order,
+    computed scalably: per-partition ``row_number`` plus a broadcast of
+    cumulative partition offsets (one tiny agg of #partitions rows) —
+    no global single-task window.  After an ``orderBy`` (range-partitioned
+    total sort) this yields the global sort rank."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
+    )
+    sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_in = Window.partitionBy("__pid").orderBy("__mid")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(name, F.col("__off") + F.row_number().over(w_in) - 1)
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def ensure_order_column(

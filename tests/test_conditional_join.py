@@ -148,3 +148,67 @@ def test_collision_prefix(spark):
     b = spark.createDataFrame([(1, 20)], ["k", "v"])
     out = pj.conditional_join(a, b, ("k", "k", "=="))
     assert set(out.columns) == {"k", "v", "right_k", "right_v"}
+
+
+def test_keep_first_tie_deterministic_across_layouts(spark):
+    # duplicate right keys with distinct payloads: keep='first' must pick
+    # the same row regardless of partition layout
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z"), (2, "y"), (2, "x"), (3, "m")],
+        ["k", "payload"],
+    )
+    outs = []
+    for nparts in (1, 7):
+        out = pj.conditional_join(
+            left.repartition(nparts),
+            right.repartition(nparts),
+            ("k", "k", "=="),
+            keep="first",
+        )
+        outs.append(sorted((r["k"], r["payload"]) for r in out.collect()))
+    assert outs[0] == outs[1]
+    # content-based tie-break: equal condition values order by payload
+    assert outs[0] == [(1, "a"), (2, "x"), (3, "m")]
+
+
+def test_keep_last_tie_deterministic(spark):
+    left = spark.createDataFrame([(1,)], ["k"])
+    right = spark.createDataFrame([(1, "b"), (1, "a"), (1, "c")], ["k", "payload"])
+    out = pj.conditional_join(left, right, ("k", "k", "=="), keep="last")
+    assert [(r["k"], r["payload"]) for r in out.collect()] == [(1, "c")]
+
+
+@pytest.mark.parametrize("how", ["right", "outer"])
+def test_keep_preserves_unmatched_right_rows(spark, how):
+    # rows of right with no left match must all survive keep='first'
+    left = spark.createDataFrame([(1,), (2,)], ["k"])
+    right = spark.createDataFrame(
+        [(1, "m1"), (1, "m2"), (5, "u1"), (6, "u2"), (7, "u3")], ["k", "payload"]
+    )
+    out = pj.conditional_join(
+        left, right, ("k", "k", "=="), how=how, keep="first"
+    ).collect()
+    unmatched = sorted(r["payload"] for r in out if r["k"] is None)
+    assert unmatched == ["u1", "u2", "u3"]
+    matched = [r["payload"] for r in out if r["k"] == 1]
+    assert matched == ["m1"]
+
+
+def test_get_join_indices_positional(spark):
+    left = spark.createDataFrame([(10,), (20,), (30,)], ["a"]).coalesce(1)
+    right = spark.createDataFrame([(15,), (25,)], ["b"]).coalesce(1)
+    out = pj.get_join_indices(left, right, [("a", "b", ">")])
+    got = sorted((r["left_index"], r["right_index"]) for r in out.collect())
+    # a=20 > b=15 ; a=30 > b=15,25  -> positions (1,0),(2,0),(2,1)
+    assert got == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_get_join_indices_positional_multipartition(spark):
+    left = spark.createDataFrame([(i,) for i in range(50)], ["a"]).repartition(5)
+    right = spark.createDataFrame([(49,)], ["b"])
+    out = pj.get_join_indices(left, right, [("a", "b", "==")])
+    rows = out.collect()
+    assert len(rows) == 1
+    # the matching left index must be a valid position in [0, 50)
+    assert 0 <= rows[0]["left_index"] < 50 and rows[0]["right_index"] == 0

@@ -321,3 +321,33 @@ def test_dedupe_against_reference(spark):
     # 10 collides with the reference; 11/12 only duplicate each other,
     # and batch-internal dups are NOT this verb's job
     assert ids == [11, 12]
+
+
+def test_groupby_agg_nunique(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", None)], "k string, v int"
+    )
+    out = pj.groupby_agg(df, "k", "n", "v", "nunique")
+    got = {(r["k"], r["v"]): r["n"] for r in out.collect()}
+    # nulls are ignored by nunique (pandas semantics)
+    assert got[("a", 1)] == 2 and got[("b", 5)] == 1 and got[("b", None)] == 1
+
+
+def test_ecdf_scalable_matches_window_form(spark):
+    from pyspark.sql import functions as F
+    from pyjanitor_spark.functions import math as pjm
+
+    df = spark.createDataFrame([(float(v),) for v in [3, 1, 4, 1, 5, 9, 2, 6]], "x double")
+    a = sorted(
+        (r["x"], r["e"])
+        for r in pjm.apply_math(df.repartition(5), "x", pjm.ecdf, dest="e").collect()
+    )
+    b = sorted(
+        (r["x"], r["e"])
+        for r in df.withColumn("e", pjm.ecdf(F.col("x"))).collect()
+    )
+    assert a == b
+    # exact tie semantics: both 1.0s get cume fraction 2/8
+    assert dict(a)[1.0] == 0.25
