@@ -158,12 +158,19 @@ def case_when(
     df: DataFrame, *args: Any, column_name: str, default: Any = None
 ) -> DataFrame:
     """SQL CASE WHEN over (condition, value)* pairs (ref
-    ``case_when.py:23-133``).  Conditions may be Columns or SQL strings
-    (the reference's ``df.eval`` strings map to ``F.expr``)."""
+    ``case_when.py:23-133``).  Conditions may be Columns, SQL strings
+    (the reference's ``df.eval`` strings map to ``F.expr``), or callables
+    taking the DataFrame and returning a boolean Column (ref
+    ``case_when.py:112-119`` applies callables to the frame); values may
+    likewise be callables returning a Column."""
     if len(args) < 2 or len(args) % 2 != 0:
         raise ValueError("provide (condition, value) pairs")
     expr = None
     for cond, value in zip(args[::2], args[1::2]):
+        if callable(cond) and not isinstance(cond, Column):
+            cond = cond(df)
+        if callable(value) and not isinstance(value, Column):
+            value = value(df)
         c = F.expr(cond) if isinstance(cond, str) else cond
         v = value if isinstance(value, Column) else F.lit(value)
         expr = F.when(c, v) if expr is None else expr.when(c, v)

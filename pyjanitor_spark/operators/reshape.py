@@ -35,15 +35,15 @@ def _build_spec(
     names_to: list[str],
     names_sep: str | None,
     names_pattern: str | list[str] | None,
-    values_to: str,
+    values_to: str | list[str],
 ) -> list[dict]:
     """Spec rows: {'.name': old_col, '.value': target_value_col,
     <label_col>: label_value, ...} (ref spec builders
     ``pivot.py:1044-1306``, re-derived from documented semantics)."""
     spec: list[dict] = []
     if isinstance(names_pattern, (list, tuple)):
-        # positional pairing: columns matching pattern[i] belong to value
-        # group names_to[i]; k-th match of each group pairs into row k
+        # positional pairing: columns matching pattern[i] belong to group
+        # i; the k-th match of each group pairs into output row k
         groups: list[list[str]] = [[] for _ in names_pattern]
         for c in column_names:
             for i, pat in enumerate(names_pattern):
@@ -51,6 +51,25 @@ def _build_spec(
                     groups[i].append(c)
                     break
         width = max(len(g) for g in groups)
+        if isinstance(values_to, (list, tuple)):
+            # multiple values_to (ref pivot.py:258-313, incl. the nested
+            # dict form): names_to[i] becomes a LABEL column carrying the
+            # matched original column name; values_to[i] carries values
+            if len(values_to) != len(names_to):
+                raise ValueError("values_to list must align with names_to")
+            for k in range(width):
+                for i, (lname, vname) in enumerate(zip(names_to, values_to)):
+                    if k < len(groups[i]):
+                        spec.append(
+                            {
+                                ".name": groups[i][k],
+                                ".value": vname,
+                                lname: groups[i][k],
+                                "__row": k,
+                            }
+                        )
+            return spec
+        # single values_to: names_to[i] IS the value-column name
         for k in range(width):
             for i, vname in enumerate(names_to):
                 if k < len(groups[i]):
@@ -102,7 +121,14 @@ def _execute_spec(
     dropna: bool,
     names_transform: dict[str, str] | None,
 ) -> DataFrame:
-    label_cols = [k for k in spec[0] if k not in (".name", ".value", "__row")]
+    # label columns = first-seen-order union over ALL spec rows (rows of
+    # a multi-values_to spec each carry only their own group's label)
+    label_cols: list[str] = []
+    for r in spec:
+        for k in r:
+            if k not in (".name", ".value", "__row") and k not in label_cols:
+                label_cols.append(k)
+
     # group spec rows: one stack row per distinct label tuple (or __row id)
     def gkey(r):
         return r.get("__row", tuple(r.get(lc) for lc in label_cols))
@@ -112,8 +138,11 @@ def _execute_spec(
     for r in spec:
         k = gkey(r)
         if k not in groups:
-            groups[k] = {"labels": {lc: r.get(lc) for lc in label_cols}, "vals": {}}
+            groups[k] = {"labels": {lc: None for lc in label_cols}, "vals": {}}
             order.append(k)
+        for lc in label_cols:
+            if r.get(lc) is not None:
+                groups[k]["labels"][lc] = r[lc]
         groups[k]["vals"][r[".value"]] = r[".name"]
     value_names: list[str] = []
     for r in spec:
@@ -134,7 +163,12 @@ def _execute_spec(
         for v in value_names:
             src = g["vals"].get(v)
             if src is None:
-                parts.append(f"CAST(NULL AS {casts[v] or dict(df.dtypes)[spec[0]['.name']]})")
+                # NULL slot typed as the VALUE GROUP's own dtype (ragged
+                # multi-.value specs have per-group types, not row 0's)
+                group_type = casts[v] or next(
+                    dict(df.dtypes)[r[".name"]] for r in spec if r[".value"] == v
+                )
+                parts.append(f"CAST(NULL AS {group_type})")
             elif casts[v]:
                 parts.append(f"CAST(`{src}` AS {casts[v]})")
             else:
@@ -160,17 +194,34 @@ def pivot_longer(
     df: DataFrame,
     index: Any | None = None,
     column_names: Any | None = None,
-    names_to: str | list[str] = "variable",
-    values_to: str = "value",
+    names_to: str | list[str] | None = "variable",
+    values_to: str | list[str] = "value",
     names_sep: str | None = None,
-    names_pattern: str | list[str] | None = None,
+    names_pattern: str | list[str] | dict | None = None,
     names_transform: dict[str, str] | None = None,
     dropna: bool = False,
+    sort_by_appearance: bool = False,
 ) -> DataFrame:
     """tidyr-style unpivot (ref ``pivot.py:26-410``): ``names_to`` may
     contain ``.value`` placeholders; ``names_sep`` or ``names_pattern``
-    (single regex with groups, or list of regexes for positional pairing)
-    split old column names into the new label values."""
+    split old column names into the new label values.
+
+    ``names_pattern`` forms (ref ``pivot.py:225-313``):
+
+    * single regex (with groups) — labels from the groups;
+    * list of regexes — positional pairing, ``names_to[i]`` names group
+      i's VALUE column (or, with a list ``values_to``, names_to[i] is a
+      LABEL column carrying the matched column name and ``values_to[i]``
+      the value column);
+    * flat dict ``{value_col: regex}`` — shorthand for the list form with
+      ``names_to`` taken from the keys;
+    * nested dict ``{label_col: {value_col: regex}}`` — outer keys →
+      names_to, inner keys → values_to.
+
+    ``sort_by_appearance``: Spark's ``stack`` already emits each input
+    row's unpivoted entries consecutively (appearance order) and frames
+    carry no global order; when a ``_row_order`` column is present the
+    result is additionally sorted by it."""
     if index is not None:
         idx = resolve_columns(df, index)
         cols = (
@@ -183,11 +234,32 @@ def pivot_longer(
         idx = [c for c in df.columns if c not in set(cols)]
     else:
         raise ValueError("provide index and/or column_names")
-    nt = [names_to] if isinstance(names_to, str) else list(names_to)
+    if isinstance(names_pattern, dict):
+        vals = list(names_pattern.values())
+        if vals and all(isinstance(v, dict) for v in vals):
+            # nested dict: outer keys -> names_to, inner -> values_to
+            nt = list(names_pattern.keys())
+            values_to = [next(iter(v.keys())) for v in vals]
+            names_pattern = [next(iter(v.values())) for v in vals]
+        else:
+            # flat dict: keys name the value columns directly
+            nt = list(names_pattern.keys())
+            names_pattern = vals
+    else:
+        nt = [names_to] if isinstance(names_to, str) else list(names_to)
+    if isinstance(values_to, (list, tuple)) and not isinstance(
+        names_pattern, (list, tuple)
+    ):
+        raise TypeError(
+            "values_to can be a list/tuple only if names_pattern is a list/tuple"
+        )
     spec = _build_spec(cols, nt, names_sep, names_pattern, values_to)
     if not spec:
         raise ValueError("no columns matched the pivot_longer spec")
-    return _execute_spec(df, spec, idx, dropna, names_transform)
+    out = _execute_spec(df, spec, idx, dropna, names_transform)
+    if sort_by_appearance and "_row_order" in out.columns:
+        out = out.orderBy("_row_order")
+    return out
 
 
 def pivot_longer_spec(
@@ -213,6 +285,20 @@ def pivot_longer_spec(
 
 # ---------------------------------------------------------------- wider
 
+def _levels(df: DataFrame, col: str, explicit) -> list[str]:
+    """Level list for one expand column: explicit categories if given
+    (the repo's category model passes lists directly — see
+    ``encode_categorical``), else observed distincts (pandas levels of a
+    non-categorical).  One bounded collect per column."""
+    if isinstance(explicit, dict) and col in explicit:
+        return [str(v) for v in explicit[col]]
+    return sorted(
+        r[0]
+        for r in df.select(F.col(col).cast("string")).distinct().collect()
+        if r[0] is not None
+    )
+
+
 def pivot_wider(
     df: DataFrame,
     index: Any,
@@ -220,7 +306,8 @@ def pivot_wider(
     values_from: Any,
     names_sep: str = "_",
     names_glue: str | None = None,
-    names_expand: bool = False,
+    names_expand: bool | dict = False,
+    index_expand: bool | dict = False,
     fill_value: Any | None = None,
 ) -> DataFrame:
     """long -> wide (ref ``pivot.py:1865-2201``): groupBy(index)
@@ -228,7 +315,16 @@ def pivot_wider(
 
     (index, names_from) combinations are unique in the reference's
     contract, so ``first()`` is exact.  One bounded distinct action
-    learns the label list so the pivot is planned single-pass."""
+    learns the label list so the pivot is planned single-pass.
+
+    ``names_expand`` (ref ``pivot.py:2116-2147``): produce a column for
+    EVERY combination of the names_from levels — the cartesian product of
+    per-column level lists — not just observed combinations; absent
+    combinations come out all-NULL (or ``fill_value``).  ``index_expand``
+    is the row-side analog: one output row per combination of index
+    levels.  Levels are the observed distincts, or pass a dict
+    ``{column: [categories]}`` to supply explicit category lists (the
+    Spark stand-in for the reference's CategoricalDtype categories)."""
     idx = resolve_columns(df, index)
     names = resolve_columns(df, names_from)
     values = resolve_columns(df, values_from)
@@ -237,7 +333,15 @@ def pivot_wider(
     else:
         name_col = F.concat_ws(names_sep, *[F.col(c).cast("string") for c in names])
     tagged = df.withColumn("__pname", name_col)
-    labels = [r[0] for r in tagged.select("__pname").distinct().orderBy("__pname").collect()]
+    if names_expand:
+        from itertools import product
+
+        per_col = [_levels(df, c, names_expand) for c in names]
+        labels = [names_sep.join(combo) for combo in product(*per_col)]
+    else:
+        labels = [
+            r[0] for r in tagged.select("__pname").distinct().orderBy("__pname").collect()
+        ]
     if len(values) == 1:
         agg = [F.first(F.col(values[0]), ignorenulls=False).alias("__v")]
     else:
@@ -268,6 +372,22 @@ def pivot_wider(
                     renames[c] = new
                     break
     out = out.withColumnsRenamed(renames)
+    if index_expand:
+        # row-side expansion: cross join of per-column index levels (tiny
+        # frames, broadcast), left-joined to the pivot result — absent
+        # combinations appear as all-NULL rows
+        types = dict(df.dtypes)
+        grid: DataFrame | None = None
+        for c in idx:
+            if isinstance(index_expand, dict) and c in index_expand:
+                spark = df.sparkSession
+                lv = spark.createDataFrame(
+                    [(v,) for v in index_expand[c]], f"`{c}` string"
+                ).select(F.col(c).cast(types[c]))
+            else:
+                lv = df.select(c).distinct()
+            grid = lv if grid is None else grid.crossJoin(lv)
+        out = grid.join(out, idx, "left")
     if fill_value is not None:
         out = out.na.fill(fill_value, subset=[c for c in out.columns if c not in idx])
     return out

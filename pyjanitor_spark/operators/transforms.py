@@ -115,6 +115,60 @@ def _pt_replace(col, pat, repl, regex=True, **_):
     return F.regexp_replace(col, pat if regex else F.lit(pat), repl)
 
 
+def _pt_translate(col, table):
+    """``str.translate`` with a real ``str.maketrans`` table: keys are
+    ordinals (or 1-char strings), values are ordinals, strings, or None
+    (deletion).  1:1 mappings and deletions compile to ``F.translate``
+    (chars in ``matching`` beyond the end of ``replace`` are deleted);
+    multi-char replacements need the pandas fallback."""
+    src: list[str] = []
+    dst: list[str] = []
+    multi = False
+    for k, v in table.items():
+        ch = chr(k) if isinstance(k, int) else str(k)
+        if v is None:
+            rep = ""
+        elif isinstance(v, int):
+            rep = chr(v)
+        else:
+            rep = str(v)
+        if len(rep) > 1:
+            multi = True
+        src.append(ch)
+        dst.append(rep)
+    if not multi:
+        # deletions must sort last so every kept char lines up positionally
+        pairs = sorted(zip(src, dst), key=lambda p: p[1] == "")
+        return F.translate(
+            col, "".join(p[0] for p in pairs), "".join(p[1] for p in pairs)
+        )
+    return _str_fallback("translate", table=table)(col)
+
+
+def _str_fallback(string_function: str, return_type: str = "string", **kwargs):
+    """Arrow-batched pandas_udf over the real ``pd.Series.str`` method —
+    the reflection fallback for methods with no Spark builtin (ref
+    ``process_text.py:98-106`` exposes any method by name).  Slow path by
+    design; the dispatch table above covers the hot ones."""
+
+    def apply(col: Column) -> Column:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        if not hasattr(pd.Series([], dtype="object").str, string_function):
+            raise KeyError(
+                f"string_function {string_function!r} is not a pandas .str method"
+            )
+
+        @pandas_udf(return_type)
+        def _udf(s):
+            return getattr(s.str, string_function)(**kwargs)
+
+        return _udf(col)
+
+    return apply
+
+
 _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "lower": lambda col: F.lower(col),
     "upper": lambda col: F.upper(col),
@@ -138,10 +192,8 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "extract": lambda col, pat, group=1, **kw: F.regexp_extract(col, pat, group),
     "find": lambda col, sub: F.instr(col, sub) - 1,
     "repeat": lambda col, repeats: F.repeat(col, repeats),
-    "wrap": lambda col, width, **kw: col,  # no-op approximation
     "removeprefix": lambda col, prefix: F.when(col.startswith(prefix), col.substr(F.lit(len(prefix) + 1), F.length(col))).otherwise(col),
     "removesuffix": lambda col, suffix: F.when(col.endswith(suffix), col.substr(F.lit(1), F.length(col) - len(suffix))).otherwise(col),
-    "swapcase": None,  # falls back to udf
     "isdigit": lambda col: col.rlike(r"^[0-9]+$"),
     "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
     "isalnum": lambda col: col.rlike(r"^[A-Za-z0-9]+$"),
@@ -149,22 +201,30 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "isupper": lambda col: (col == F.upper(col)) & col.rlike("[A-Za-z]"),
     "islower": lambda col: (col == F.lower(col)) & col.rlike("[A-Za-z]"),
     "cat": lambda col, others=None, sep="": F.concat_ws(sep, col, *(others or [])),
-    "translate": lambda col, table: F.translate(col, "".join(chr(k) for k in table), "".join(table.values())),
+    "translate": _pt_translate,
 }
 
 
 def process_text(
-    df: DataFrame, column_name: str, string_function: str, **kwargs: Any
+    df: DataFrame,
+    column_name: str,
+    string_function: str,
+    return_type: str = "string",
+    **kwargs: Any,
 ) -> DataFrame:
-    """Apply a pandas ``.str`` method by name, compiled to Spark builtins
-    (ref ``process_text.py:25-115``).  Unmapped names raise KeyError —
-    use ``transform_column`` with a callable for those."""
+    """Apply a pandas ``.str`` method by name (ref
+    ``process_text.py:25-115`` exposes any method via reflection).
+
+    Methods in the dispatch table compile to Spark builtins (codegen'd
+    expressions — the hot path); any other genuine ``.str`` method (e.g.
+    ``swapcase``, ``wrap``, ``casefold``, ``normalize``) runs through an
+    Arrow-batched pandas_udf on the real pandas implementation.
+    ``return_type`` sets the fallback's Spark result type (default
+    string — pass e.g. ``'int'`` for ``count``)."""
     fn = _STR_DISPATCH.get(string_function)
     if fn is None:
-        raise KeyError(
-            f"string_function {string_function!r} has no Spark builtin mapping; "
-            "use transform_column(elementwise=True)"
-        )
+        fn = _str_fallback(string_function, return_type=return_type, **kwargs)
+        return df.withColumn(column_name, fn(F.col(column_name)))
     return df.withColumn(column_name, fn(F.col(column_name), **kwargs))
 
 

@@ -243,3 +243,83 @@ def test_fill_direction_all_modes(spark):
         out = pj.fill_direction(df, {"v": direction}, order_by="ord")
         got = {r["ord"]: r["v"] for r in out.collect()}
         assert got == expected, direction
+
+
+def test_pivot_longer_flat_dict_pattern(spark):
+    df = spark.createDataFrame(
+        [(514, 545, "Red Sox", 2007, 2008), (573, 526, "Yankees", 2007, 2008)],
+        "hr1 int, hr2 int, team string, year1 int, year2 int",
+    )
+    out = pj.pivot_longer(df, index="team", names_pattern={"year": "year", "hr": "hr"})
+    rows = sorted((r["team"], r["year"], r["hr"]) for r in out.collect())
+    assert rows == [
+        ("Red Sox", 2007, 514), ("Red Sox", 2008, 545),
+        ("Yankees", 2007, 573), ("Yankees", 2008, 526),
+    ]
+
+
+def test_pivot_longer_multi_values_to_and_nested_dict(spark):
+    df = spark.createDataFrame(
+        [("Houston", 4, 10, 40, 16, 20), ("Hoover", 90, 14, 43, 34, 18)],
+        "City string, Mango int, Orange int, Watermelon int, Gin int, Vodka int",
+    )
+    expected_cols = ["City", "Fruit", "Drink", "Pounds", "Ounces"]
+    a = pj.pivot_longer(
+        df, index=["City"], names_to=("Fruit", "Drink"),
+        values_to=("Pounds", "Ounces"), names_pattern=["M|O|W", "G|V"],
+    )
+    b = pj.pivot_longer(
+        df, index=["City"],
+        names_pattern={"Fruit": {"Pounds": "M|O|W"}, "Drink": {"Ounces": "G|V"}},
+    )
+    assert a.columns == expected_cols and b.columns == expected_cols
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+    # unpaired third fruit row carries NULL drink/ounces
+    assert ("Houston", "Watermelon", None, 40, None) in ra
+
+
+def test_pivot_longer_values_to_list_requires_list_pattern(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(TypeError):
+        pj.pivot_longer(df, index=[], column_names=["a", "b"],
+                        names_to=["x"], values_to=["v"], names_pattern="a")
+
+
+def test_pivot_wider_names_expand_and_index_expand(spark):
+    df = spark.createDataFrame(
+        [("x", "a", 1), ("x", "b", 2), ("y", "a", 3)], "id string, grp string, v int"
+    )
+    out = pj.pivot_wider(df, "id", "grp", "v", names_expand={"grp": ["a", "b", "c"]})
+    assert sorted(out.columns) == ["a", "b", "c", "id"]
+    assert all(r["c"] is None for r in out.collect())
+    out2 = pj.pivot_wider(df, "id", "grp", "v", index_expand={"id": ["x", "y", "z"]})
+    rows = {r["id"]: (r["a"], r["b"]) for r in out2.collect()}
+    assert rows["z"] == (None, None) and rows["x"] == (1, 2)
+
+
+def test_ragged_spec_null_slot_uses_group_dtype(spark):
+    df = spark.createDataFrame([("x", 1, 1.5)], "id string, v int, w double")
+    spec = [
+        {".name": "v", ".value": "vv", "k": "1"},
+        {".name": "w", ".value": "ww", "k": "2"},
+    ]
+    out = pj.pivot_longer_spec(df, spec, index=["id"])
+    t = dict(out.dtypes)
+    assert t["vv"] == "int" and t["ww"] == "double"
+
+
+def test_case_when_callable_conditions(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (5,), (10,)], "x int")
+    out = pj.case_when(
+        df,
+        lambda d: d["x"] < 3, "low",
+        lambda d: d["x"] < 8, lambda d: F.concat(F.lit("mid-"), d["x"].cast("string")),
+        column_name="band",
+        default="high",
+    )
+    got = {r["x"]: r["band"] for r in out.collect()}
+    assert got == {1: "low", 5: "mid-5", 10: "high"}
