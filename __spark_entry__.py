@@ -806,8 +806,91 @@ def q_split_train_holdout(spark, sf):
     )
 
 
+def q_groupby_agg_nunique(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return pj.groupby_agg(li, ["l_returnflag"], "n_status", "l_linestatus", "nunique").select(
+        *KEYS, "n_status"
+    )
+
+
+def q_bloom_dedupe_against(spark, sf):
+    d = _t(spark, sf, "documents")
+    new_batch = d.filter(F.col("lang") != "en")
+    corpus = d.filter(F.col("lang") == "en")
+    return pj.bloom_dedupe_against(new_batch, corpus, "text").select("doc_id")
+
+
+def q_top_ngrams(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.top_ngrams(d, "text", n=2, k=20)
+
+
+def q_process_text_fallback(spark, sf):
+    # exercises the pandas .str reflection fallback (no builtin mapping)
+    c = _t(spark, sf, "customer")
+    return pj.process_text(c, "c_name", "casefold").select("c_custkey", "c_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate samples entries in
+    # insertion order, so the queries whose rows are not yet on record in
+    # CORRECTNESS_r01/r02 come FIRST; the 50 queries already verified in
+    # those rounds follow.
     return {
+        # ---- first 50: not yet on record (r01/r02 covered the queries
+        # below this block), plus the round-3 additions ----
+        "fill_direction": q_fill_direction,
+        "dedupe_exact": q_dedupe_exact,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ivf_topk": q_ivf_topk,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "binary_metadata": q_binary_metadata,
+        "decode_features": q_decode_features,
+        "frame_sample": q_frame_sample,
+        "resize_payload": q_resize_payload,
+        "flag_jumps": q_flag_jumps,
+        "data_description": q_data_description,
+        "convert_units": q_convert_units,
+        "inflate_currency": q_inflate_currency,
+        "exp": q_exp,
+        "logit": q_logit,
+        "normal_cdf": q_normal_cdf,
+        "probit": q_probit,
+        "convert_matlab_date": q_convert_matlab_date,
+        "remove_empty": q_remove_empty,
+        "limit_column_characters": q_limit_column_characters,
+        "label_encode": q_label_encode,
+        "add_columns": q_add_columns,
+        "expand_grid": q_expand_grid,
+        "cartesian_product": q_cartesian_product,
+        "pivot_longer_spec": q_pivot_longer_spec,
+        "encode_categorical": q_encode_categorical,
+        "move_reorder": q_move_reorder,
+        "shuffle": q_shuffle,
+        "jitter": q_jitter,
+        "sort_column_value_order": q_sort_column_value_order,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedupe_near": q_dedupe_near,
+        "dedupe_against": q_dedupe_against,
+        "repetition_score": q_repetition_score,
+        "pii_redact": q_pii_redact,
+        "deterministic_sample": q_deterministic_sample,
+        "stratified_sample": q_stratified_sample,
+        "split_train_holdout": q_split_train_holdout,
+        "groupby_agg_nunique": q_groupby_agg_nunique,
+        "bloom_dedupe_against": q_bloom_dedupe_against,
+        "top_ngrams": q_top_ngrams,
+        "process_text_fallback": q_process_text_fallback,
+        # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
+        # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
         "clean_names": q_clean_names,
         "filter_date": q_filter_date,
@@ -858,52 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
-        "fill_direction": q_fill_direction,
-        "dedupe_exact": q_dedupe_exact,
-        "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
-        "minhash_lsh_pairs": q_minhash_lsh,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "lsh_bucket_topk": q_lsh_bucket_topk,
-        "ivf_topk": q_ivf_topk,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "binary_metadata": q_binary_metadata,
-        "decode_features": q_decode_features,
-        "frame_sample": q_frame_sample,
-        "resize_payload": q_resize_payload,
-        "flag_jumps": q_flag_jumps,
-        "data_description": q_data_description,
-        "convert_units": q_convert_units,
-        "inflate_currency": q_inflate_currency,
-        "exp": q_exp,
-        "logit": q_logit,
-        "normal_cdf": q_normal_cdf,
-        "probit": q_probit,
-        "convert_matlab_date": q_convert_matlab_date,
-        "remove_empty": q_remove_empty,
-        "limit_column_characters": q_limit_column_characters,
-        "label_encode": q_label_encode,
-        "add_columns": q_add_columns,
-        "expand_grid": q_expand_grid,
-        "cartesian_product": q_cartesian_product,
-        "pivot_longer_spec": q_pivot_longer_spec,
-        "encode_categorical": q_encode_categorical,
-        "move_reorder": q_move_reorder,
-        "shuffle": q_shuffle,
-        "jitter": q_jitter,
-        "sort_column_value_order": q_sort_column_value_order,
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedupe_near": q_dedupe_near,
-        "dedupe_against": q_dedupe_against,
-        "repetition_score": q_repetition_score,
-        "pii_redact": q_pii_redact,
-        "deterministic_sample": q_deterministic_sample,
-        "stratified_sample": q_stratified_sample,
-        "split_train_holdout": q_split_train_holdout,
     }
 
 
@@ -1141,6 +1178,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, last_value(CASE WHEN event_type = 'click' THEN NULL "
             "ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2 FROM events"
+        ),
+        "groupby_agg_nunique": (
+            "SELECT l_orderkey, l_linenumber, CAST(g.n AS INT) AS n_status "
+            "FROM lineitem JOIN (SELECT l_returnflag, "
+            "count(DISTINCT l_linestatus) AS n FROM lineitem GROUP BY 1) g "
+            "USING (l_returnflag)"
+        ),
+        "bloom_dedupe_against": (
+            "SELECT doc_id FROM documents WHERE lang <> 'en' AND text NOT IN "
+            "(SELECT text FROM documents WHERE lang = 'en')"
+        ),
+        "top_ngrams": (
+            f"WITH toks AS (SELECT {_TOKS} AS t FROM documents), "
+            "g AS (SELECT unnest(list_transform(generate_series(1, "
+            "greatest(len(t) - 1, 0)), i -> t[i] || ' ' || t[i+1])) AS ngram "
+            "FROM toks) "
+            "SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram "
+            "ORDER BY cnt DESC, ngram LIMIT 20"
+        ),
+        "process_text_fallback": (
+            # casefold == lower for the ASCII customer names
+            "SELECT c_custkey, lower(c_name) AS c_name FROM customer"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
@@ -1396,14 +1455,21 @@ def _pipeline_oracles() -> dict[str, str]:
         "SELECT doc_id, q_len, q_punct, q_stop, q_wordlen, "
         "(q_len + q_punct + q_stop + q_wordlen) / 4.0 AS quality FROM v"
     )
+    # marker lists generated from the SAME dict the Spark side uses, so
+    # the two can never drift
+    from pyjanitor_spark.operators.text_analysis import _LANG_MARKERS
+
+    def _mk(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
     lang = (
         f"WITH t AS (SELECT doc_id, lang, text, "
         f"list_transform({_TOKS}, x -> lower(x)) AS toks FROM documents), "
         "s AS (SELECT doc_id, lang, text, "
-        "len(list_intersect(toks, ['the','and','of','to','is'])) AS s_en, "
-        "len(list_intersect(toks, ['der','die','und','das','ist'])) AS s_de, "
-        "len(list_intersect(toks, ['le','la','et','les','est'])) AS s_fr, "
-        "len(list_intersect(toks, ['el','la','los','que','es'])) AS s_es "
+        f"len(list_intersect(toks, {_mk('en')})) AS s_en, "
+        f"len(list_intersect(toks, {_mk('de')})) AS s_de, "
+        f"len(list_intersect(toks, {_mk('fr')})) AS s_fr, "
+        f"len(list_intersect(toks, {_mk('es')})) AS s_es "
         "FROM t) "
         "SELECT doc_id, lang, "
         "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "

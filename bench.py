@@ -64,30 +64,41 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    for name in names + extra:
-        best = None
-        try:
-            for _ in range(2):  # 2 runs; min = steady-state (JIT/codegen warm)
+    # three timed runs per query, min = steady-state; run PASSES (each
+    # query once per pass, interleaved) rather than back-to-back repeats,
+    # so one noisy window on this shared box can't fabricate a 100x
+    # outlier for whichever query it happens to land on
+    runs: dict[str, list[float]] = {n: [] for n in names + extra}
+    failed: set[str] = set()
+    for _pass in range(3):
+        for name in names + extra:
+            if name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 4)
-        except Exception as e:  # pragma: no cover
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+                runs[name].append(time.perf_counter() - t0)
+            except Exception as e:  # pragma: no cover
+                failed.add(name)
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+    for name, ts in runs.items():
+        timings[name] = round(min(ts), 4) if ts else -1.0
 
-    total = round(sum(timings[n] for n in names if timings.get(n, -1) > 0), 4)
+    # a failed headline query means the headline number is meaningless:
+    # emit value null so a regression cannot masquerade as a speedup
+    headline_ok = all(timings.get(n, -1) > 0 for n in names)
+    total = round(sum(timings[n] for n in names), 4) if headline_ok else None
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # the driver captures only the TAIL of stdout: keep the JSON line
     # SHORT (headline queries only) so it never truncates at the head;
     # full per-query timings go to a side file
-    headline_timings = {n: timings[n] for n in names if n in timings}
-    with open(
+    headline_timings = {n: timings[n] for n in names}
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as fh:
+    )
+    with open(full_out, "w") as fh:
         json.dump(
             {"metric": "all_queries_wall", "queries": timings, "sf": sf_val}, fh,
             indent=1, sort_keys=True,

@@ -544,11 +544,15 @@ def bloom_dedupe_against(
             for i in range(h)
         ]
 
+    # NB: F.shiftleft requires a literal bit count on Spark 4.x; the SQL
+    # form accepts an expression, so shifts go through F.expr
     words = (
         reference.select(F.explode(F.array(*_positions(F.col(key_col)))).alias("__pos"))
         .select(
             (F.col("__pos") / 64).cast("int").alias("__w"),
-            F.shiftleft(F.lit(1).cast("long"), (F.col("__pos") % 64).cast("int")).alias("__b"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__b"),
         )
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__word"))
@@ -559,21 +563,24 @@ def bloom_dedupe_against(
 
     spark = df.sparkSession
     bm_df = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
-    probed = df.join(F.broadcast(bm_df))
+    probed = df.join(F.broadcast(bm_df)).withColumns(
+        {f"__bp{i}": p for i, p in enumerate(_positions(F.col(key_col)))}
+    )
     checks = [
-        F.element_at(F.col("__bloom"), (p / 64).cast("int") + 1).bitwiseAND(
-            F.shiftleft(F.lit(1).cast("long"), (p % 64).cast("int"))
+        F.expr(
+            f"(element_at(__bloom, CAST(__bp{i} / 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % 64 AS INT))) != 0"
         )
-        != 0
-        for p in _positions(F.col(key_col))
+        for i in range(h)
     ]
     is_candidate = _reduce(lambda a, b: a & b, checks)
-    clean = probed.filter(~is_candidate).drop("__bloom")
+    aux = ["__bloom"] + [f"__bp{i}" for i in range(h)]
+    clean = probed.filter(~is_candidate).drop(*aux)
     if not exact:
         return clean
     survivors = (
         probed.filter(is_candidate)
-        .drop("__bloom")
+        .drop(*aux)
         .join(reference.select(key_col), key_col, "left_anti")
     )
     return clean.unionByName(survivors)

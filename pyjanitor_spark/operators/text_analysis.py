@@ -106,42 +106,67 @@ def quality_score(df: DataFrame, column_name: str, dest: str = "quality") -> Dat
     )
 
 
-# character/stopword markers per language — tiny public heuristic lists
+# stopword marker profiles per language — public high-frequency function
+# words (the standard n-gram/stopword LID heuristic; word-level profiles
+# are deterministic and engine-portable, unlike model-based LID)
 _LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "fr": ["le", "la", "et", "les", "est"],
-    "es": ["el", "la", "los", "que", "es"],
+    "en": [
+        "the", "and", "of", "to", "is", "in", "that", "it", "was", "for",
+        "on", "are", "with", "as", "at", "be", "this", "have", "from",
+        "or", "had", "by", "not", "but", "what",
+    ],
+    "de": [
+        "der", "die", "und", "das", "ist", "nicht", "mit", "dem", "den",
+        "ein", "eine", "auf", "für", "im", "sie", "ich", "des", "sich",
+        "von", "zu", "war", "als", "auch", "es", "an",
+    ],
+    "fr": [
+        "le", "la", "et", "les", "est", "des", "un", "une", "du", "dans",
+        "que", "qui", "pour", "sur", "pas", "au", "plus", "par", "avec",
+        "son", "ne", "se", "ce", "il", "aux",
+    ],
+    "es": [
+        "el", "la", "los", "que", "es", "en", "un", "una", "las", "del",
+        "por", "con", "para", "su", "al", "lo", "como", "más", "pero",
+        "sus", "ya", "este", "entre", "cuando", "también",
+    ],
     "zh": [],  # CJK detected by script below
 }
 _CJK_RE = r"[一-鿿]"
 
 
 def language_id(df: DataFrame, column_name: str, dest: str = "lang_pred") -> DataFrame:
-    """n-gram/stopword heuristic language ID.
+    """Stopword-profile heuristic language ID.
 
-    Score per language = distinct marker-word hits; CJK script presence
-    short-circuits to 'zh'.  Ties resolve in a fixed language order —
-    fully deterministic.  One expression tree, no UDF."""
-    toks = F.transform(tokens(F.col(column_name)), F.lower)
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-        for lang, markers in _LANG_MARKERS.items()
-        if markers
-    }
-    best = None
-    best_score = None
-    for lang in ("en", "de", "fr", "es"):
-        s = scores[lang]
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
+    Score per language = distinct marker-word hits (25-word public
+    profiles); CJK script presence short-circuits to 'zh'.  Ties resolve
+    in a fixed language order — fully deterministic.  One expression
+    tree, no UDF; the token array is ``let``-bound so the per-language
+    intersects reference an attribute, not a re-evaluated split."""
+
+    def score_tree(toks: Column) -> Column:
+        scores = {
+            lang: F.size(
+                F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+            )
+            for lang, markers in _LANG_MARKERS.items()
+            if markers
+        }
+        best = None
+        best_score = None
+        for lang in ("en", "de", "fr", "es"):
+            s = scores[lang]
+            if best is None:
+                best, best_score = F.lit(lang), s
+            else:
+                cond = s > best_score
+                best = F.when(cond, F.lit(lang)).otherwise(best)
+                best_score = F.when(cond, s).otherwise(best_score)
+        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
     pred = F.when(
         F.regexp_count(F.col(column_name), F.lit(_CJK_RE)) > 0, F.lit("zh")
-    ).otherwise(F.when(best_score > 0, best).otherwise(F.lit("und")))
+    ).otherwise(let(F.transform(tokens(F.col(column_name)), F.lower), score_tree))
     return df.withColumn(dest, pred)
 
 

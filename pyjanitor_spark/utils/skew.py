@@ -66,4 +66,5 @@ def count_distinct_exact(
     result as ``countDistinct`` with bounded per-task state."""
     keys = [by] if isinstance(by, str) else list(by)
     dedup = df.select(*keys, column_name).distinct()
-    return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(dest))
+    # count(col), not count(*): countDistinct excludes NULL, so must we
+    return dedup.groupBy(*keys).agg(F.count(F.col(column_name)).alias(dest))
