@@ -262,16 +262,22 @@ def ngram_jaccard_pairs(
     # single-task file scan (once for the filter, again for the
     # projection, per join side) and kick it out of codegen.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    inter = (
+    pair_stream = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
         .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
-        .groupBy(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
     )
     if candidates is not None:
-        inter = inter.join(candidates.select("id_1", "id_2"), on=["id_1", "id_2"], how="left_semi")
+        # semi-filter BEFORE the pair-count aggregation: the quadratic
+        # stop-shingle pair stream is dropped ahead of the shuffle (AQE
+        # broadcasts the candidate list when small, so the stream never
+        # shuffles at all on the common LSH-verification path)
+        pair_stream = pair_stream.join(
+            candidates.select("id_1", "id_2"), on=["id_1", "id_2"], how="left_semi"
+        )
+    inter = pair_stream.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
     out = (
@@ -340,6 +346,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     dest: str = "cluster_id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` (columns id_1,
     id_2): every id gets ``dest`` = the MIN id reachable through the
@@ -355,14 +362,26 @@ def near_dup_clusters(
 
     ``nodes`` (a frame with ``id_col``) adds unpaired ids as singleton
     clusters (``dest`` = own id).
+
+    ``checkpoint_dir``: on a real cluster pass a durable (HDFS/S3) path —
+    iterations then use reliable ``checkpoint()`` so a lost executor
+    cannot force recomputing the whole lineage; the default
+    ``localCheckpoint`` is executor-local (fine on local mode, lossy
+    under executor failure).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return d.checkpoint() if checkpoint_dir is not None else d.localCheckpoint()
+
     e1 = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
-    edges = e1.union(
-        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = (
+    edges = _ckpt(
+        e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    labels = _ckpt(
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -387,7 +406,8 @@ def near_dup_clusters(
                     "__changed"
                 ),
             )
-        ).localCheckpoint()
+        )
+        hop = _ckpt(hop)
         changed = hop.filter(F.col("__changed")).count()  # scans the checkpoint
         labels = hop.drop("__changed")
         if changed == 0:
