@@ -17,7 +17,8 @@ Scale design notes (the point of each algorithm at 100 TB):
   |A∪B| = |A|+|B|−∩.  One shuffle on shingles — the exact-verification
   path, typically run on LSH candidates only (pass ``candidates=``).
 * ``embedding_near_dup`` — cosine pairs within blocks (``block_col``,
-  e.g. a cluster/LSH bucket), avoiding the all-pairs cross join.
+  e.g. a cluster/LSH bucket) or banded hyperplane-LSH auto-blocking,
+  avoiding the all-pairs cross join.
 
 All hashes are md5-derived => reproducible across engines (DuckDB
 oracle computes identical values).
@@ -311,13 +312,48 @@ def embedding_near_dup(
     vec_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    auto_block_planes: int | None = None,
+    auto_block_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
 
     With ``block_col`` (cluster id / LSH bucket) the self-join is
-    equi-keyed on the block — cost Σ block² instead of n².  Without it,
-    a full cross join: only for small frames (documented)."""
+    equi-keyed on the block — cost Σ block² instead of n².  Without a
+    natural block column, pass ``auto_block_planes`` (+ ``dim``, the
+    vector length) to block on banded random-hyperplane LSH:
+    ``auto_block_bands`` independent ``planes``-bit sign buckets, a pair
+    is compared if it collides in ANY band.  Per-plane agreement p =
+    1 - arccos(cos)/π, so recall ≈ 1-(1-p^planes)^bands — ~0.985 at
+    cos 0.95 with the 4×4 default — while each band shuffles only a
+    short bit-string key.  Without either, a full cross join: only for
+    small frames."""
+    dedup_pairs = False
+    if block_col is None and auto_block_planes:
+        if dim is None:
+            raise ValueError("auto_block_planes requires dim (vector length)")
+        from pyjanitor_spark.operators.similarity import hyperplane_bucket
+
+        vec = F.col(vec_col).cast("array<double>")
+        df = df.withColumn(
+            "__edb_bkt",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{b}:"),
+                            hyperplane_bucket(
+                                vec, dim, auto_block_planes, seed=f"edb{b}"
+                            ),
+                        )
+                        for b in range(auto_block_bands)
+                    ]
+                )
+            ),
+        )
+        block_col = "__edb_bkt"
+        dedup_pairs = True  # a pair can collide in several bands
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     slim = df.select(*cols)
     a = slim.alias("a")
@@ -329,7 +365,7 @@ def embedding_near_dup(
         F.col(f"a.{vec_col}").cast("array<double>"),
         F.col(f"b.{vec_col}").cast("array<double>"),
     )
-    return (
+    out = (
         a.join(b, on=on)
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
@@ -338,6 +374,9 @@ def embedding_near_dup(
         )
         .filter(F.col("cos") >= threshold)
     )
+    if dedup_pairs:
+        out = out.distinct()
+    return out
 
 
 def near_dup_clusters(

@@ -118,3 +118,24 @@ class TestPiiRedact:
         out = pj.pii_redact(df, "t", dest="clean", kinds=("email",), counts=False).collect()[0]
         assert out["clean"] == "[EMAIL] 123-45-6789"
         assert "pii_email_count" not in out.asDict()
+
+
+def test_embedding_near_dup_auto_block(embeddings):
+    e = embeddings
+    dim = len(e.select("embedding").first()[0])
+    brute = pj.embedding_near_dup(e, "vec_id", "embedding", threshold=0.4)
+    auto = pj.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4,
+        auto_block_planes=4, auto_block_bands=8, dim=dim,
+    )
+    bp = {(r["id_1"], r["id_2"]) for r in brute.collect()}
+    ap = {(r["id_1"], r["id_2"]) for r in auto.collect()}
+    assert ap <= bp                      # perfect precision by construction
+    assert len(ap) >= 0.5 * len(bp)      # banded recall well above 1 bucket
+    assert "__edb_bkt" not in auto.columns
+
+
+def test_embedding_near_dup_auto_block_requires_dim(embeddings):
+    import pytest
+    with pytest.raises(ValueError):
+        pj.embedding_near_dup(embeddings, "vec_id", "embedding", auto_block_planes=4)
