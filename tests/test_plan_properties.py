@@ -144,3 +144,66 @@ def test_sampling_verbs_are_shuffle_free(documents):
     ) == 0
     assert shuffle_count(pj.split_train_holdout(documents, "doc_id")) == 0
     assert shuffle_count(pj.pii_redact(documents, "text")) == 0
+
+
+def test_scalable_ecdf_has_no_global_window(lineitem):
+    """apply_math ecdf: every Window must have a partition spec — a
+    windowspecdefinition with no partition keys funnels all rows into
+    one task."""
+    from pyjanitor_spark.functions import math as pjm
+    from pyjanitor_spark.plans import executed_plan
+
+    out = pjm.apply_math(lineitem, "l_quantity", pjm.ecdf, dest="e")
+    plan = executed_plan(out)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # partitioned specs read windowspecdefinition(<keys>, ... ORDER/frame)
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert not spec.startswith("specifiedwindowframe"), line
+            head = spec.split(",")[0]
+            assert head.strip(), line
+
+
+def test_ngram_jaccard_candidates_filter_before_count(documents):
+    """The candidates semi-join must sit BELOW the pair-count aggregate
+    in the plan (filter the quadratic stream before it shuffles)."""
+    from pyjanitor_spark.plans import executed_plan
+
+    cand = pj.minhash_lsh_pairs(documents, "doc_id", "text")
+    out = pj.ngram_jaccard_pairs(
+        documents, "doc_id", "text", threshold=0.5, candidates=cand
+    )
+    plan = executed_plan(out)
+    lines = plan.splitlines()
+    semi_idx = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    agg_idx = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "count(1)" in l and "id_1" in l
+    ]
+    assert semi_idx and agg_idx
+    # deeper in the tree = larger line index; the semi join feeding the
+    # pair-count agg must appear below the top pair-count aggregate
+    assert max(semi_idx) > min(agg_idx)
+
+
+def test_bloom_probe_is_broadcast(documents):
+    """The bitmap rides into the scan as a broadcast, never a shuffle of
+    the probed side."""
+    from pyjanitor_spark.plans import executed_plan
+
+    ref = documents.filter(F.col("lang") == "en")
+    new = documents.filter(F.col("lang") != "en")
+    out = pj.bloom_dedupe_against(new, ref, "text", exact=False)
+    plan = executed_plan(out)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_positional_index_offsets_broadcast(lineitem):
+    """positional_index: the per-partition offset table joins back via
+    broadcast (tiny), not a shuffle of the data."""
+    from pyjanitor_spark.plans import broadcast_join_count
+    from pyjanitor_spark.utils.order import positional_index
+
+    out = positional_index(lineitem.select("l_orderkey"), "idx")
+    assert broadcast_join_count(out) >= 1
