@@ -351,3 +351,37 @@ def test_ecdf_scalable_matches_window_form(spark):
     assert a == b
     # exact tie semantics: both 1.0s get cume fraction 2/8
     assert dict(a)[1.0] == 0.25
+
+
+def test_bloom_dedupe_against_matches_anti_join(spark):
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(0, 200, 2)], "key string")
+    new = spark.createDataFrame([(f"k{i}", i) for i in range(100)], "key string, v int")
+    got = sorted(r["v"] for r in pj.bloom_dedupe_against(new, ref, "key").collect())
+    exp = sorted(
+        r["v"] for r in new.join(ref, "key", "left_anti").collect()
+    )
+    assert got == exp  # exact=True == true anti-join semantics
+    # exact=False only ever drops MORE rows (bloom false positives)
+    loose = pj.bloom_dedupe_against(new, ref, "key", exact=False)
+    assert set(r["v"] for r in loose.collect()) <= set(exp)
+
+
+def test_bloom_dedupe_against_fpp_validation(spark):
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError):
+        pj.bloom_dedupe_against(df, df, "key", fpp=1.5)
+
+
+def test_top_ngrams_counts_every_occurrence(spark):
+    df = spark.createDataFrame(
+        [("a b a b a",), ("a b c",)], "text string"
+    )
+    out = {r["ngram"]: r["cnt"] for r in pj.top_ngrams(df, "text", n=2, k=10).collect()}
+    # "a b" occurs twice in doc1 + once in doc2; "b a" twice in doc1
+    assert out == {"a b": 3, "b a": 2, "b c": 1}
+
+
+def test_top_ngrams_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([("x y",), ("p q",)], "text string")
+    rows = [r["ngram"] for r in pj.top_ngrams(df, "text", n=2, k=2).collect()]
+    assert rows == ["p q", "x y"]  # equal counts -> lexicographic
