@@ -17,9 +17,12 @@ all/first/last; ``indicator`` flag).  The reference's physical layer
   optimization and Databricks' RANGE_JOIN hint, expressed as a plain
   DataFrame composition so Catalyst still handles the physical join.
 * ``keep='first'/'last'`` → ``row_number()`` over a per-left-row window
-  ordered by the right join keys (deterministic, documented divergence
-  from the reference's right-row-position order, which has no
-  distributed meaning).
+  ordered by the right condition columns, then by every remaining right
+  data column — a content-based total order, so the pick is stable
+  across partition layouts and AQE reruns (documented divergence from
+  the reference's right-row-position order, which has no distributed
+  meaning).  Unmatched right rows under ``how='right'/'outer'`` are
+  always preserved.
 """
 
 from __future__ import annotations
