@@ -825,6 +825,13 @@ def q_top_ngrams(spark, sf):
     return pj.top_ngrams(d, "text", n=2, k=20)
 
 
+def q_chunk_text(spark, sf):
+    d = _t(spark, sf, "documents")
+    return pj.chunk_text(d, "text", max_tokens=64).select(
+        "doc_id", "chunk_id", "chunk", "chunk_n_tokens"
+    )
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -941,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
+        # round-3 addition past the 50-cap: rotate forward next round
+        "chunk_text": q_chunk_text,
     }
 
 
@@ -1200,6 +1209,16 @@ def oracle_sql() -> dict[str, str]:
         "process_text_fallback": (
             # casefold == lower for the ASCII customer names
             "SELECT c_custkey, lower(c_name) AS c_name FROM customer"
+        ),
+        "chunk_text": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents "
+            "WHERE trim(text) <> ''), "
+            "u AS (SELECT doc_id, t, len(t) AS n FROM toks), "
+            "st AS (SELECT doc_id, t, n, "
+            "unnest(generate_series(1, n, 64)) AS s FROM u) "
+            "SELECT doc_id, CAST((s - 1) / 64 AS INT) AS chunk_id, "
+            "array_to_string(t[s : least(s + 63, n)], ' ') AS chunk, "
+            "CAST(least(n - s + 1, 64) AS INT) AS chunk_n_tokens FROM st"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)

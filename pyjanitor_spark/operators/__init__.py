@@ -58,6 +58,7 @@ from pyjanitor_spark.operators.sampling import (
     stratified_sample,
 )
 from pyjanitor_spark.operators.text_analysis import (
+    chunk_text,
     fingerprint,
     language_id,
     pii_redact,

@@ -27,6 +27,7 @@ __all__ = [
     "repetition_score",
     "pii_redact",
     "top_ngrams",
+    "chunk_text",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
@@ -254,6 +255,79 @@ def pii_redact(
                 F.regexp_count(F.col(column_name), F.lit(PII_PATTERNS[kind])),
             )
     return df
+
+
+def chunk_text(
+    df: DataFrame,
+    column_name: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    dest: str = "chunk",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """Split documents into token-bounded chunks — the standard prep step
+    before tokenization for a context-bounded model.
+
+    Emits one row per chunk with ``dest`` (the chunk text),
+    ``<dest>_id`` (0-based ordinal within the document) and
+    ``<dest>_n_tokens``.  Chunk i covers tokens
+    ``[i·(max_tokens-overlap), i·(max_tokens-overlap)+max_tokens)`` —
+    consecutive chunks share ``overlap`` tokens so no n-gram context is
+    lost at a boundary.
+
+    Pure expressions: the token array is ``let``-bound once, chunk
+    starts come from ``sequence``, chunks from ``slice`` + ``concat_ws``,
+    rows from one ``explode`` — zero UDFs, zero shuffles, linear
+    scale-out.  Whitespace inside a chunk is normalized to single spaces
+    (tokens are re-joined); empty/blank documents yield no rows unless
+    ``keep_empty`` (then one empty chunk)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # chunk starts: 1, 1+step, ... (1-based slice positions).  A
+        # trailing start whose remaining tokens all lie inside the
+        # previous chunk's overlap region contributes nothing new — drop
+        # it (also drops starts past the end).
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step)),
+            lambda s: (s == F.lit(1)) | ((n - s + 1) > F.lit(overlap)),
+        )
+        chunks = F.transform(
+            starts,
+            lambda s: F.struct(
+                F.concat_ws(" ", F.slice(toks, s, max_tokens)).alias("text"),
+                F.least(n - s + 1, F.lit(max_tokens)).alias("n_tokens"),
+            ),
+        )
+        if keep_empty:
+            empty = F.array(
+                F.struct(F.lit("").alias("text"), F.lit(0).alias("n_tokens"))
+            )
+            return F.when(n > 0, chunks).otherwise(empty)
+        return F.when(n > 0, chunks).otherwise(
+            F.array().cast("array<struct<text:string,n_tokens:int>>")
+        )
+
+    col = F.col(column_name)
+    # split("") yields [""] — treat blank documents as zero tokens
+    toks = F.when(
+        F.length(F.trim(col)) > 0, tokens(col)
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.withColumn("__chunks", let(toks, build))
+    return (
+        out.select(
+            *[F.col(c) for c in df.columns],
+            F.posexplode(F.col("__chunks")).alias(f"{dest}_id", "__c"),
+        )
+        .withColumn(dest, F.col("__c.text"))
+        .withColumn(f"{dest}_n_tokens", F.col("__c.n_tokens"))
+        .drop("__c")
+    )
 
 
 def top_ngrams(

@@ -139,3 +139,50 @@ def test_embedding_near_dup_auto_block_requires_dim(embeddings):
     import pytest
     with pytest.raises(ValueError):
         pj.embedding_near_dup(embeddings, "vec_id", "embedding", auto_block_planes=4)
+
+
+class TestChunkText:
+    def test_covers_all_tokens_no_overlap(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id int, text string"
+        )
+        rows = pj.chunk_text(df, "text", max_tokens=4).orderBy("chunk_id").collect()
+        assert [r["chunk"] for r in rows] == ["t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+        assert [r["chunk_n_tokens"] for r in rows] == [4, 4, 2]
+
+    def test_overlap_shares_tokens(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id int, text string"
+        )
+        rows = pj.chunk_text(df, "text", max_tokens=4, overlap=1).orderBy("chunk_id").collect()
+        chunks = [r["chunk"].split() for r in rows]
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert prev[-1:] == cur[:1]
+        flat = [t for i, c in enumerate(chunks) for t in (c if i == 0 else c[1:])]
+        assert flat == [f"t{i}" for i in range(10)]
+
+    def test_blank_and_null_documents(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None), (4, "one")], "doc_id int, text string"
+        )
+        out = pj.chunk_text(df, "text", max_tokens=8)
+        assert [r["doc_id"] for r in out.collect()] == [4]
+        kept = pj.chunk_text(df, "text", max_tokens=8, keep_empty=True)
+        assert kept.count() == 4 and kept.filter("doc_id=1").first()["chunk"] == ""
+
+    def test_validation(self, spark):
+        import pytest
+        df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+        with pytest.raises(ValueError):
+            pj.chunk_text(df, "text", max_tokens=0)
+        with pytest.raises(ValueError):
+            pj.chunk_text(df, "text", max_tokens=4, overlap=4)
+
+    def test_deterministic_across_layouts(self, documents):
+        a = pj.chunk_text(documents.repartition(1), "text", 32).select(
+            "doc_id", "chunk_id", "chunk"
+        )
+        b = pj.chunk_text(documents.repartition(7), "text", 32).select(
+            "doc_id", "chunk_id", "chunk"
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
