@@ -832,6 +832,37 @@ def q_chunk_text(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    # session_window on a BATCH frame: same semantics the streaming verb
+    # applies with a watermark; oracle is gaps-and-islands SQL
+    _utc(spark)
+    from pyjanitor_spark.streaming.verbs import sessionize
+
+    e = _t(spark, sf, "events")
+    out = sessionize(
+        e, "ts", "10 minutes", by=["user_id"], aggs={"n_events": ("event_id", "count")}
+    )
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def q_running_counter(spark, sf):
+    # batch fallback of the applyInPandasWithState streaming counter
+    _utc(spark)
+    from pyjanitor_spark.streaming.verbs import running_counter
+
+    e = _t(spark, sf, "events")
+    out = running_counter(e, by=["user_id"], ts_column="ts")
+    return out.select(
+        "user_id",
+        "n_events",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -948,8 +979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
-        # round-3 addition past the 50-cap: rotate forward next round
+        # round-3 additions past the 50-cap: rotate forward next round
         "chunk_text": q_chunk_text,
+        "sessionize": q_sessionize,
+        "running_counter": q_running_counter,
     }
 
 
@@ -1219,6 +1252,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST((s - 1) / 64 AS INT) AS chunk_id, "
             "array_to_string(t[s : least(s + 63, n)], ' ') AS chunk, "
             "CAST(least(n - s + 1, 64) AS INT) AS chunk_n_tokens FROM st"
+        ),
+        "sessionize": (
+            # gaps-and-islands: a session breaks when the gap to the
+            # previous event exceeds 10 minutes
+            "WITH t AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, event_id, ts, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM t) "
+            "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "count(event_id) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "running_counter": (
+            "SELECT user_id, count(*) AS n_events, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts "
+            "FROM events GROUP BY user_id"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
