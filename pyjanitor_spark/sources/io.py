@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_table", "read_csvs", "read_commandline", "xlsx_table", "xlsx_cells"]
+__all__ = [
+    "read_table",
+    "read_csvs",
+    "read_jsonl",
+    "read_commandline",
+    "xlsx_table",
+    "xlsx_cells",
+]
 
 _NANO_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -59,6 +66,65 @@ def read_csvs(
         if [f.name for f in other.schema.fields] != [f.name for f in first.schema.fields]:
             raise ValueError(f"schema of {p!r} does not match {paths[0]!r}")
     return spark.read.options(**opts).csv(paths)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | T.StructType | None = None,
+    sampling_ratio: float | None = None,
+    corrupt_column: str | None = "_corrupt_record",
+    **kwargs: Any,
+) -> DataFrame:
+    """Read JSON-lines (the canonical training-data interchange format).
+
+    Scale contract: on a big corpus pass an explicit ``schema`` (zero
+    inference scans) or ``sampling_ratio`` (inference reads that fraction
+    only); full inference — an extra pass over ALL data — is the default
+    only for convenience at test scale.  Malformed lines land in
+    ``corrupt_column`` (PERMISSIVE mode) instead of failing the job or
+    being silently dropped — filter or route them explicitly;
+    ``corrupt_column=None`` switches to DROPMALFORMED.  The corrupt
+    column is materialized via ``text`` + ``from_json`` rather than
+    Spark's internal ``_corrupt_record`` (which cannot be the only
+    column a query references — UNSUPPORTED_FEATURE), so filtering and
+    counting bad records works like any other column.  Beyond-reference
+    (``janitor/io.py`` has no JSON reader).
+    """
+    opts: dict[str, str] = {k: str(v) for k, v in kwargs.items()}
+    opts.setdefault("multiLine", "false")  # JSONL: one object per line
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if schema is None:
+        inf_opts = dict(opts)
+        if sampling_ratio is not None:
+            inf_opts["samplingRatio"] = str(sampling_ratio)
+        inferred = spark.read.options(**inf_opts).json(path).schema
+        schema = T.StructType(
+            [f for f in inferred.fields if f.name != corrupt_column]
+        )
+    if corrupt_column is None:
+        return (
+            spark.read.schema(schema)
+            .options(mode="DROPMALFORMED", **opts)
+            .json(path)
+        )
+    # parse via text + from_json with an EXPLICIT corrupt field: unlike
+    # Spark's internal _corrupt_record on a raw json scan (which cannot
+    # be the only referenced column — UNSUPPORTED_FEATURE), this column
+    # is ordinary data, so filtering/counting bad records just works
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.from_json(
+            F.col("value"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_column},
+        ).alias("__j")
+    )
+    return parsed.select("__j.*")
 
 
 def read_commandline(spark: SparkSession, cmd: str, **kwargs: Any) -> DataFrame:

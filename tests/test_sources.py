@@ -59,3 +59,45 @@ def test_xlsx_gated(spark, tmp_path):
         xlsx_table(spark, str(tmp_path / "x.xlsx"))
     with pytest.raises(ImportError, match="openpyxl"):
         xlsx_cells(spark, str(tmp_path / "x.xlsx"))
+
+
+class TestReadJsonl:
+    def test_roundtrip_and_corrupt_capture(self, spark, tmp_path):
+        import json as _json
+
+        p = tmp_path / "docs.jsonl"
+        lines = [
+            _json.dumps({"id": 1, "text": "hello world"}),
+            _json.dumps({"id": 2, "text": "zweite zeile"}),
+            '{"id": 3, "text": broken',
+            _json.dumps({"id": 4, "text": None}),
+        ]
+        p.write_text("\n".join(lines) + "\n")
+        from pyjanitor_spark.sources import read_jsonl
+
+        df = read_jsonl(spark, str(p))
+        assert "_corrupt_record" in df.columns
+        good = df.filter("_corrupt_record IS NULL")
+        bad = df.filter("_corrupt_record IS NOT NULL")
+        assert sorted(r["id"] for r in good.collect() if r["id"] is not None) == [1, 2, 4]
+        assert bad.count() == 1
+
+    def test_explicit_schema_skips_inference(self, spark, tmp_path):
+        import json as _json
+
+        p = tmp_path / "d.jsonl"
+        p.write_text(_json.dumps({"id": 7, "text": "x"}) + "\n")
+        from pyjanitor_spark.sources import read_jsonl
+
+        df = read_jsonl(
+            spark, str(p), schema="id BIGINT, text STRING, _corrupt_record STRING"
+        )
+        assert df.collect()[0]["id"] == 7
+
+    def test_dropmalformed(self, spark, tmp_path):
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"id": 1}\n{oops\n{"id": 2}\n')
+        from pyjanitor_spark.sources import read_jsonl
+
+        df = read_jsonl(spark, str(p), corrupt_column=None)
+        assert sorted(r["id"] for r in df.collect()) == [1, 2]
