@@ -863,6 +863,23 @@ def q_running_counter(spark, sf):
     )
 
 
+def q_top_domains(spark, sf):
+    # synthetic deterministic URLs appended per doc (same trick as the
+    # pii_redact query — the corpus text itself carries no URLs)
+    d = _t(spark, sf, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page and https://www.mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.org/x"),
+        ),
+    )
+    return pj.top_domains(d, "text2", k=10)
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -983,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
         "running_counter": q_running_counter,
+        "top_domains": q_top_domains,
     }
 
 
@@ -1270,6 +1288,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, count(*) AS n_events, "
             "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts "
             "FROM events GROUP BY user_id"
+        ),
+        "top_domains": (
+            "WITH t AS (SELECT text || ' see http://site' || "
+            "CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.com/page and https://www.mirror' || "
+            "CAST(doc_id % 3 AS VARCHAR) || '.example.org/x' AS text2 "
+            "FROM documents), "
+            "u AS (SELECT unnest(regexp_extract_all(text2, "
+            "'https?://[^\\s\"''<>)\\]}]+')) AS url FROM t), "
+            "d AS (SELECT regexp_replace(lower(regexp_extract(url, "
+            "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
+            "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
+            "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)

@@ -59,12 +59,14 @@ from pyjanitor_spark.operators.sampling import (
 )
 from pyjanitor_spark.operators.text_analysis import (
     chunk_text,
+    extract_urls,
     fingerprint,
     language_id,
     pii_redact,
     quality_score,
     repetition_score,
     token_count,
+    top_domains,
     top_ngrams,
     word_shingles,
 )

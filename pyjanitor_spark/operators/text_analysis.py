@@ -28,6 +28,8 @@ __all__ = [
     "pii_redact",
     "top_ngrams",
     "chunk_text",
+    "extract_urls",
+    "top_domains",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
@@ -255,6 +257,51 @@ def pii_redact(
                 F.regexp_count(F.col(column_name), F.lit(PII_PATTERNS[kind])),
             )
     return df
+
+
+# conservative URL shape, portable across Java regex and RE2-likes
+URL_PATTERN = r"https?://[^\s\"'<>)\]}]+"
+_DOMAIN_PATTERN = r"https?://([^/:\s]+)"
+
+
+def extract_urls(df: DataFrame, column_name: str, dest: str = "urls") -> DataFrame:
+    """All http(s) URLs per document as an array column — the input to
+    domain-level curation (blocklists, per-domain caps).  Pure regexp,
+    no UDF."""
+    return df.withColumn(
+        dest, F.regexp_extract_all(F.col(column_name), F.lit(URL_PATTERN), 0)
+    )
+
+
+def domain_of(url: Column, strip_www: bool = True) -> Column:
+    """Lower-cased host part of a URL column; ``www.`` prefix stripped."""
+    host = F.lower(F.regexp_extract(url, _DOMAIN_PATTERN, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def top_domains(
+    df: DataFrame, column_name: str, k: int = 20, strip_www: bool = True
+) -> DataFrame:
+    """Corpus-level top-``k`` most-linked domains: URL extract → explode
+    → domain normalize → count.  Map-side partial aggregation keeps the
+    shuffle at one row per distinct domain per partition;
+    ``orderBy().limit(k)`` runs as TakeOrdered (no global sort).  Ties
+    break on the domain string — deterministic."""
+    urls = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(column_name), F.lit(URL_PATTERN), 0)
+        ).alias("url")
+    )
+    return (
+        urls.select(domain_of(F.col("url"), strip_www).alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("domain"))
+        .limit(k)
+    )
 
 
 def chunk_text(

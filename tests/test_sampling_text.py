@@ -186,3 +186,38 @@ class TestChunkText:
             "doc_id", "chunk_id", "chunk"
         )
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestUrlOps:
+    def test_extract_urls_and_domains(self, spark):
+        from pyspark.sql import functions as F
+        from pyjanitor_spark.operators.text_analysis import domain_of
+
+        df = spark.createDataFrame(
+            [
+                (1, "see https://www.Example.COM/a?q=1 and http://sub.other.org/x."),
+                (2, "no links here"),
+            ],
+            "doc_id int, text string",
+        )
+        out = pj.extract_urls(df, "text")
+        urls = {r["doc_id"]: r["urls"] for r in out.collect()}
+        assert len(urls[1]) == 2 and urls[2] == []
+        doms = [
+            r[0]
+            for r in out.select(F.explode("urls").alias("u"))
+            .select(domain_of(F.col("u")))
+            .collect()
+        ]
+        assert sorted(doms) == ["example.com", "sub.other.org"]
+
+    def test_top_domains_counts_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("http://a.com/1 http://a.com/2 https://b.net/x",),
+                ("https://www.b.net/y",),
+            ],
+            "text string",
+        )
+        rows = [(r["domain"], r["cnt"]) for r in pj.top_domains(df, "text", k=5).collect()]
+        assert rows == [("a.com", 2), ("b.net", 2)]  # tie -> lexicographic
