@@ -72,10 +72,14 @@ def conditional_join(
     right: DataFrame,
     *conditions: tuple[str, str, str],
     how: str = "inner",
+    df_columns: Any | None = None,
+    right_columns: Any | None = None,
     keep: str = "all",
     indicator: bool | str = False,
     use_bucket: bool | None = None,
     bucket_width: float | None = None,
+    use_numba: bool = False,
+    force: bool = False,
 ) -> DataFrame:
     """Join on arbitrary AND-combined comparison conditions.
 
@@ -89,7 +93,13 @@ def conditional_join(
 
     Colliding right-side column names are prefixed ``right_`` in the
     output (flat-name stand-in for the reference's left/right
-    MultiIndex header, ``conditional_join.py:1151-1171``)."""
+    MultiIndex header, ``conditional_join.py:1151-1171``).
+
+    ``df_columns``/``right_columns`` select each side's OUTPUT columns
+    (any select syntax; conditions may reference unselected columns —
+    they join and are then projected away).  ``use_numba``/``force``
+    (ref ``conditional_join.py:38-40``) pick pandas physical strategies;
+    Catalyst owns that choice here, so they are accepted no-ops."""
     if not conditions:
         raise ValueError("provide at least one (left, right, op) condition")
     if how not in ("inner", "left", "right", "outer", "full"):
@@ -177,6 +187,19 @@ def conditional_join(
             .when(F.col(_L_ID).isNotNull(), "left_only")
             .otherwise("right_only"),
         )
+    if df_columns is not None or right_columns is not None:
+        from pyjanitor_spark.utils.select import resolve_columns
+
+        lsel = resolve_columns(df, df_columns) if df_columns is not None else df.columns
+        rsel = (
+            resolve_columns(right, right_columns)
+            if right_columns is not None
+            else right.columns
+        )
+        out_cols = list(lsel) + [rname(c) for c in rsel]
+        if indicator:
+            out_cols.append(indicator if isinstance(indicator, str) else "_merge")
+        return joined.select(*out_cols)
     drop = [c for c in (_L_ID, _R_ID) if c in joined.columns]
     return joined.drop(*drop)
 

@@ -212,3 +212,28 @@ def test_get_join_indices_positional_multipartition(spark):
     assert len(rows) == 1
     # the matching left index must be a valid position in [0, 50)
     assert 0 <= rows[0]["left_index"] < 50 and rows[0]["right_index"] == 0
+
+
+def test_df_columns_right_columns_selection(spark, df1, df2):
+    out = pj.conditional_join(
+        df1, df2,
+        ("value_1", "value_2A", ">="), ("value_1", "value_2B", "<="),
+        df_columns=["value_1"], right_columns=["value_2A"],
+    )
+    assert out.columns == ["value_1", "value_2A"]
+    # selection is a projection only: same row multiset as the full join
+    full = pj.conditional_join(
+        df1, df2, ("value_1", "value_2A", ">="), ("value_1", "value_2B", "<=")
+    ).select("value_1", "value_2A")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_column_selection_with_indicator_and_noop_flags(spark, df1, df2):
+    out = pj.conditional_join(
+        df1, df2, ("value_1", "value_2A", "=="),
+        df_columns=["value_1"], right_columns=["value_2B"],
+        indicator=True, how="left", use_numba=True, force=True,
+    )
+    assert out.columns == ["value_1", "value_2B", "_merge"]
+    flags = {r["_merge"] for r in out.collect()}
+    assert flags <= {"both", "left_only"}
