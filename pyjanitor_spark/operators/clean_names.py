@@ -32,11 +32,16 @@ def clean_names(
     case_type: str = "lower",
     remove_special: bool = False,
     strip_accents: bool = True,
+    preserve_original_labels: bool = True,
     enforce_string: bool = True,
     truncate_limit: int | None = None,
 ) -> DataFrame:
     """Clean column names (``axis='columns'``) or string values inside
-    ``column_names`` (``axis=None``), mirroring the reference API."""
+    ``column_names`` (``axis=None``), mirroring the reference API.
+
+    ``preserve_original_labels`` stores the old labels in pandas frame
+    attrs (``clean_names.py:27``) — metadata Spark frames don't carry;
+    accepted for API parity, results are identical either way."""
     kw = dict(
         strip_underscores=strip_underscores,
         case_type=case_type,

@@ -306,6 +306,8 @@ def pivot_wider(
     values_from: Any,
     names_sep: str = "_",
     names_glue: str | None = None,
+    flatten_levels: bool = True,
+    reset_index: bool = True,
     names_expand: bool | dict = False,
     index_expand: bool | dict = False,
     fill_value: Any | None = None,
@@ -324,7 +326,18 @@ def pivot_wider(
     is the row-side analog: one output row per combination of index
     levels.  Levels are the observed distincts, or pass a dict
     ``{column: [categories]}`` to supply explicit category lists (the
-    Spark stand-in for the reference's CategoricalDtype categories)."""
+    Spark stand-in for the reference's CategoricalDtype categories).
+
+    ``flatten_levels=False`` (MultiIndex output columns,
+    ``pivot.py:1870``) has no Spark representation — flat names are the
+    only column model — so it raises; ``reset_index`` is pandas index
+    bookkeeping, accepted as a no-op (the index columns are already
+    ordinary columns here)."""
+    if not flatten_levels:
+        raise ValueError(
+            "flatten_levels=False (MultiIndex columns) has no Spark "
+            "representation; column names are always flat"
+        )
     idx = resolve_columns(df, index)
     names = resolve_columns(df, names_from)
     values = resolve_columns(df, values_from)
