@@ -201,6 +201,8 @@ def pivot_longer(
     names_transform: dict[str, str] | None = None,
     dropna: bool = False,
     sort_by_appearance: bool = False,
+    column_level: int | str | None = None,
+    ignore_index: bool = True,
 ) -> DataFrame:
     """tidyr-style unpivot (ref ``pivot.py:26-410``): ``names_to`` may
     contain ``.value`` placeholders; ``names_sep`` or ``names_pattern``
@@ -221,7 +223,16 @@ def pivot_longer(
     ``sort_by_appearance``: Spark's ``stack`` already emits each input
     row's unpivoted entries consecutively (appearance order) and frames
     carry no global order; when a ``_row_order`` column is present the
-    result is additionally sorted by it."""
+    result is additionally sorted by it.  ``column_level`` selects a
+    MultiIndex header level (``pivot.py:32``) — flat names are the only
+    Spark column model, so any non-default value raises;
+    ``ignore_index`` is pandas row-index bookkeeping, accepted as a
+    no-op (rows are unlabelled here)."""
+    if column_level is not None and column_level != 0:
+        raise ValueError(
+            "column_level refers to MultiIndex column levels; Spark "
+            "column names are flat (use collapse_levels first)"
+        )
     if index is not None:
         idx = resolve_columns(df, index)
         cols = (
