@@ -61,13 +61,17 @@ def groupby_agg(
     form their own group natively (== dropna=False); ``dropna=True``
     nulls out the result for null-keyed rows, matching pandas."""
     keys = resolve_columns(df, by)
-    if agg not in _AGGS:
-        raise KeyError(f"unsupported agg {agg!r}")
     w = Window.partitionBy(*keys)
-    if agg in _WINDOWED_AGGS:
+    if callable(agg):
+        # reference accepts callables (groupby_agg.py agg param); here
+        # the callable builds a Column aggregate, applied over the window
+        expr = agg(F.col(agg_column_name)).over(w)
+    elif agg in _WINDOWED_AGGS:
         expr = _WINDOWED_AGGS[agg](F.col(agg_column_name), w)
-    else:
+    elif agg in _AGGS:
         expr = _AGGS[agg](F.col(agg_column_name)).over(w)
+    else:
+        raise KeyError(f"unsupported agg {agg!r}")
     if dropna:
         null_key = None
         for k in keys:

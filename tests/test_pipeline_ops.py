@@ -385,3 +385,12 @@ def test_top_ngrams_deterministic_tiebreak(spark):
     df = spark.createDataFrame([("x y",), ("p q",)], "text string")
     rows = [r["ngram"] for r in pj.top_ngrams(df, "text", n=2, k=2).collect()]
     assert rows == ["p q", "x y"]  # equal counts -> lexicographic
+
+
+def test_groupby_agg_callable(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
+    )
+    out = pj.groupby_agg(df, "k", "rng", "v", lambda c: F.max(c) - F.min(c))
+    got = {(r["k"], r["v"]): r["rng"] for r in out.collect()}
+    assert got[("a", 1.0)] == 2.0 and got[("b", 5.0)] == 0.0
