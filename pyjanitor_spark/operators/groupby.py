@@ -63,9 +63,22 @@ def groupby_agg(
     keys = resolve_columns(df, by)
     w = Window.partitionBy(*keys)
     if callable(agg):
-        # reference accepts callables (groupby_agg.py agg param); here
-        # the callable builds a Column aggregate, applied over the window
-        expr = agg(F.col(agg_column_name)).over(w)
+        # reference accepts callables (groupby_agg.py agg param).  A
+        # 1-arg callable must return a SINGLE aggregate (``.over`` binds
+        # to the outermost expression only — a composite like max-min
+        # would leave its inner aggregates group-less); composite
+        # expressions take a 2-arg ``(col, window)`` callable and attach
+        # ``.over`` per aggregate themselves.
+        import inspect
+
+        try:
+            nparams = len(inspect.signature(agg).parameters)
+        except (TypeError, ValueError):
+            nparams = 1
+        if nparams >= 2:
+            expr = agg(F.col(agg_column_name), w)
+        else:
+            expr = agg(F.col(agg_column_name)).over(w)
     elif agg in _WINDOWED_AGGS:
         expr = _WINDOWED_AGGS[agg](F.col(agg_column_name), w)
     elif agg in _AGGS:

@@ -391,6 +391,12 @@ def test_groupby_agg_callable(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double"
     )
-    out = pj.groupby_agg(df, "k", "rng", "v", lambda c: F.max(c) - F.min(c))
+    out = pj.groupby_agg(
+        df, "k", "rng", "v", lambda c, w: F.max(c).over(w) - F.min(c).over(w)
+    )
     got = {(r["k"], r["v"]): r["rng"] for r in out.collect()}
     assert got[("a", 1.0)] == 2.0 and got[("b", 5.0)] == 0.0
+    # 1-arg callable: a single aggregate function
+    out2 = pj.groupby_agg(df, "k", "mx", "v", F.max)
+    got2 = {(r["k"], r["v"]): r["mx"] for r in out2.collect()}
+    assert got2[("a", 1.0)] == 3.0
