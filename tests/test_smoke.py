@@ -57,3 +57,23 @@ def test_fill_direction(missing_df):
     assert got[2][0] == 2
     # row 1 had Bell__Chart=None -> bfill from row 2 => 3.2346
     assert abs(got[1][1] - 3.2346) < 1e-9
+
+
+def test_let_combinator_binds_value(spark):
+    from pyspark.sql import functions as F
+    from pyjanitor_spark.utils.expr import let
+
+    df = spark.createDataFrame([("a b c",), (None,)], "t string")
+    bound = df.select(
+        let(
+            F.split(F.col("t"), " "),
+            lambda toks: F.transform(toks, lambda x: F.concat(x, x)),
+        ).alias("o")
+    )
+    direct = df.select(
+        F.transform(F.split(F.col("t"), " "), lambda x: F.concat(x, x)).alias("o")
+    )
+    assert [r["o"] for r in bound.collect()] == [r["o"] for r in direct.collect()]
+    # scalar values work too
+    one = df.select(let(F.length("t"), lambda n: n + n).alias("o")).collect()
+    assert [r["o"] for r in one] == [10, None]
