@@ -887,13 +887,13 @@ def q_process_text_fallback(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness gate samples entries in
-    # insertion order, so the queries whose rows are not yet on record in
-    # CORRECTNESS_r01/r02 come FIRST; the 50 queries already verified in
-    # those rounds follow.
+    # NOTE on ordering: the driver's correctness gate samples the FIRST 50
+    # entries in insertion order. Round 4 rotated chunk_text / sessionize /
+    # running_counter / top_domains (replica-green, never driver-checked)
+    # into the window, swapping out exp / logit / add_columns / move_reorder
+    # (each already has two green driver rows, r02+r03).
     return {
-        # ---- first 50: not yet on record (r01/r02 covered the queries
-        # below this block), plus the round-3 additions ----
+        # ---- first 50: everything not yet double-verified by the driver ----
         "fill_direction": q_fill_direction,
         "dedupe_exact": q_dedupe_exact,
         "fingerprint": q_fingerprint,
@@ -915,20 +915,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_description": q_data_description,
         "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
-        "exp": q_exp,
-        "logit": q_logit,
+        "chunk_text": q_chunk_text,
+        "sessionize": q_sessionize,
         "normal_cdf": q_normal_cdf,
         "probit": q_probit,
         "convert_matlab_date": q_convert_matlab_date,
         "remove_empty": q_remove_empty,
         "limit_column_characters": q_limit_column_characters,
         "label_encode": q_label_encode,
-        "add_columns": q_add_columns,
+        "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
         "pivot_longer_spec": q_pivot_longer_spec,
         "encode_categorical": q_encode_categorical,
-        "move_reorder": q_move_reorder,
+        "top_domains": q_top_domains,
         "shuffle": q_shuffle,
         "jitter": q_jitter,
         "sort_column_value_order": q_sort_column_value_order,
@@ -996,11 +996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
-        # round-3 additions past the 50-cap: rotate forward next round
-        "chunk_text": q_chunk_text,
-        "sessionize": q_sessionize,
-        "running_counter": q_running_counter,
-        "top_domains": q_top_domains,
+        # rotated out of the first-50 window in round 4 (each has two green
+        # driver rows already: r02/r03); replica keeps covering them
+        "exp": q_exp,
+        "logit": q_logit,
+        "add_columns": q_add_columns,
+        "move_reorder": q_move_reorder,
     }
 
 
@@ -1272,10 +1273,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(n - s + 1, 64) AS INT) AS chunk_n_tokens FROM st"
         ),
         "sessionize": (
-            # gaps-and-islands: a session breaks when the gap to the
-            # previous event exceeds 10 minutes
+            # gaps-and-islands: Spark's session_window end is EXCLUSIVE, so an
+            # event landing exactly `gap` after the previous one starts a new
+            # session — hence >= (not >) in the break condition
             "WITH t AS (SELECT user_id, event_id, ts, CASE WHEN "
-            "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE "
+            "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE "
             "THEN 1 ELSE 0 END AS brk FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "s AS (SELECT user_id, event_id, ts, sum(brk) OVER "
