@@ -2,8 +2,9 @@
 
 All grouped verbs compile to ``Window.partitionBy(keys)`` — exactly ONE
 hash shuffle on the group keys, partial aggregation map-side where Spark
-supports it.  Verbs that need a TOTAL order (``count_cumulative_unique``
-without ``by``, ``ecdf``) document the single-task final window.
+supports it.  Verbs that need a TOTAL order (``count_cumulative_unique``,
+``ecdf``) use the partition-offset pattern (``utils.order``) instead of a
+global single-task window.
 """
 
 from __future__ import annotations
@@ -13,7 +14,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyjanitor_spark.utils.order import ensure_order_column
+from pyjanitor_spark.utils.order import ensure_order_column, partitioned_cumsum
 from pyjanitor_spark.utils.select import resolve_columns
 
 __all__ = [
@@ -131,17 +132,21 @@ def count_cumulative_unique(
     """Running count of distinct values seen so far (ref
     ``count_cumulative_unique.py:13-112``).
 
-    Two windows: flag first occurrence per value (parallel, partitioned
-    by value), then a cumulative sum over the total order (single-task
-    final stage — intrinsic to the running-total semantics)."""
+    Scalable two-stage plan: flag the first occurrence per value
+    (parallel window partitioned by the value), then a partition-
+    parallel running sum of the flags via ``partitioned_cumsum`` —
+    range-repartition on the order column, per-partition partial sums,
+    broadcast offsets, in-partition cumulative window.  No single-task
+    stage anywhere (the old plan's global ``Window.orderBy`` funneled
+    every row through one task)."""
     df, ocol, added = ensure_order_column(df, order_by)
     val = F.col(column_name) if case_sensitive else F.lower(F.col(column_name))
     w_first = Window.partitionBy(val).orderBy(F.col(ocol))
-    w_cum = Window.orderBy(F.col(ocol)).rowsBetween(Window.unboundedPreceding, 0)
-    out = (
-        df.withColumn("__is_first", (F.row_number().over(w_first) == 1).cast("long"))
-        .withColumn(dest_column_name, F.sum("__is_first").over(w_cum))
-        .drop("__is_first")
+    flagged = df.withColumn(
+        "__is_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    out = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name).drop(
+        "__is_first"
     )
     return out.drop(ocol) if added else out
 

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 ORDER_COL = "_row_order"
 
-__all__ = ["ORDER_COL", "ensure_order_column", "positional_index"]
+__all__ = ["ORDER_COL", "ensure_order_column", "positional_index", "partitioned_cumsum"]
 
 
 def positional_index(df: DataFrame, name: str) -> DataFrame:
@@ -37,11 +37,22 @@ def positional_index(df: DataFrame, name: str) -> DataFrame:
     computed scalably: per-partition ``row_number`` plus a broadcast of
     cumulative partition offsets (one tiny agg of #partitions rows) —
     no global single-task window.  After an ``orderBy`` (range-partitioned
-    total sort) this yields the global sort rank."""
+    total sort) this yields the global sort rank.
+
+    ``localCheckpoint`` pins the input before the plan branches: the
+    offsets aggregate and the joined branch must read the SAME partition
+    layout, and without materialization a nondeterministic upstream (or
+    an AQE re-plan between the two executions) could hand each branch
+    different ``__pid``/``__mid`` assignments.  (Non-durable checkpoint:
+    on executor loss the job retries from the action — acceptable; use a
+    durable ``checkpoint_dir`` pattern as in ``near_dup_clusters`` when
+    running under preemption.)"""
     from pyspark.sql import Window
 
-    d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__mid", F.monotonically_increasing_id()
+    d = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
     )
     sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -53,6 +64,52 @@ def positional_index(df: DataFrame, name: str) -> DataFrame:
         d.join(F.broadcast(offsets), "__pid")
         .withColumn(name, F.col("__off") + F.row_number().over(w_in) - 1)
         .drop("__pid", "__mid", "__off")
+    )
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    dest: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value_col`` over the total order of
+    ``order_col`` with NO single-task stage.
+
+    Plan: range-repartition on the order column (RangePartitioning
+    assigns ascending, contiguous partition ids, and keeps equal keys in
+    one partition), per-partition partial sums, broadcast the cumulative
+    offsets (one tiny #partitions-row aggregate — the only unpartitioned
+    window, bounded by the partition count), then an in-partition
+    cumulative window plus the offset.  ``localCheckpoint`` pins the
+    partition layout so the offsets aggregate and the main branch read
+    identical partitions (see ``positional_index``)."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc()
+    d = (
+        df.repartitionByRange(num_partitions, order)
+        if num_partitions
+        else df.repartitionByRange(order)
+    )
+    d = d.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    sizes = d.groupBy("__pid").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("__psum")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "__off", F.coalesce(F.sum("__psum").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(dest, F.col("__off") + F.sum(value_col).over(w_in))
+        .drop("__pid", "__off")
     )
 
 

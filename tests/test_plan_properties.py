@@ -199,6 +199,25 @@ def test_bloom_probe_is_broadcast(documents):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_count_cumulative_unique_no_global_window(lineitem):
+    """The running-total stage must be the partition-offset pattern:
+    every row-spanning window is partitioned by __pid (the only
+    unpartitioned window is the tiny #partitions-row offsets agg), and
+    the offsets table joins back via broadcast."""
+    from pyjanitor_spark.plans import broadcast_join_count, executed_plan
+
+    out = pj.count_cumulative_unique(
+        lineitem.select("l_orderkey", "l_returnflag"), "l_returnflag", "cum_u"
+    )
+    assert broadcast_join_count(out) >= 1
+    plan = executed_plan(out)
+    # the old single-task shape ordered a row-level window by _row_order
+    # with no partition keys: windowspecdefinition(_row_order ...
+    for line in plan.splitlines():
+        if "windowspecdefinition(_row_order" in line:
+            raise AssertionError(f"global row-level window regressed: {line}")
+
+
 def test_positional_index_offsets_broadcast(lineitem):
     """positional_index: the per-partition offset table joins back via
     broadcast (tiny), not a shuffle of the data."""
