@@ -315,6 +315,7 @@ def embedding_near_dup(
     auto_block_planes: int | None = None,
     auto_block_bands: int = 4,
     dim: int | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
@@ -327,8 +328,22 @@ def embedding_near_dup(
     is compared if it collides in ANY band.  Per-plane agreement p =
     1 - arccos(cos)/π, so recall ≈ 1-(1-p^planes)^bands — ~0.985 at
     cos 0.95 with the 4×4 default — while each band shuffles only a
-    short bit-string key.  Without either, a full cross join: only for
-    small frames."""
+    short bit-string key.
+
+    The unblocked path is an O(n²) cross join, never taken silently:
+    with no ``block_col`` and no ``auto_block_planes``, a provided
+    ``dim`` auto-enables 8-plane banded blocking, and otherwise the call
+    raises unless ``allow_cross_join=True`` (exact brute force — small
+    frames only)."""
+    if block_col is None and not auto_block_planes and not allow_cross_join:
+        if dim is not None:
+            auto_block_planes = 8
+        else:
+            raise ValueError(
+                "embedding_near_dup without block_col/auto_block_planes is an "
+                "O(n^2) cross join; pass dim= to auto-enable hyperplane "
+                "blocking, or allow_cross_join=True for exact brute force"
+            )
     dedup_pairs = False
     if block_col is None and auto_block_planes:
         if dim is None:

@@ -123,7 +123,9 @@ class TestPiiRedact:
 def test_embedding_near_dup_auto_block(embeddings):
     e = embeddings
     dim = len(e.select("embedding").first()[0])
-    brute = pj.embedding_near_dup(e, "vec_id", "embedding", threshold=0.4)
+    brute = pj.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4, allow_cross_join=True
+    )
     auto = pj.embedding_near_dup(
         e, "vec_id", "embedding", threshold=0.4,
         auto_block_planes=4, auto_block_bands=8, dim=dim,
@@ -139,6 +141,27 @@ def test_embedding_near_dup_auto_block_requires_dim(embeddings):
     import pytest
     with pytest.raises(ValueError):
         pj.embedding_near_dup(embeddings, "vec_id", "embedding", auto_block_planes=4)
+
+
+def test_embedding_near_dup_no_silent_cross_join(embeddings):
+    """Unblocked + no dim + no opt-in must raise, not plan an O(n^2) join."""
+    import pytest
+    with pytest.raises(ValueError, match="cross join"):
+        pj.embedding_near_dup(embeddings, "vec_id", "embedding")
+
+
+def test_embedding_near_dup_dim_auto_blocks(embeddings):
+    """dim= alone auto-enables hyperplane blocking (no ValueError, no
+    unconditional cross join: pairs are a subset of brute force)."""
+    e = embeddings
+    dim = len(e.select("embedding").first()[0])
+    auto = pj.embedding_near_dup(e, "vec_id", "embedding", threshold=0.4, dim=dim)
+    brute = pj.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4, allow_cross_join=True
+    )
+    ap = {(r["id_1"], r["id_2"]) for r in auto.collect()}
+    bp = {(r["id_1"], r["id_2"]) for r in brute.collect()}
+    assert ap <= bp
 
 
 class TestChunkText:
