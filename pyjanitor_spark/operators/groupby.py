@@ -73,7 +73,19 @@ def groupby_agg(
         import inspect
 
         try:
-            nparams = len(inspect.signature(agg).parameters)
+            # count only REQUIRED params: builtins like F.first/F.last carry
+            # defaulted extras (ignorenulls=True) and must take the 1-arg
+            # single-aggregate path, not receive the Window positionally
+            nparams = sum(
+                1
+                for p in inspect.signature(agg).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind
+                not in (
+                    inspect.Parameter.VAR_POSITIONAL,
+                    inspect.Parameter.VAR_KEYWORD,
+                )
+            )
         except (TypeError, ValueError):
             nparams = 1
         if nparams >= 2:

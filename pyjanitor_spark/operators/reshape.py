@@ -411,7 +411,17 @@ def pivot_wider(
             else:
                 lv = df.select(c).distinct()
             grid = lv if grid is None else grid.crossJoin(lv)
-        out = grid.join(out, idx, "left")
+        # null-SAFE equality: distinct() keeps a NULL level, and a plain
+        # name-list join (null != null) would silently drop pivot rows
+        # whose index contains NULL
+        cond = None
+        for c in idx:
+            e = grid[c].eqNullSafe(out[c])
+            cond = e if cond is None else cond & e
+        out = grid.join(out, cond, "left").select(
+            *[grid[c] for c in idx],
+            *[out[c] for c in out.columns if c not in idx],
+        )
     if fill_value is not None:
         out = out.na.fill(fill_value, subset=[c for c in out.columns if c not in idx])
     return out

@@ -116,13 +116,22 @@ def read_jsonl(
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_column, T.StringType())]
     )
-    lines = spark.read.text(path)
+    # forward user options down BOTH halves of this path: line-level ones
+    # (lineSep, encoding, ...) to the text scan, the rest (dateFormat,
+    # timestampFormat, locale, ...) into from_json — otherwise reader
+    # kwargs silently apply only to schema inference
+    text_opts = {
+        k: v for k, v in opts.items() if k in ("lineSep", "encoding", "wholetext")
+    }
+    json_opts = {
+        k: v for k, v in opts.items() if k not in ("multiLine", *text_opts)
+    }
+    json_opts.update(
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_column}
+    )
+    lines = spark.read.options(**text_opts).text(path)
     parsed = lines.select(
-        F.from_json(
-            F.col("value"),
-            with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_column},
-        ).alias("__j")
+        F.from_json(F.col("value"), with_corrupt, json_opts).alias("__j")
     )
     return parsed.select("__j.*")
 

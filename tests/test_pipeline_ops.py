@@ -400,3 +400,11 @@ def test_groupby_agg_callable(spark):
     out2 = pj.groupby_agg(df, "k", "mx", "v", F.max)
     got2 = {(r["k"], r["v"]): r["mx"] for r in out2.collect()}
     assert got2[("a", 1.0)] == 3.0
+    # defaulted extra params (F.first's ignorenulls=True) must NOT flip
+    # the callable onto the (col, window) composite path
+    df1 = spark.createDataFrame(
+        [("a", 2.0), ("a", 2.0), ("b", 7.0)], "k string, v double"
+    )
+    out3 = pj.groupby_agg(df1, "k", "f", "v", F.first)
+    got3 = {r["k"]: r["f"] for r in out3.collect()}
+    assert got3 == {"a": 2.0, "b": 7.0}

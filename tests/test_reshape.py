@@ -299,6 +299,19 @@ def test_pivot_wider_names_expand_and_index_expand(spark):
     assert rows["z"] == (None, None) and rows["x"] == (1, 2)
 
 
+def test_pivot_wider_index_expand_keeps_null_index(spark):
+    """index_expand joins null-SAFELY: pivot rows whose index is NULL
+    keep their values (a plain name-list left join drops them)."""
+    df = spark.createDataFrame(
+        [("x", "a", 1), (None, "a", 9), (None, "b", 8)],
+        "id string, grp string, v int",
+    )
+    out = pj.pivot_wider(df, "id", "grp", "v", index_expand=True)
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows[None] == (9, 8)
+    assert rows["x"] == (1, None)
+
+
 def test_ragged_spec_null_slot_uses_group_dtype(spark):
     df = spark.createDataFrame([("x", 1, 1.5)], "id string, v int, w double")
     spec = [

@@ -94,6 +94,30 @@ class TestReadJsonl:
         )
         assert df.collect()[0]["id"] == 7
 
+    def test_reader_options_reach_permissive_path(self, spark, tmp_path):
+        """User options (dateFormat, ...) must apply to the text+from_json
+        default path, not only to inference/DROPMALFORMED."""
+        import datetime
+
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"id": 1, "d": "31/12/2020"}\n')
+        from pyjanitor_spark.sources import read_jsonl
+
+        df = read_jsonl(
+            spark, str(p), schema="id BIGINT, d DATE", dateFormat="dd/MM/yyyy"
+        )
+        row = df.collect()[0]
+        assert row["d"] == datetime.date(2020, 12, 31)
+        assert row["_corrupt_record"] is None
+
+    def test_line_sep_reaches_text_scan(self, spark, tmp_path):
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"id": 1};{"id": 2}')
+        from pyjanitor_spark.sources import read_jsonl
+
+        df = read_jsonl(spark, str(p), schema="id BIGINT", lineSep=";")
+        assert sorted(r["id"] for r in df.collect()) == [1, 2]
+
     def test_dropmalformed(self, spark, tmp_path):
         p = tmp_path / "d.jsonl"
         p.write_text('{"id": 1}\n{oops\n{"id": 2}\n')
