@@ -149,19 +149,20 @@ def conditional_join(
         joined = left.join(rgt, on=pred, how="full" if how == "outer" else how)
 
     if keep != "all":
-        # order by the right condition columns, then by every remaining
-        # right data column (fixed name order) — a content-based
-        # tie-break, so right rows tying on the condition values cannot
-        # flip across partition layouts or AQE reruns.  Rows still tied
-        # after that are identical, so either pick is the same output.
+        # order by the right condition columns, then a SINGLE md5 of the
+        # remaining right columns (json-serialized struct) — a content-
+        # based tie-break, so right rows tying on the condition values
+        # cannot flip across partition layouts or AQE reruns, with a
+        # comparator bounded at 32 bytes however wide the right table is
+        # (the old key sorted every remaining column).  Rows still tied
+        # after that are identical, so either pick is the same output;
+        # to_json also covers map columns, which aren't directly orderable.
         cond_rnames = [rname(rc) for _, rc, _ in conditions]
-        types = dict(joined.dtypes)
-        tie = [
-            c
-            for c in sorted(set(rname(c) for c in right.columns) - set(cond_rnames))
-            if not types.get(c, "").startswith("map")  # maps aren't orderable
-        ]
-        order_cols = [F.col(c) for c in cond_rnames + tie]
+        rest = sorted(set(rname(c) for c in right.columns) - set(cond_rnames))
+        tie = (
+            [F.md5(F.to_json(F.struct(*[F.col(c) for c in rest])))] if rest else []
+        )
+        order_cols = [F.col(c) for c in cond_rnames] + tie
         order = (
             [c.asc_nulls_last() for c in order_cols]
             if keep == "first"

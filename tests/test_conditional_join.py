@@ -168,15 +168,35 @@ def test_keep_first_tie_deterministic_across_layouts(spark):
         )
         outs.append(sorted((r["k"], r["payload"]) for r in out.collect()))
     assert outs[0] == outs[1]
-    # content-based tie-break: equal condition values order by payload
-    assert outs[0] == [(1, "a"), (2, "x"), (3, "m")]
+    # content-based tie-break: equal condition values order by
+    # md5(to_json(struct(payload))) — recompute the expected pick from the
+    # same hash so the assert documents the contract, not a magic value
+    import hashlib
+
+    def md5_first(payloads):
+        return min(
+            payloads,
+            key=lambda p: hashlib.md5(f'{{"payload":"{p}"}}'.encode()).hexdigest(),
+        )
+
+    assert outs[0] == [
+        (1, md5_first(["a", "b"])),
+        (2, md5_first(["x", "y", "z"])),
+        (3, "m"),
+    ]
 
 
 def test_keep_last_tie_deterministic(spark):
+    import hashlib
+
     left = spark.createDataFrame([(1,)], ["k"])
     right = spark.createDataFrame([(1, "b"), (1, "a"), (1, "c")], ["k", "payload"])
     out = pj.conditional_join(left, right, ("k", "k", "=="), keep="last")
-    assert [(r["k"], r["payload"]) for r in out.collect()] == [(1, "c")]
+    expected = max(
+        ["a", "b", "c"],
+        key=lambda p: hashlib.md5(f'{{"payload":"{p}"}}'.encode()).hexdigest(),
+    )
+    assert [(r["k"], r["payload"]) for r in out.collect()] == [(1, expected)]
 
 
 @pytest.mark.parametrize("how", ["right", "outer"])
