@@ -19,8 +19,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # representative mix: scan+filter, window agg, dedup window, ordered
-# windows, grouped topk, math, reshape-ish expressions, plus the
-# corpus-pipeline ops (LSH dedup end-to-end, ANN, hash sampling)
+# windows, grouped topk, math, reshape-ish expressions, the
+# corpus-pipeline ops (LSH dedup end-to-end, ANN, hash sampling), and
+# the three custom physical strategies (bucketized range join, the
+# stack() pivot executor, bloom-bitmap dedup) so their plans are
+# tracked round-over-round
 HEADLINE = [
     "groupby_agg",
     "filter_date",
@@ -36,6 +39,9 @@ HEADLINE = [
     "dedupe_near",
     "cosine_topk",
     "deterministic_sample",
+    "conditional_join_range",
+    "pivot_longer",
+    "bloom_dedupe_against",
 ]
 
 
