@@ -1,0 +1,188 @@
+"""Minimal stdlib .xlsx reader (``zipfile`` + ``xml.etree``).
+
+An ``.xlsx`` workbook is a documented public format (ECMA-376 /
+ISO 29500 "SpreadsheetML"): a zip archive of XML parts.  This module
+parses just the parts the ``xlsx_table`` / ``xlsx_cells`` verbs need —
+workbook sheet list, relationship targets, the shared-string table,
+per-sheet cell grids, and declared table definitions — with no optional
+dependency, so the verbs work in containers without openpyxl.
+
+Driver-side by design: spreadsheets are inherently single-machine
+inputs (bounded by workbook size), the resulting DataFrame is what
+distributes.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+_R_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+_CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
+
+__all__ = ["Workbook", "Cell", "col_to_num", "num_to_col"]
+
+
+def col_to_num(letters: str) -> int:
+    """'A' -> 1, 'Z' -> 26, 'AA' -> 27 (base-26 bijective)."""
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n
+
+
+def num_to_col(n: int) -> str:
+    out = ""
+    while n > 0:
+        n, rem = divmod(n - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+class Cell:
+    __slots__ = ("row", "column", "data_type", "value", "formula")
+
+    def __init__(self, row, column, data_type, value, formula=None):
+        self.row = row
+        self.column = column
+        self.data_type = data_type  # openpyxl-style: n / s / b / e / f
+        self.value = value  # cached (computed) value, python-typed
+        self.formula = formula  # "=..." when the cell holds a formula
+
+    @property
+    def coordinate(self) -> str:
+        return f"{num_to_col(self.column)}{self.row}"
+
+
+def _text(el) -> str:
+    """Concatenated text of every ``t`` descendant (rich-text runs)."""
+    return "".join(t.text or "" for t in el.iter() if t.tag.endswith("}t"))
+
+
+def _parse_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
+    """Relationship id -> zip member name, resolved relative to *part*."""
+    rels_name = posixpath.join(posixpath.dirname(part), "_rels", posixpath.basename(part) + ".rels")
+    if rels_name not in zf.namelist():
+        return {}
+    out = {}
+    for rel in ET.fromstring(zf.read(rels_name)).iter():
+        if not rel.tag.endswith("}Relationship"):
+            continue
+        target = rel.get("Target", "")
+        if target.startswith("/"):
+            resolved = target.lstrip("/")
+        else:
+            resolved = posixpath.normpath(
+                posixpath.join(posixpath.dirname(part), target)
+            )
+        out[rel.get("Id")] = resolved
+    return out
+
+
+def _typed(raw: str | None, t: str):
+    """Python-type a cached cell value per its xlsx type attribute."""
+    if raw is None:
+        return None
+    if t == "b":
+        return raw in ("1", "true", "TRUE")
+    if t == "n":
+        try:
+            f = float(raw)
+        except ValueError:
+            return raw
+        return int(f) if f.is_integer() and ("." not in raw and "e" not in raw.lower()) else f
+    return raw
+
+
+class Workbook:
+    """Parsed workbook: ``sheets`` (ordered name -> list[Cell]) and
+    ``tables`` (name -> (sheet, ref)) for declared Excel tables."""
+
+    def __init__(self, path: str):
+        self.sheets: dict[str, list[Cell]] = {}
+        self.tables: dict[str, tuple[str, str]] = {}
+        with zipfile.ZipFile(path) as zf:
+            wb_rels = _parse_rels(zf, "xl/workbook.xml")
+            shared = self._shared_strings(zf)
+            for sheet in ET.fromstring(zf.read("xl/workbook.xml")).iter():
+                if not sheet.tag.endswith("}sheet"):
+                    continue
+                name = sheet.get("name")
+                member = wb_rels.get(sheet.get(_R_ID))
+                if member is None or member not in zf.namelist():
+                    continue
+                self.sheets[name] = self._parse_sheet(zf, member, shared)
+                self._parse_tables(zf, member, name)
+
+    @staticmethod
+    def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+        if "xl/sharedStrings.xml" not in zf.namelist():
+            return []
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        return [_text(si) for si in root if si.tag.endswith("}si")]
+
+    @staticmethod
+    def _parse_sheet(zf, member: str, shared: list[str]) -> list[Cell]:
+        cells: list[Cell] = []
+        row_num = 0
+        for row in ET.fromstring(zf.read(member)).iter():
+            if not row.tag.endswith("}row"):
+                continue
+            row_num = int(row.get("r", row_num + 1))
+            col_num = 0
+            for c in row:
+                if not c.tag.endswith("}c"):
+                    continue
+                ref = c.get("r")
+                if ref:
+                    m = _CELL_REF.match(ref)
+                    col_num = col_to_num(m.group(1))
+                    row_num = int(m.group(2))
+                else:
+                    col_num += 1
+                t = c.get("t", "n")
+                formula = None
+                raw = None
+                for child in c:
+                    if child.tag.endswith("}f"):
+                        formula = "=" + (child.text or "")
+                    elif child.tag.endswith("}v"):
+                        raw = child.text
+                    elif child.tag.endswith("}is"):
+                        raw = _text(child)
+                if t in ("s",) and raw is not None:
+                    value = shared[int(raw)]
+                    dt = "s"
+                elif t in ("str", "inlineStr"):
+                    value, dt = raw, "s"
+                else:
+                    value = _typed(raw, t)
+                    dt = t  # n / b / e
+                if formula is not None:
+                    dt = "f"
+                cells.append(Cell(row_num, col_num, dt, value, formula))
+        return cells
+
+    def _parse_tables(self, zf, member: str, sheet_name: str) -> None:
+        for target in _parse_rels(zf, member).values():
+            if "/tables/" not in target or target not in zf.namelist():
+                continue
+            tbl = ET.fromstring(zf.read(target))
+            name = tbl.get("displayName") or tbl.get("name")
+            ref = tbl.get("ref")
+            if name and ref:
+                self.tables[name] = (sheet_name, ref)
+
+    def range_values(self, sheet: str, ref: str) -> list[list]:
+        """Dense 2-D grid of cached values for a 'A1:C4'-style range."""
+        start, _, end = ref.partition(":")
+        m1, m2 = _CELL_REF.match(start), _CELL_REF.match(end or start)
+        c1, r1 = col_to_num(m1.group(1)), int(m1.group(2))
+        c2, r2 = col_to_num(m2.group(1)), int(m2.group(2))
+        grid = [[None] * (c2 - c1 + 1) for _ in range(r2 - r1 + 1)]
+        for cell in self.sheets.get(sheet, ()):
+            if r1 <= cell.row <= r2 and c1 <= cell.column <= c2:
+                grid[cell.row - r1][cell.column - c1] = cell.value
+        return grid

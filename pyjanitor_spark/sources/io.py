@@ -153,27 +153,33 @@ def xlsx_table(
     spark: SparkSession, path: str, table: str | None = None
 ) -> DataFrame | dict[str, DataFrame]:
     """Extract declared Excel tables (ref ``io.py:159-342``).  Excel is
-    inherently single-machine: driver-side openpyxl parse (bounded by the
-    workbook size) -> DataFrame.  openpyxl-gated (not bundled here)."""
-    try:
-        import openpyxl
-    except ImportError as e:  # pragma: no cover - gated dependency
-        raise ImportError("xlsx_table requires openpyxl") from e
-    wb = openpyxl.load_workbook(path, data_only=True)  # pragma: no cover
-    out: dict[str, DataFrame] = {}  # pragma: no cover
-    for ws in wb.worksheets:  # pragma: no cover
-        for tname, tbl in getattr(ws, "tables", {}).items():
-            ref = tbl.ref if hasattr(tbl, "ref") else tbl
-            rows = [[c.value for c in row] for row in ws[ref]]
-            header, *data = rows
-            out[tname] = spark.createDataFrame(
-                [tuple(r) for r in data], schema=[str(h) for h in header]
-            )
-    if table is not None:  # pragma: no cover
+    inherently single-machine: driver-side parse (bounded by the
+    workbook size) -> DataFrame.  Implemented on the stdlib
+    ``zipfile``+``xml.etree`` reader (``_xlsx.py``) — xlsx is a public
+    documented format (ECMA-376), so no openpyxl gate.  Formula cells
+    contribute their cached computed value, matching the reference's
+    ``data_only`` read."""
+    from pyjanitor_spark.sources._xlsx import Workbook
+
+    wb = Workbook(path)
+    out: dict[str, DataFrame] = {}
+    for tname, (sheet, ref) in wb.tables.items():
+        header, *data = wb.range_values(sheet, ref)
+        cols = [str(h) for h in header]
+        # per-column numeric unification: Spark's inference rejects a
+        # column mixing int and float rows
+        for j in range(len(cols)):
+            vals = [r[j] for r in data]
+            if any(isinstance(v, float) for v in vals):
+                for i, v in enumerate(vals):
+                    if isinstance(v, int) and not isinstance(v, bool):
+                        data[i][j] = float(v)
+        out[tname] = spark.createDataFrame([tuple(r) for r in data], schema=cols)
+    if table is not None:
         if table not in out:
             raise KeyError(f"no table named {table!r} in {path!r}")
         return out[table]
-    return out  # pragma: no cover
+    return out
 
 
 def xlsx_cells(
@@ -185,31 +191,31 @@ def xlsx_cells(
     """One-row-per-cell melt of a spreadsheet (ref ``io.py:345-617``):
     (sheet, row, column, coordinate, data_type, value) — the dict-valued
     formatting cells of the reference map to typed columns here.
-    Driver-side openpyxl parse, gated (openpyxl not bundled here)."""
-    try:
-        import openpyxl
-    except ImportError as e:  # pragma: no cover - gated dependency
-        raise ImportError("xlsx_cells requires openpyxl") from e
-    wb = openpyxl.load_workbook(path, data_only=False)  # pragma: no cover
-    rows = []  # pragma: no cover
-    for ws in wb.worksheets:  # pragma: no cover
-        if sheetnames is not None and ws.title not in sheetnames:
+    Driver-side stdlib parse (``_xlsx.py``, no openpyxl needed); like
+    the reference's openpyxl read with ``data_only=False``, formula
+    cells carry the formula string as their value (data_type ``f``)."""
+    from pyjanitor_spark.sources._xlsx import Workbook
+
+    wb = Workbook(path)
+    rows = []
+    for sheet, cells in wb.sheets.items():
+        if sheetnames is not None and sheet not in sheetnames:
             continue
-        for row in ws.iter_rows():
-            for cell in row:
-                if cell.value is None and not include_blank_cells:
-                    continue
-                rows.append(
-                    (
-                        ws.title,
-                        int(cell.row),
-                        int(cell.column),
-                        str(cell.coordinate),
-                        str(cell.data_type),
-                        None if cell.value is None else str(cell.value),
-                    )
+        for cell in cells:
+            value = cell.formula if cell.formula is not None else cell.value
+            if value is None and not include_blank_cells:
+                continue
+            rows.append(
+                (
+                    sheet,
+                    int(cell.row),
+                    int(cell.column),
+                    cell.coordinate,
+                    cell.data_type,
+                    None if value is None else str(value),
                 )
-    return spark.createDataFrame(  # pragma: no cover
+            )
+    return spark.createDataFrame(
         rows,
         "sheet string, row int, column int, coordinate string, "
         "data_type string, value string",
