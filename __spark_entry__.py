@@ -1558,21 +1558,33 @@ def _pipeline_oracles() -> dict[str, str]:
         "SELECT doc_id, q_len, q_punct, q_stop, q_wordlen, "
         "(q_len + q_punct + q_stop + q_wordlen) / 4.0 AS quality FROM v"
     )
-    # marker lists generated from the SAME dict the Spark side uses, so
-    # the two can never drift
-    from pyjanitor_spark.operators.text_analysis import _LANG_MARKERS
+    # trigram rank-weight profiles generated from the SAME dict the
+    # Spark side uses, so the two can never drift
+    from pyjanitor_spark.operators.text_analysis import _TRIGRAM_PROFILES
 
-    def _mk(lang: str) -> str:
-        return "[" + ",".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    def _tri_score(lang: str) -> str:
+        arms = " ".join(
+            f"WHEN '{t}' THEN {w}"
+            for t, w in sorted(_TRIGRAM_PROFILES[lang].items())
+        )
+        return (
+            "coalesce(list_sum(list_transform(tris, "
+            f"t -> CASE t {arms} ELSE 0 END)), 0)"
+        )
 
     lang = (
-        f"WITH t AS (SELECT doc_id, lang, text, "
-        f"list_transform({_TOKS}, x -> lower(x)) AS toks FROM documents), "
+        "WITH n AS (SELECT doc_id, lang, text, "
+        "' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS norm "
+        "FROM documents), "
+        "t AS (SELECT doc_id, lang, text, list_distinct(CASE WHEN "
+        "length(norm) >= 3 THEN list_transform(generate_series(1, "
+        "length(norm) - 2), i -> substr(norm, i, 3)) "
+        "ELSE []::VARCHAR[] END) AS tris FROM n), "
         "s AS (SELECT doc_id, lang, text, "
-        f"len(list_intersect(toks, {_mk('en')})) AS s_en, "
-        f"len(list_intersect(toks, {_mk('de')})) AS s_de, "
-        f"len(list_intersect(toks, {_mk('fr')})) AS s_fr, "
-        f"len(list_intersect(toks, {_mk('es')})) AS s_es "
+        f"{_tri_score('en')} AS s_en, "
+        f"{_tri_score('de')} AS s_de, "
+        f"{_tri_score('fr')} AS s_fr, "
+        f"{_tri_score('es')} AS s_es "
         "FROM t) "
         "SELECT doc_id, lang, "
         "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "

@@ -137,28 +137,65 @@ _LANG_MARKERS = {
 }
 _CJK_RE = r"[一-鿿]"
 
+# rank-weighted character-trigram profiles (the public Cavnar & Trenkle
+# n-gram-profile LID method, presence-scored): trigrams of the
+# space-padded marker words above, ranked by frequency; weight =
+# K - rank.  Derived deterministically from the SAME public word lists,
+# so the Spark expression and the generated oracle SQL cannot drift.
+_TRIGRAM_K = 64
+
+
+def _build_trigram_profiles() -> dict[str, dict[str, int]]:
+    from collections import Counter
+
+    profiles: dict[str, dict[str, int]] = {}
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        cnt: Counter = Counter()
+        for w in markers:
+            padded = f" {w} "
+            for i in range(len(padded) - 2):
+                cnt[padded[i : i + 3]] += 1
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_TRIGRAM_K]
+        profiles[lang] = {t: _TRIGRAM_K - i for i, (t, _) in enumerate(ranked)}
+    return profiles
+
+
+_TRIGRAM_PROFILES = _build_trigram_profiles()
+
 
 def language_id(df: DataFrame, column_name: str, dest: str = "lang_pred") -> DataFrame:
-    """Stopword-profile heuristic language ID.
+    """Character-trigram-profile language ID (public Cavnar & Trenkle
+    n-gram-profile method, presence-scored variant).
 
-    Score per language = distinct marker-word hits (25-word public
-    profiles); CJK script presence short-circuits to 'zh'.  Ties resolve
-    in a fixed language order — fully deterministic.  One expression
-    tree, no UDF; the token array is ``let``-bound so the per-language
-    intersects reference an attribute, not a re-evaluated split."""
+    The document's DISTINCT trigrams (from the space-padded lowercased,
+    whitespace-collapsed text) are scored against per-language literal
+    rank-weight maps: a profile trigram present in the document
+    contributes ``K - rank``.  Catching sub-word evidence ("these"
+    carries " th"/"the"/"he ") makes short and inflected text far more
+    identifiable than whole-word stopword matching.  CJK script presence
+    short-circuits to 'zh'; total score 0 -> 'und'; ties resolve in a
+    fixed language order — fully deterministic.  One expression tree, no
+    UDF; the normalized text and the trigram array are ``let``-bound so
+    HOF lambdas reference attributes, not re-evaluated subtrees."""
 
-    def score_tree(toks: Column) -> Column:
-        scores = {
-            lang: F.size(
-                F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
-            )
-            for lang, markers in _LANG_MARKERS.items()
-            if markers
-        }
+    def score_tree(tris: Column) -> Column:
         best = None
         best_score = None
         for lang in ("en", "de", "fr", "es"):
-            s = scores[lang]
+            weights = F.create_map(
+                *[
+                    F.lit(x)
+                    for t, w in sorted(_TRIGRAM_PROFILES[lang].items())
+                    for x in (t, w)
+                ]
+            )
+            s = F.aggregate(
+                tris,
+                F.lit(0),
+                lambda acc, t: acc + F.coalesce(F.element_at(weights, t), F.lit(0)),
+            )
             if best is None:
                 best, best_score = F.lit(lang), s
             else:
@@ -167,9 +204,27 @@ def language_id(df: DataFrame, column_name: str, dest: str = "lang_pred") -> Dat
                 best_score = F.when(cond, s).otherwise(best_score)
         return F.when(best_score > 0, best).otherwise(F.lit("und"))
 
+    def tris_tree(norm: Column) -> Column:
+        tris = F.when(
+            F.length(norm) < 3, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
+                    lambda i: norm.substr(i, F.lit(3)),
+                )
+            )
+        )
+        return let(tris, score_tree)
+
+    norm_expr = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(column_name)), r"\s+", " "),
+        F.lit(" "),
+    )
     pred = F.when(
         F.regexp_count(F.col(column_name), F.lit(_CJK_RE)) > 0, F.lit("zh")
-    ).otherwise(let(F.transform(tokens(F.col(column_name)), F.lower), score_tree))
+    ).otherwise(let(norm_expr, tris_tree))
     return df.withColumn(dest, pred)
 
 

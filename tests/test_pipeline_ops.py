@@ -119,7 +119,9 @@ def test_language_id(spark):
             (3, "le chat et la maison est grande"),
             (4, "el perro y la casa que es grande"),
             (5, "你好 世界"),
-            (6, "xyzzy plugh"),
+            # no profile trigram of any language ('xyzzy plugh' would
+            # legitimately carry French sub-word evidence: 'plu', ' pl')
+            (6, "zzzz qqqq"),
         ],
         ["id", "text"],
     )
@@ -131,6 +133,23 @@ def test_language_id(spark):
     assert got[4] == "es"
     assert got[5] == "zh"
     assert got[6] == "und"
+
+
+def test_language_id_short_docs_subword_evidence(spark):
+    """Trigram profiles catch sub-word evidence whole-word stopword
+    matching misses: none of these contain a full marker word."""
+    df = spark.createDataFrame(
+        [
+            (1, "these things happened"),   # ' th'/'the'/'he ' without 'the'
+            (2, "dieses hundchen"),          # 'die'/'ies'/'es ' without 'die'
+            (3, ""),                         # empty -> no evidence
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in pj.language_id(df, "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "und"
 
 
 def test_fingerprint_modes(docs):
