@@ -564,6 +564,7 @@ def bloom_dedupe_against(
     expected_items: int | None = None,
     fpp: float = 0.01,
     exact: bool = True,
+    shards: int = 1,
 ) -> DataFrame:
     """Incremental EXACT dedup at corpus scale: drop rows of ``df`` whose
     ``key_col`` value appears anywhere in ``reference`` (the already-kept
@@ -586,9 +587,15 @@ def bloom_dedupe_against(
        real anti join, so the result is exactly the anti-join semantics;
        ``exact=False`` skips verification and may drop ~fpp clean rows.
 
-    Beyond ~1e9 reference keys the single bitmap outgrows one broadcast —
-    shard it by ``pmod(hash(key), shards)`` and apply per-shard (same
-    construction; see SCALE.md).
+    Beyond ~1e9 reference keys a single bitmap outgrows one broadcast
+    row: pass ``shards=k`` to split keys by ``pmod(xxhash64(key), k)``
+    into k independent bitmaps, each sized for n/k keys.  Build is still
+    ONE pass over the reference (group keys become (shard, word); the
+    collect stays ≤ m/64 rows total); the probe joins each row to its
+    own shard's bitmap through a broadcast equi-join on the shard id,
+    so per-row arrays stay bounded at m/(64k) longs.  For totals beyond
+    broadcast memory, run shard groups sequentially (same construction,
+    filtered reference; see SCALE.md).
 
     No reference analog: pyjanitor's ``drop_duplicates`` world is
     single-frame; this is the training-pipeline "new crawl vs corpus"
@@ -599,10 +606,16 @@ def bloom_dedupe_against(
 
     if not 0.0 < fpp < 1.0:
         raise ValueError("fpp must be in (0, 1)")
-    n = expected_items if expected_items is not None else max(reference.count(), 1)
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    n_total = expected_items if expected_items is not None else max(reference.count(), 1)
+    n = max(1, -(-n_total // shards))  # per-shard expected keys
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     h = max(1, round(m / n * math.log(2)))
     nwords = (m + 63) // 64
+
+    def _shard(key: Column) -> Column:
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(shards))
 
     def _positions(key: Column) -> list[Column]:
         # 15 hex nibbles = 60 bits — fits a signed long exactly
@@ -618,26 +631,37 @@ def bloom_dedupe_against(
             for i in range(h)
         ]
 
+    # ONE pass over the reference whatever the shard count: group keys
+    # are (shard, word); the collect stays bounded by shards * m/64 rows
+    # total (per-shard bitmaps are m/(64*shards)-scaled).
     # NB: F.shiftleft requires a literal bit count on Spark 4.x; the SQL
     # form accepts an expression, so shifts go through F.expr
     words = (
-        reference.select(F.explode(F.array(*_positions(F.col(key_col)))).alias("__pos"))
+        reference.select(
+            _shard(F.col(key_col)).alias("__shard"),
+            F.explode(F.array(*_positions(F.col(key_col)))).alias("__pos"),
+        )
         .select(
+            "__shard",
             (F.col("__pos") / 64).cast("int").alias("__w"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
             ).alias("__b"),
         )
-        .groupBy("__w")
+        .groupBy("__shard", "__w")
         .agg(F.bit_or("__b").alias("__word"))
     )
-    bitmap = [0] * nwords
-    for row in words.collect():  # bounded: ≤ m/64 rows (documented action)
-        bitmap[row["__w"]] = row["__word"]
+    bitmaps: dict[int, list[int]] = {s: [0] * nwords for s in range(shards)}
+    for row in words.collect():  # bounded: ≤ shards * m/64 rows (documented action)
+        bitmaps[row["__shard"]][row["__w"]] = row["__word"]
 
     spark = df.sparkSession
-    bm_df = spark.createDataFrame([(bitmap,)], "__bloom array<bigint>")
-    probed = df.join(F.broadcast(bm_df)).withColumns(
+    bm_df = spark.createDataFrame(
+        [(s, bm) for s, bm in bitmaps.items()], "__shard bigint, __bloom array<bigint>"
+    )
+    probed = df.withColumn("__shard", _shard(F.col(key_col))).join(
+        F.broadcast(bm_df), "__shard"
+    ).withColumns(
         {f"__bp{i}": p for i, p in enumerate(_positions(F.col(key_col)))}
     )
     checks = [
@@ -648,7 +672,7 @@ def bloom_dedupe_against(
         for i in range(h)
     ]
     is_candidate = _reduce(lambda a, b: a & b, checks)
-    aux = ["__bloom"] + [f"__bp{i}" for i in range(h)]
+    aux = ["__shard", "__bloom"] + [f"__bp{i}" for i in range(h)]
     clean = probed.filter(~is_candidate).drop(*aux)
     if not exact:
         return clean

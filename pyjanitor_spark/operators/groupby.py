@@ -50,19 +50,59 @@ _WINDOWED_AGGS = {
 def groupby_agg(
     df: DataFrame,
     by: Any,
-    new_column_name: str,
-    agg_column_name: str,
-    agg: str,
+    new_column_name: str | list | tuple | dict,
+    agg_column_name: str | list | tuple | None = None,
+    agg: str | list | tuple | None = None,
     dropna: bool = True,
 ) -> DataFrame:
     """Grouped aggregate broadcast back to every row (ref
     ``groupby_agg.py:19-107`` == groupby().transform(agg)).
 
-    Window aggregate over partitionBy(by): one shuffle, no join.  Nulls
-    form their own group natively (== dropna=False); ``dropna=True``
-    nulls out the result for null-keyed rows, matching pandas."""
+    Window aggregate over partitionBy(by): one shuffle, no join —
+    however many aggregates are requested, they share the ONE window.
+    Nulls form their own group natively (== dropna=False);
+    ``dropna=True`` nulls out the result for null-keyed rows, matching
+    pandas.
+
+    Multi-aggregate forms (pandas ``.transform`` list parity):
+
+    * ``new_column_name={'out': ('src', 'agg'), ...}`` — dict spec;
+    * equal-length lists for ``new_column_name`` / ``agg_column_name``
+      / ``agg``, paired positionally.
+    """
     keys = resolve_columns(df, by)
     w = Window.partitionBy(*keys)
+    if isinstance(new_column_name, dict):
+        specs = {n: (c, a) for n, (c, a) in new_column_name.items()}
+    elif isinstance(new_column_name, (list, tuple)):
+        if (
+            not isinstance(agg_column_name, (list, tuple))
+            or not isinstance(agg, (list, tuple))
+            or len({len(new_column_name), len(agg_column_name), len(agg)}) != 1
+        ):
+            raise ValueError(
+                "list-form groupby_agg needs equal-length lists for "
+                "new_column_name, agg_column_name, and agg"
+            )
+        specs = dict(zip(new_column_name, zip(agg_column_name, agg)))
+    else:
+        specs = {new_column_name: (agg_column_name, agg)}
+    null_key = None
+    if dropna:
+        for k in keys:
+            cond = F.col(k).isNull()
+            null_key = cond if null_key is None else (null_key | cond)
+    new_cols = {}
+    for name, (col, a) in specs.items():
+        expr = _agg_expr(a, col, w)
+        if null_key is not None:
+            expr = F.when(null_key, F.lit(None)).otherwise(expr)
+        new_cols[name] = expr
+    return df.withColumns(new_cols)
+
+
+def _agg_expr(agg, agg_column_name: str, w) -> "F.Column":
+    """One windowed aggregate expression (shared by every spec form)."""
     if callable(agg):
         # reference accepts callables (groupby_agg.py agg param).  A
         # 1-arg callable must return a SINGLE aggregate (``.over`` binds
@@ -98,13 +138,7 @@ def groupby_agg(
         expr = _AGGS[agg](F.col(agg_column_name)).over(w)
     else:
         raise KeyError(f"unsupported agg {agg!r}")
-    if dropna:
-        null_key = None
-        for k in keys:
-            cond = F.col(k).isNull()
-            null_key = cond if null_key is None else (null_key | cond)
-        expr = F.when(null_key, F.lit(None)).otherwise(expr)
-    return df.withColumn(new_column_name, expr)
+    return expr
 
 
 def groupby_topk(

@@ -389,6 +389,27 @@ def test_bloom_dedupe_against_fpp_validation(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with pytest.raises(ValueError):
         pj.bloom_dedupe_against(df, df, "key", fpp=1.5)
+    with pytest.raises(ValueError):
+        pj.bloom_dedupe_against(df, df, "key", shards=0)
+
+
+def test_bloom_dedupe_against_sharded_equivalence(spark):
+    """shards=k partitions the key space into k independent bitmaps;
+    results must match the single-bitmap build and true anti-join
+    semantics shard count notwithstanding."""
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(0, 300, 3)], "key string")
+    new = spark.createDataFrame([(f"k{i}", i) for i in range(150)], "key string, v int")
+    exp = sorted(r["v"] for r in new.join(ref, "key", "left_anti").collect())
+    for k in (2, 5):
+        got = sorted(
+            r["v"]
+            for r in pj.bloom_dedupe_against(new, ref, "key", shards=k).collect()
+        )
+        assert got == exp
+    # the bloom fast path itself (no verify join) keeps bloom semantics
+    # under sharding: never a false negative, only possible extra drops
+    loose = pj.bloom_dedupe_against(new, ref, "key", exact=False, shards=3)
+    assert set(r["v"] for r in loose.collect()) <= set(exp)
 
 
 def test_top_ngrams_counts_every_occurrence(spark):
@@ -427,3 +448,31 @@ def test_groupby_agg_callable(spark):
     out3 = pj.groupby_agg(df1, "k", "f", "v", F.first)
     got3 = {r["k"]: r["f"] for r in out3.collect()}
     assert got3 == {"a": 2.0, "b": 7.0}
+
+
+def test_groupby_agg_multi_forms(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), (None, 9.0)], "k string, v double"
+    )
+    # dict spec: one shuffle, several windowed aggregates
+    out = pj.groupby_agg(df, "k", {"mx": ("v", "max"), "s": ("v", "sum")})
+    got = {(r["k"], r["v"]): (r["mx"], r["s"]) for r in out.collect()}
+    assert got[("a", 1.0)] == (3.0, 4.0)
+    assert got[("b", 5.0)] == (5.0, 5.0)
+    assert got[(None, 9.0)] == (None, None)  # dropna nulls null-keyed rows
+    # list spec, positional pairing
+    out2 = pj.groupby_agg(df, "k", ["mn", "n"], ["v", "v"], ["min", "count"])
+    got2 = {(r["k"], r["v"]): (r["mn"], r["n"]) for r in out2.collect()}
+    assert got2[("a", 3.0)] == (1.0, 2)
+    with pytest.raises(ValueError, match="equal-length"):
+        pj.groupby_agg(df, "k", ["a", "b"], ["v"], ["min"])
+
+
+def test_groupby_agg_multi_single_shuffle(spark):
+    from pyjanitor_spark.plans import shuffle_count
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    out = pj.groupby_agg(
+        df, "k", {"mx": ("v", "max"), "mn": ("v", "min"), "s": ("v", "sum")}
+    )
+    assert shuffle_count(out) == 1
