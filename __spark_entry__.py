@@ -10,6 +10,7 @@ columns by name before value-hashing).
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 
@@ -880,6 +881,27 @@ def q_top_domains(spark, sf):
     return pj.top_domains(d, "text2", k=10)
 
 
+_DEMO_XLSX = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".demo_xlsx", "demo.xlsx")
+
+
+def q_xlsx_table(spark, sf):
+    # deterministic generated workbook (sf-independent fixture, like the
+    # expand_grid literals); declared table T1 over Data!A1:B3
+    from pyjanitor_spark.sources import xlsx_table
+    from pyjanitor_spark.sources._xlsx import build_demo_workbook
+
+    build_demo_workbook(_DEMO_XLSX)
+    return xlsx_table(spark, _DEMO_XLSX, table="T1")
+
+
+def q_xlsx_cells(spark, sf):
+    from pyjanitor_spark.sources import xlsx_cells
+    from pyjanitor_spark.sources._xlsx import build_demo_workbook
+
+    build_demo_workbook(_DEMO_XLSX)
+    return xlsx_cells(spark, _DEMO_XLSX)
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -929,8 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_longer_spec": q_pivot_longer_spec,
         "encode_categorical": q_encode_categorical,
         "top_domains": q_top_domains,
-        "shuffle": q_shuffle,
-        "jitter": q_jitter,
+        "xlsx_table": q_xlsx_table,
+        "xlsx_cells": q_xlsx_cells,
         "sort_column_value_order": q_sort_column_value_order,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
@@ -996,12 +1018,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
-        # rotated out of the first-50 window in round 4 (each has two green
-        # driver rows already: r02/r03); replica keeps covering them
+        # rotated out of the first-50 window in round 4: exp/logit/
+        # add_columns/move_reorder each have two green driver rows
+        # (r02+r03); shuffle/jitter are rows-only by design (random) so
+        # their window slots went to the new hash-checkable xlsx queries.
+        # The replica keeps covering everything here.
         "exp": q_exp,
         "logit": q_logit,
         "add_columns": q_add_columns,
         "move_reorder": q_move_reorder,
+        "shuffle": q_shuffle,
+        "jitter": q_jitter,
     }
 
 
@@ -1261,6 +1288,23 @@ def oracle_sql() -> dict[str, str]:
         "process_text_fallback": (
             # casefold == lower for the ASCII customer names
             "SELECT c_custkey, lower(c_name) AS c_name FROM customer"
+        ),
+        # the xlsx queries read the deterministic generated workbook
+        # (build_demo_workbook): literal oracles, like expand_grid
+        "xlsx_table": (
+            "SELECT 'ab' AS name, CAST(1.0 AS DOUBLE) AS qty "
+            "UNION ALL SELECT 'cd', CAST(2.5 AS DOUBLE)"
+        ),
+        "xlsx_cells": (
+            'SELECT * FROM (VALUES '
+            "('Data', CAST(1 AS INT), CAST(1 AS INT), 'A1', 's', 'name'), "
+            "('Data', 1, 2, 'B1', 's', 'qty'), "
+            "('Data', 2, 1, 'A2', 's', 'ab'), "
+            "('Data', 2, 2, 'B2', 'n', '1'), "
+            "('Data', 2, 3, 'C2', 'f', '=SUM(B2:B3)'), "
+            "('Data', 3, 1, 'A3', 's', 'cd'), "
+            "('Data', 3, 2, 'B3', 'n', '2.5')"
+            ') t(sheet, "row", "column", coordinate, data_type, value)'
         ),
         "chunk_text": (
             f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents "

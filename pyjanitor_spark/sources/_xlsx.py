@@ -22,7 +22,7 @@ from xml.etree import ElementTree as ET
 _R_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 
-__all__ = ["Workbook", "Cell", "col_to_num", "num_to_col"]
+__all__ = ["Workbook", "Cell", "col_to_num", "num_to_col", "build_demo_workbook"]
 
 
 def col_to_num(letters: str) -> int:
@@ -94,6 +94,71 @@ def _typed(raw: str | None, t: str):
             return raw
         return int(f) if f.is_integer() and ("." not in raw and "e" not in raw.lower()) else f
     return raw
+
+
+def build_demo_workbook(path: str) -> str:
+    """Write a small deterministic workbook (one sheet, shared strings,
+    a numeric + float cell, a cached formula, a declared table over
+    Data!A1:B3).  Used by the correctness-gate queries so the xlsx
+    readers have an executable, oracle-checkable fixture; byte-stable
+    across runs (fixed zip timestamps)."""
+    parts = {
+        "_rels/.rels": (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/workbook.xml": (
+            '<?xml version="1.0"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/sharedStrings.xml": (
+            '<?xml version="1.0"?>'
+            '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            "<si><t>name</t></si><si><t>qty</t></si>"
+            "<si><t>ab</t></si><si><t>cd</t></si></sst>"
+        ),
+        "xl/worksheets/sheet1.xml": (
+            '<?xml version="1.0"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            "<sheetData>"
+            '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1</v></c>'
+            '<c r="C2"><f>SUM(B2:B3)</f><v>3.5</v></c></row>'
+            '<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2.5</v></c></row>'
+            "</sheetData>"
+            '<tableParts count="1"><tablePart r:id="rId1"/></tableParts></worksheet>'
+        ),
+        "xl/worksheets/_rels/sheet1.xml.rels": (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/table" Target="../tables/table1.xml"/>'
+            "</Relationships>"
+        ),
+        "xl/tables/table1.xml": (
+            '<?xml version="1.0"?>'
+            '<table xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+            ' id="1" name="T1" displayName="T1" ref="A1:B3"/>'
+        ),
+    }
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in parts.items():
+            zf.writestr(zipfile.ZipInfo(name, (2020, 1, 1, 0, 0, 0)), content)
+    return path
 
 
 class Workbook:
