@@ -114,3 +114,24 @@ def test_top_level_surface_complete():
     assert not missing, f"missing from pyjanitor_spark: {missing}"
     for extra in ["ecdf", "softmax", "z_score", "read_csvs", "xlsx_table", "read_commandline"]:
         assert hasattr(pj, extra)
+
+
+def test_partitioned_cumsum_matches_serial(spark):
+    """Running sum over the order column must equal the serial prefix sum
+    whatever the input partitioning or shard count."""
+    import random
+
+    from pyjanitor_spark.utils.order import partitioned_cumsum
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(0, 5)) for i in range(500)]
+    serial = {}
+    acc = 0
+    for i, v in rows:
+        acc += v
+        serial[i] = acc
+    for nparts, target in ((1, None), (11, 7), (32, 3)):
+        df = spark.createDataFrame(rows, "o long, v long").repartition(nparts)
+        out = partitioned_cumsum(df, "v", "o", "cum", num_partitions=target)
+        got = {r["o"]: r["cum"] for r in out.collect()}
+        assert got == serial

@@ -152,6 +152,17 @@ def test_language_id_short_docs_subword_evidence(spark):
     assert got[3] == "und"
 
 
+def test_language_id_max_chars_truncation(spark):
+    """max_chars bounds the per-row trigram pass: an English prefix
+    followed by a long German tail flips prediction when truncated."""
+    text = "these things happened " + "der hund und die katze " * 50
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    full = pj.language_id(df, "text").collect()[0]["lang_pred"]
+    trunc = pj.language_id(df, "text", max_chars=20).collect()[0]["lang_pred"]
+    assert full == "de"
+    assert trunc == "en"
+
+
 def test_fingerprint_modes(docs):
     exact = pj.fingerprint(docs, "text", mode="exact")
     got = {r["doc_id"]: r["fp"] for r in exact.collect()}
