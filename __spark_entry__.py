@@ -908,6 +908,29 @@ def q_process_text_fallback(spark, sf):
     return pj.process_text(c, "c_name", "casefold").select("c_custkey", "c_name")
 
 
+def q_hash_columns(spark, sf):
+    # salted pseudonymization: md5 (truncated) + sha256, NULL-preserving
+    c = _t(spark, sf, "customer")
+    out = pj.hash_columns(c, "c_name", salt="p", truncate=16)
+    out = pj.hash_columns(out, "c_mktsegment", salt="p", algo="sha256")
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_quantile_bin(spark, sf):
+    # l_quantity has ~50 distinct values over 60k rows: exercises the
+    # ties-share-a-bin contract on every row
+    li = _t(spark, sf, "lineitem")
+    return pj.quantile_bin(li, "l_quantity", "qbin", 4).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "qbin"
+    )
+
+
+def q_hashed_tfidf(spark, sf):
+    # long form (id, bucket, weight): the corpus-scale output shape
+    d = _docs(spark, sf)
+    return pj.hashed_tfidf(d, "text", "doc_id", dim=64, as_vector=False)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
     # entries in insertion order. Round 4 rotated chunk_text / sessionize /
@@ -941,9 +964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "normal_cdf": q_normal_cdf,
         "probit": q_probit,
-        "convert_matlab_date": q_convert_matlab_date,
-        "remove_empty": q_remove_empty,
-        "limit_column_characters": q_limit_column_characters,
+        "hash_columns": q_hash_columns,
+        "quantile_bin": q_quantile_bin,
+        "hashed_tfidf": q_hashed_tfidf,
         "label_encode": q_label_encode,
         "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
@@ -966,6 +989,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedupe_against": q_bloom_dedupe_against,
         "top_ngrams": q_top_ngrams,
         "process_text_fallback": q_process_text_fallback,
+        # rotated out of the window mid-round-4 (each has a green r03
+        # driver row) to make room for the three new pipeline ops above;
+        # the replica still covers them every run
+        "convert_matlab_date": q_convert_matlab_date,
+        "remove_empty": q_remove_empty,
+        "limit_column_characters": q_limit_column_characters,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1347,6 +1376,33 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "hash_columns": (
+            "SELECT c_custkey, "
+            "CASE WHEN c_name IS NULL THEN NULL "
+            "ELSE substr(md5('p:' || c_name), 1, 16) END AS c_name, "
+            "CASE WHEN c_mktsegment IS NULL THEN NULL "
+            "ELSE sha256('p:' || c_mktsegment) END AS c_mktsegment FROM customer"
+        ),
+        "quantile_bin": (
+            "WITH c AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem "
+            "WHERE l_quantity IS NOT NULL GROUP BY 1), "
+            "r AS (SELECT v, CAST(FLOOR((sum(cnt) OVER (ORDER BY v) - 1) * 4.0 "
+            "/ (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL)) "
+            "AS BIGINT) AS qbin FROM c) "
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, r.qbin "
+            "FROM lineitem l JOIN r ON l.l_quantity = r.v"
+        ),
+        "hashed_tfidf": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(lower(text)), '\\s+')) AS tok FROM documents), "
+            f"tf AS (SELECT doc_id, {_hex8_int('md5(tok)')} % 64 "
+            "AS bucket, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2), "
+            "dfq AS (SELECT bucket, count(*) AS dfreq FROM tf GROUP BY 1), "
+            "n AS (SELECT count(DISTINCT doc_id) AS n FROM tf) "
+            "SELECT tf.doc_id, tf.bucket, "
+            "tf.tf * (ln((1.0 + n.n) / (1.0 + dfq.dfreq)) + 1.0) AS weight "
+            "FROM tf JOIN dfq USING (bucket), n"
         ),
         # sort_naturally: ordering is not hash-comparable -> rows-only check
         # ivf_topk / decode_features / frame_sample: rows-only (see q_*)

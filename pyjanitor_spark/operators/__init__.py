@@ -74,6 +74,8 @@ from pyjanitor_spark.operators.timeseries import (
     flag_jumps,
     sort_timestamps_monotonically,
 )
+from pyjanitor_spark.operators.privacy import hash_columns
+from pyjanitor_spark.operators.vectorize import hashed_tfidf
 from pyjanitor_spark.operators.reshape import (
     pivot_longer,
     pivot_longer_spec,
@@ -146,6 +148,7 @@ from pyjanitor_spark.operators.transforms import (
     label_encode,
     min_max_scale,
     process_text,
+    quantile_bin,
     round_to_fraction,
     to_datetime,
     transform_column,

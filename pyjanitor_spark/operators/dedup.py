@@ -297,13 +297,16 @@ def ngram_jaccard_pairs(
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns — ``zip_with`` dot
-    product and ``aggregate`` norms, all JVM-side."""
+    product and ``aggregate`` norms, all JVM-side.  A zero-norm side
+    (e.g. the zero TF-IDF vector of an empty document) yields 0.0, not a
+    divide-by-zero: under ANSI mode one empty doc in a 100 TB corpus
+    must not kill the whole job."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def embedding_near_dup(

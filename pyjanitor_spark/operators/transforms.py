@@ -377,6 +377,72 @@ def bin_numeric(
     return df.withColumn(to_column_name, expr)
 
 
+def quantile_bin(
+    df: DataFrame,
+    from_column_name: str,
+    to_column_name: str,
+    q: int,
+    labels: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equal-frequency binning (the scalable ``pd.qcut`` analog missing
+    from the reference, which only wraps ``pd.cut`` — ``bin_numeric``).
+
+    Contract: bin(v) = ``floor((cnt_le(v) - 1) * q / n)`` where
+    ``cnt_le(v)`` counts non-null rows with value ``<= v`` and ``n`` the
+    non-null count — i.e. a tie group shares the bin of its LAST-ranked
+    member (equal values can never split across bins; a heavy-hitter
+    group lands in the upper of its candidate bins, mirroring
+    ``pd.qcut(duplicates="drop")`` collapsing).  Deterministic — no RNG,
+    no row-order dependence — hence engine-reproducible and
+    oracle-checkable, unlike approx-percentile edges.  NULL values get a
+    NULL bin (``pd.qcut`` NaN behavior).
+
+    Scale shape: rank is computed on the DISTINCT values, not the rows —
+    ``groupBy(value).count()`` (map-side partial agg), an exclusive
+    prefix sum over the value order via :func:`partitioned_cumsum`
+    (range partition + broadcast offsets, no single-task stage), then
+    one join back on value.  With ``k`` distinct values the heavy side
+    of every stage is O(k), so a 100 TB column with bounded cardinality
+    bins at scan cost; a near-unique column degrades gracefully to the
+    sort-based rank it would need anyway.
+    """
+    from ..utils.order import partitioned_cumsum
+
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    if labels is not None and len(labels) != q:
+        raise ValueError("labels must have exactly q entries")
+    col = F.col(from_column_name)
+    counts = (
+        df.filter(col.isNotNull())
+        .groupBy(from_column_name)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    counts = partitioned_cumsum(
+        counts, "__cnt", from_column_name, "__cum", num_partitions=num_partitions
+    )
+    totals = counts.agg(F.sum("__cnt").alias("__n"))
+    binned = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            to_column_name,
+            F.floor((F.col("__cum") - 1) * F.lit(float(q)) / F.col("__n")),
+        )
+        .select(from_column_name, to_column_name)
+    )
+    out = df.join(binned, on=from_column_name, how="left")
+    if labels is not None:
+        out = out.withColumn(
+            to_column_name,
+            F.element_at(
+                F.array(*[F.lit(x) for x in labels]),
+                (F.col(to_column_name) + 1).cast("int"),
+            ),
+        )
+    return out.select(*df.columns, to_column_name)
+
+
 def round_to_fraction(
     df: DataFrame, column_name: str, denominator: float, digits: int | None = None
 ) -> DataFrame:
