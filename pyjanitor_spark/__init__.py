@@ -36,6 +36,8 @@ from pyjanitor_spark.sources import (  # noqa: F401
     write_csv,
     write_json,
     write_parquet,
+    write_zordered,
+    zorder_key,
     xlsx_cells,
     xlsx_table,
 )

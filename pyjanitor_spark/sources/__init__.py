@@ -12,4 +12,6 @@ from pyjanitor_spark.sources.sinks import (  # noqa: F401
     write_csv,
     write_json,
     write_parquet,
+    write_zordered,
+    zorder_key,
 )

@@ -26,13 +26,16 @@ the single biggest shuffle win available for repeated large joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "write_parquet",
     "write_csv",
     "write_json",
     "write_bucketed_table",
+    "zorder_key",
+    "write_zordered",
 ]
 
 
@@ -130,6 +133,117 @@ def write_bucketed_table(
         # session warehouse dir (which is a static conf)
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+
+
+def zorder_key(
+    df: DataFrame,
+    columns: list[str],
+    bits: int = 12,
+    dest: str = "__zorder",
+) -> DataFrame:
+    """Add a Morton (Z-order) interleave key over ``columns``.
+
+    Sorting by a single column clusters parquet min/max stats for that
+    column only; a query filtering on the OTHER column still reads every
+    file.  Interleaving the bits of each column's normalized value gives
+    every column locality in ONE sort key, so multi-dimensional range
+    predicates skip most files/row-groups — the layout technique behind
+    Z-ordered table formats, derived from the public Morton-code
+    literature.
+
+    Per column: numeric/date/timestamp values are min-max normalized to
+    ``bits``-bit integers (one bounded agg action computes all the
+    min/max pairs); other types are md5-hashed into ``bits`` bits —
+    hashing keeps equal values adjacent (point-predicate skipping) but
+    not ranges, which is the best a sort can do for unordered data.
+    NULL maps to 0 (sorts first).  The interleave itself is a flat
+    bitwise expression — codegen-friendly, no UDF, no shuffle.
+    """
+    ncols = len(columns)
+    if ncols == 0:
+        raise ValueError("need at least one z-order column")
+    if bits * ncols > 62:
+        raise ValueError(f"bits*len(columns) must be <= 62, got {bits * ncols}")
+    numeric = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+    fields = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    missing = [c for c in columns if c not in fields]
+    if missing:
+        raise KeyError(f"columns not in DataFrame: {missing}")
+    max_val = (1 << bits) - 1
+
+    def as_num(c: str) -> Column | None:
+        t = fields[c]
+        if t.startswith("decimal") or t in numeric:
+            return F.col(c).cast("double")
+        if t in ("date", "timestamp", "timestamp_ntz"):
+            return F.col(c).cast("timestamp").cast("double")
+        return None
+
+    num_cols = [c for c in columns if as_num(c) is not None]
+    stats = {}
+    if num_cols:
+        row = df.agg(
+            *[F.min(as_num(c)).alias(f"mn_{i}") for i, c in enumerate(num_cols)],
+            *[F.max(as_num(c)).alias(f"mx_{i}") for i, c in enumerate(num_cols)],
+        ).first()
+        for i, c in enumerate(num_cols):
+            stats[c] = (row[f"mn_{i}"], row[f"mx_{i}"])
+
+    def scaled(c: str) -> Column:
+        num = as_num(c)
+        if num is None:
+            h = F.conv(F.substring(F.md5(F.col(c).cast("string")), 1, 8), 16, 10)
+            return F.coalesce(h.cast("bigint") % (max_val + 1), F.lit(0))
+        mn, mx = stats[c]
+        if mn is None or mx is None or mx == mn:
+            return F.lit(0).cast("bigint")
+        frac = (num - F.lit(float(mn))) / F.lit(float(mx) - float(mn))
+        return F.coalesce(
+            F.floor(frac * max_val).cast("bigint"), F.lit(0)
+        )
+
+    tmp = df.withColumns({f"__z{i}": scaled(c) for i, c in enumerate(columns)})
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i in range(ncols):
+            bit = F.shiftright(F.col(f"__z{i}"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * ncols + i)
+    return tmp.withColumn(dest, z).drop(*[f"__z{i}" for i in range(ncols)])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet clustered along a Z-order curve over ``zorder_by``.
+
+    ``repartitionByRange`` on the Morton key splits the curve into
+    contiguous segments (one per output file), ``sortWithinPartitions``
+    orders rows inside each file, and the key is dropped before writing.
+    Downstream scans filtering on ANY prefix-stable combination of the
+    z-ordered columns skip whole files via parquet footer min/max —
+    the multi-column generalization of ``write_parquet(sort_by=...)``.
+    """
+    keyed = zorder_key(df, zorder_by, bits=bits)
+    if num_files is not None:
+        keyed = keyed.repartitionByRange(num_files, "__zorder")
+    else:
+        keyed = keyed.repartitionByRange("__zorder")
+    out = (
+        keyed.sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode(mode)
+        .option("compression", compression)
+    )
+    if max_records_per_file is not None:
+        out = out.option("maxRecordsPerFile", str(max_records_per_file))
+    out.parquet(path)
 
 
 def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:

@@ -4,6 +4,7 @@ from pyjanitor_spark.streaming.verbs import (  # noqa: F401
     running_counter,
     sessionize,
     streaming_dedupe,
+    streaming_dedupe_near,
     streaming_quality_filter,
     windowed_agg,
     write_stream_parquet,

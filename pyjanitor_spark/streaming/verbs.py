@@ -283,6 +283,58 @@ def write_stream_parquet(
     return w.start()
 
 
+def streaming_dedupe_near(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    store_path: str,
+    checkpoint_dir: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    available_now: bool = False,
+):
+    """Streaming NEAR-duplicate dedup against an ever-growing kept
+    corpus — the incremental form of ``dedupe_near`` for a continuous
+    crawl ingest.
+
+    Per micro-batch (``foreachBatch``, so every batch verb applies):
+
+    1. within-batch near-dedup (``dedupe_near``: MinHash-LSH ->
+       connected components -> keep min id);
+    2. drop survivors that near-duplicate anything ALREADY KEPT
+       (``dedupe_against`` vs the parquet store — a band-key semi-join;
+       the store's band signatures could be precomputed/persisted at
+       real scale);
+    3. append survivors to ``store_path`` under ``batch=<id>`` with
+       ``overwrite``, so a replayed batch id rewrites the same directory
+       instead of duplicating rows — idempotence is the sink-side half
+       of exactly-once.
+
+    State lives in the store itself (no executor state); the streaming
+    checkpoint only tracks source offsets.  Returns the
+    ``StreamingQuery``.
+    """
+    from pyjanitor_spark.operators.dedup import dedupe_against, dedupe_near
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        kept = dedupe_near(
+            batch, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
+        )
+        try:
+            store = spark.read.parquet(store_path).select(id_col, column_name)
+        except Exception:
+            store = None  # first batch: no store yet
+        if store is not None:
+            kept = dedupe_against(
+                kept, store, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
+            )
+        kept.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+
+    return foreach_batch_sink(df, batch_fn, checkpoint_dir, available_now=available_now)
+
+
 def foreach_batch_sink(
     df: DataFrame,
     batch_fn,

@@ -231,6 +231,49 @@ def test_write_stream_parquet_sink(spark, stream_events, tmp_path):
     assert spark.read.parquet(out_path).count() == batch.count()
 
 
+def test_streaming_dedupe_near_across_batches(spark, tmp_path):
+    """Incremental near-dedup: batch 2's duplicates of batch 1 content
+    are dropped via the parquet store; within-batch dups keep min id;
+    restarting the query with the same checkpoint processes only new
+    files (store state survives outside the stream)."""
+    from pyjanitor_spark.streaming import streaming_dedupe_near
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, text string"
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = streaming_dedupe_near(
+        spark.readStream.schema(schema).parquet(src),
+        "id", "text", store, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert {r["id"] for r in spark.read.parquet(store).collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # dup of stored doc 1
+            (20, "new doc text here now"),           # within-batch dup pair:
+            (21, "new doc text here now"),           #   min id 20 survives
+            (30, "totally different content words"), # fresh
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_dedupe_near(
+        spark.readStream.schema(schema).parquet(src),
+        "id", "text", store, ckpt, available_now=True,
+    )
+    q2.awaitTermination(120)
+    kept = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert kept == {1, 2, 20, 30}, kept
+
+
 def test_foreach_batch_sink(spark, stream_events, tmp_path):
     """foreachBatch runs batch-only verbs (here: dedupe_exact) per
     micro-batch and lands the result wherever the callback says."""
