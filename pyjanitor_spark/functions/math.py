@@ -156,22 +156,28 @@ def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> 
             .drop("__mx", "__tot")
         )
     if fn is ecdf:
-        # scalable exact cume_dist: range-partitioned total sort (orderBy —
-        # a parallel sort, unlike a global window), positional rank via
-        # per-partition row_number + broadcast partition offsets, and tie
-        # resolution through a per-VALUE window (keyed shuffle).  No
-        # single-task stage anywhere.
-        from pyjanitor_spark.utils.order import positional_index
+        # scalable exact cume_dist — on the DISTINCT values, not the
+        # rows: ecdf(x) = cnt_le(x)/n, and cnt_le is an inclusive prefix
+        # sum of groupBy(value).count() over the value order
+        # (partitioned_cumsum: range partition + broadcast offsets, no
+        # single-task stage).  The data side is touched exactly once, by
+        # the value-keyed join back — the full rows never pass through a
+        # sort, window, or checkpoint.  With k distinct values every
+        # heavy stage is O(k); NULL keeps its sorts-first group (null-
+        # safe join), NaN its sorts-last group, matching cume_dist.
+        from pyjanitor_spark.utils.order import partitioned_cumsum
 
         total = df.agg(F.count(F.lit(1)).alias("__n"))
-        ranked = positional_index(df.orderBy(col.asc()), "__rank")
-        w_val = Window.partitionBy(col)
+        counts = df.groupBy(column_name).agg(F.count(F.lit(1)).alias("__cnt"))
+        cum = partitioned_cumsum(counts, "__cnt", column_name, "__cle")
+        tbl = (
+            cum.crossJoin(F.broadcast(total))
+            .withColumn("__ecdf_out", F.col("__cle").cast("double") / F.col("__n"))
+            .select(F.col(column_name).alias("__ecdf_v"), "__ecdf_out")
+        )
         return (
-            ranked.crossJoin(F.broadcast(total))
-            .withColumn(
-                dest,
-                F.max(F.col("__rank") + 1).over(w_val).cast("double") / F.col("__n"),
-            )
-            .drop("__rank", "__n")
+            df.join(tbl, col.eqNullSafe(F.col("__ecdf_v")), "left")
+            .withColumn(dest, F.col("__ecdf_out"))
+            .drop("__ecdf_v", "__ecdf_out")
         )
     return df.withColumn(dest, fn(col))

@@ -184,9 +184,26 @@ def count_cumulative_unique(
     range-repartition on the order column, per-partition partial sums,
     broadcast offsets, in-partition cumulative window.  No single-task
     stage anywhere (the old plan's global ``Window.orderBy`` funneled
-    every row through one task)."""
+    every row through one task).
+
+    With a user-supplied ``order_by`` (which must uniquely identify
+    rows — ties have no defined running-count order anyway), only the
+    narrow ``(order, value)`` projection flows through the window +
+    cumsum pipeline and the result joins back by order key: wide rows
+    are shuffled once (the join) and never materialized by the cumsum's
+    layout pin.  Without ``order_by`` the generated id is only
+    consistent within a single pinned plan, so the full frame takes the
+    cumsum path directly."""
     df, ocol, added = ensure_order_column(df, order_by)
     val = F.col(column_name) if case_sensitive else F.lower(F.col(column_name))
+    if not added:
+        narrow = df.select(F.col(ocol), val.alias("__v"))
+        w_first = Window.partitionBy("__v").orderBy(F.col(ocol))
+        flagged = narrow.withColumn(
+            "__is_first", (F.row_number().over(w_first) == 1).cast("long")
+        ).drop("__v")
+        cum = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name)
+        return df.join(cum.select(ocol, dest_column_name), ocol)
     w_first = Window.partitionBy(val).orderBy(F.col(ocol))
     flagged = df.withColumn(
         "__is_first", (F.row_number().over(w_first) == 1).cast("long")
@@ -194,7 +211,7 @@ def count_cumulative_unique(
     out = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name).drop(
         "__is_first"
     )
-    return out.drop(ocol) if added else out
+    return out.drop(ocol)
 
 
 def shuffle(df: DataFrame, random_state: int | None = None) -> DataFrame:
