@@ -42,6 +42,8 @@ HEADLINE = [
     "conditional_join_range",
     "pivot_longer",
     "bloom_dedupe_against",
+    "quantile_bin",
+    "hashed_tfidf",
 ]
 
 

@@ -76,6 +76,7 @@ STREAMING_SAFE_VERBS = [
     "deterministic_sample",
     "stratified_sample",
     "split_train_holdout",
+    "hash_columns",
 ]
 
 
