@@ -931,6 +931,12 @@ def q_hashed_tfidf(spark, sf):
     return pj.hashed_tfidf(d, "text", "doc_id", dim=64, as_vector=False)
 
 
+def q_heavy_hitters(spark, sf):
+    # exact heavy hitters: output bounded by 1/min_share rows
+    d = _t(spark, sf, "documents")
+    return pj.heavy_hitters(d, "lang", 0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
     # entries in insertion order. Round 4 rotated chunk_text / sessionize /
@@ -967,7 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_columns": q_hash_columns,
         "quantile_bin": q_quantile_bin,
         "hashed_tfidf": q_hashed_tfidf,
-        "label_encode": q_label_encode,
+        "heavy_hitters": q_heavy_hitters,
         "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
@@ -995,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_matlab_date": q_convert_matlab_date,
         "remove_empty": q_remove_empty,
         "limit_column_characters": q_limit_column_characters,
+        "label_encode": q_label_encode,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1376,6 +1383,12 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "heavy_hitters": (
+            "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1), "
+            "t AS (SELECT count(*) AS tot FROM documents) "
+            "SELECT c.lang, c.cnt, c.cnt / t.tot AS share FROM c, t "
+            "WHERE c.cnt / t.tot >= 0.05"
         ),
         "hash_columns": (
             "SELECT c_custkey, "

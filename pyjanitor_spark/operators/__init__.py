@@ -75,6 +75,11 @@ from pyjanitor_spark.operators.timeseries import (
     sort_timestamps_monotonically,
 )
 from pyjanitor_spark.operators.privacy import hash_columns
+from pyjanitor_spark.operators.sketches import (
+    cardinality_sketch,
+    heavy_hitters,
+    merge_cardinality_sketches,
+)
 from pyjanitor_spark.operators.vectorize import hashed_tfidf
 from pyjanitor_spark.operators.reshape import (
     pivot_longer,
