@@ -931,6 +931,12 @@ def q_hashed_tfidf(spark, sf):
     return pj.hashed_tfidf(d, "text", "doc_id", dim=64, as_vector=False)
 
 
+def q_bm25_score(spark, sf):
+    # expression-only retrieval scoring; stats are one broadcast agg
+    d = _docs(spark, sf)
+    return pj.bm25_score(d, "text", "spark window join").select("doc_id", "bm25")
+
+
 def q_heavy_hitters(spark, sf):
     # exact heavy hitters: output bounded by 1/min_share rows
     d = _t(spark, sf, "documents")
@@ -978,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
         "pivot_longer_spec": q_pivot_longer_spec,
-        "encode_categorical": q_encode_categorical,
+        "bm25_score": q_bm25_score,
         "top_domains": q_top_domains,
         "xlsx_table": q_xlsx_table,
         "xlsx_cells": q_xlsx_cells,
@@ -1002,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_empty": q_remove_empty,
         "limit_column_characters": q_limit_column_characters,
         "label_encode": q_label_encode,
+        "encode_categorical": q_encode_categorical,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1383,6 +1390,26 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "bm25_score": (
+            "WITH tk AS (SELECT doc_id, coalesce(list_filter("
+            "string_split_regex(trim(lower(text)), '\\s+'), x -> x <> ''), []) "
+            "AS toks FROM documents), "
+            "f AS (SELECT doc_id, len(toks) AS dl, "
+            "len(list_filter(toks, x -> x = 'spark')) AS tf_0, "
+            "len(list_filter(toks, x -> x = 'window')) AS tf_1, "
+            "len(list_filter(toks, x -> x = 'join')) AS tf_2 FROM tk), "
+            "s AS (SELECT count(*) AS n, avg(dl) AS avgdl, "
+            "sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0, "
+            "sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1, "
+            "sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2 FROM f), "
+            "nrm AS (SELECT f.*, s.*, CASE WHEN s.avgdl > 0 "
+            "THEN 0.25 + 0.75 * (f.dl / s.avgdl) ELSE 1.0 END AS norm FROM f, s) "
+            "SELECT doc_id, "
+            "ln((n - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * (tf_0 * 2.2) / (tf_0 + 1.2 * norm) + "
+            "ln((n - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * (tf_1 * 2.2) / (tf_1 + 1.2 * norm) + "
+            "ln((n - df_2 + 0.5) / (df_2 + 0.5) + 1.0) * (tf_2 * 2.2) / (tf_2 + 1.2 * norm) "
+            "AS bm25 FROM nrm"
         ),
         "heavy_hitters": (
             "WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1), "

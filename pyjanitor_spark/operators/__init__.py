@@ -80,7 +80,7 @@ from pyjanitor_spark.operators.sketches import (
     heavy_hitters,
     merge_cardinality_sketches,
 )
-from pyjanitor_spark.operators.vectorize import hashed_tfidf
+from pyjanitor_spark.operators.vectorize import bm25_score, hashed_tfidf
 from pyjanitor_spark.operators.reshape import (
     pivot_longer,
     pivot_longer_spec,

@@ -31,12 +31,15 @@ No reference analog; part of the training-data pipeline pack.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text_analysis import tokens
+from ..utils.expr import let
+from .text_analysis import BPE_ISH_PATTERN, tokens
 
-__all__ = ["hashed_tfidf"]
+__all__ = ["hashed_tfidf", "bm25_score"]
 
 
 def hashed_tfidf(
@@ -127,4 +130,92 @@ def hashed_tfidf(
     return (
         df.join(dense, on=id_column, how="left")
         .withColumn(dest, F.coalesce(F.col(dest), zero))
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    column_name: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    dest: str = "bm25",
+    mode: str = "whitespace",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a literal ``query``
+    (Robertson et al.; the Lucene ``+1`` idf form so scores are never
+    negative) — the ranking half of a retrieval pipeline, next to the
+    vector ANN ops.
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)``.
+
+    Shape: the query's few terms become per-term ``tf`` expressions over
+    the ``let``-bound token array (one split per row, zero shuffles on
+    the data side); corpus statistics (N, avgdl, per-term df) are ONE
+    tiny aggregate broadcast back.  Two scans total, no explode, no
+    joins on the data — at 100 TB the cost is the cost of reading the
+    text column twice (or once, if the stats frame is cached/persisted
+    by the caller).
+    """
+    if lowercase:
+        query = query.lower()
+    if mode == "whitespace":
+        terms = [t for t in query.strip().split() if t]
+    else:
+        terms = re.findall(BPE_ISH_PATTERN, query)
+    # de-dup, keep order: repeated query terms don't double-count in BM25
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("query has no tokens")
+    col = F.lower(F.col(column_name)) if lowercase else F.col(column_name)
+
+    def eq_term(term):
+        # NB: a default-arg capture (lambda x, t=t: ...) would read as a
+        # TWO-parameter lambda, which Spark's HOFs bind as (element,
+        # index) — a closure keeps the arity at 1
+        return lambda x: x == F.lit(term)
+
+    def feats(tk):
+        clean = F.filter(tk, lambda x: x != "")
+        return let(
+            clean,
+            lambda c: F.struct(
+                F.size(c).alias("dl"),
+                *[
+                    F.size(F.filter(c, eq_term(t))).alias(f"tf_{i}")
+                    for i, t in enumerate(terms)
+                ],
+            ),
+        )
+
+    toks = F.coalesce(tokens(col, mode), F.array().cast("array<string>"))
+    featured = df.withColumn("__f", let(toks, feats))
+    stats = featured.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.col("__f.dl")).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__f.tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    norm = F.when(
+        F.col("__avgdl") > 0,
+        F.lit(1.0 - b) + F.lit(b) * (F.col("__f.dl") / F.col("__avgdl")),
+    ).otherwise(F.lit(1.0))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__f.tf_{i}")
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + 0.5) / (F.col(f"__df_{i}") + 0.5)
+            + 1.0
+        )
+        part = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+        score = part if score is None else score + part
+    drop = ["__f", "__n", "__avgdl"] + [f"__df_{i}" for i in range(len(terms))]
+    return (
+        featured.crossJoin(F.broadcast(stats))
+        .withColumn(dest, score)
+        .drop(*drop)
     )

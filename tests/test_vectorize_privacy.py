@@ -140,6 +140,41 @@ class TestHashedTfidf:
         for r in long:
             assert abs(dense[r["doc_id"]][r["bucket"]] - r["weight"]) < 1e-12
 
+    def test_bm25_matches_brute_force(self, docs):
+        corpus = {1: "the cat sat", 2: "the dog sat", 5: "cat cat cat"}
+        out = {
+            r["doc_id"]: r["bm25"]
+            for r in pj.bm25_score(docs.filter("doc_id in (1,2,5)"), "text", "cat sat").collect()
+        }
+
+        def brute(q_terms, doc):
+            toks = corpus[doc].split()
+            n, avgdl = len(corpus), sum(len(v.split()) for v in corpus.values()) / len(corpus)
+            s = 0.0
+            for t in q_terms:
+                tf = toks.count(t)
+                dfq = sum(1 for v in corpus.values() if t in v.split())
+                idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            return s
+
+        for d in corpus:
+            assert abs(out[d] - brute(["cat", "sat"], d)) < 1e-9, d
+        # BM25 saturation: matching BOTH terms (doc 1) beats repeating
+        # one term (doc 5), which beats a single match (doc 2)
+        assert out[1] > out[5] > out[2]
+
+    def test_bm25_edge_cases(self, docs):
+        with pytest.raises(ValueError):
+            pj.bm25_score(docs, "text", "   ")
+        # repeated query terms are deduped (score("cat cat") == score("cat"))
+        a = {r["doc_id"]: r["bm25"] for r in pj.bm25_score(docs, "text", "cat cat").collect()}
+        c = {r["doc_id"]: r["bm25"] for r in pj.bm25_score(docs, "text", "cat").collect()}
+        assert a == c
+        # query term absent everywhere -> all zeros; empty/null docs score 0
+        z = pj.bm25_score(docs, "text", "zzzznotaword")
+        assert all(r["bm25"] == 0.0 for r in z.collect())
+
     def test_feeds_cosine_topk(self, docs):
         vecs = pj.hashed_tfidf(docs, "text", "doc_id", dim=64, l2_normalize=True)
         q = vecs.filter("doc_id = 1").first()["tfidf"]
