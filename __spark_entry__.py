@@ -458,9 +458,12 @@ def q_fill_direction(spark, sf):
 
 
 def q_sort_naturally(spark, sf):
-    # order can't be hash-compared (driver sorts rows); rows-only check
+    # the ORDER can't be hash-compared (the compare sorts rows), but the
+    # computed natural key can — expose it via dest=
     p = _t(spark, sf, "part")
-    return pj.sort_naturally(p, "p_brand").select("p_partkey", "p_brand")
+    return pj.sort_naturally(p, "p_brand", dest="natural_key").select(
+        "p_partkey", "p_brand", "natural_key"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1444,8 +1447,14 @@ def oracle_sql() -> dict[str, str]:
             "tf.tf * (ln((1.0 + n.n) / (1.0 + dfq.dfreq)) + 1.0) AS weight "
             "FROM tf JOIN dfq USING (bucket), n"
         ),
-        # sort_naturally: ordering is not hash-comparable -> rows-only check
-        # ivf_topk / decode_features / frame_sample: rows-only (see q_*)
+        # sort_naturally: the ORDER is not hash-comparable, but the
+        # computed natural key is — verified value-wise here
+        "sort_naturally": (
+            r"SELECT p_partkey, p_brand, regexp_replace(regexp_replace("
+            r"CAST(p_brand AS VARCHAR), '(\d+)', '00000000000000000000\1', 'g'), "
+            r"'0*(\d{20})', '\1', 'g') AS natural_key FROM part"
+        ),
+        # decode_features / frame_sample: rows-only (see q_*)
         **_pipeline_oracles(),
         **_sampling_oracles(),
         **_cluster_oracles(),

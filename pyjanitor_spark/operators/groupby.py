@@ -219,17 +219,23 @@ def shuffle(df: DataFrame, random_state: int | None = None) -> DataFrame:
     return df.orderBy(F.rand(random_state) if random_state is not None else F.rand())
 
 
-def sort_naturally(df: DataFrame, column_name: str, ascending: bool = True) -> DataFrame:
+def sort_naturally(
+    df: DataFrame, column_name: str, ascending: bool = True, dest: str | None = None
+) -> DataFrame:
     """Natural sort on a string column (ref ``sort_naturally.py:11-87``):
     digit runs compare numerically ("x2" < "x10").
 
     Sort key built JVM-side: zero-pad every digit run to 20 chars so
-    lexicographic order == natural order.  No UDF."""
+    lexicographic order == natural order.  No UDF.  ``dest`` keeps the
+    computed key as a column (row order itself can't be verified by an
+    unordered compare; the key can)."""
     key = F.regexp_replace(
         F.col(column_name).cast("string"), r"(\d+)", r"00000000000000000000$1"
     )
     key = F.regexp_replace(key, r"0*(\d{20})", r"$1")
-    return df.orderBy(key.asc() if ascending else key.desc())
+    out = df.withColumn(dest, key) if dest is not None else df
+    key_col = F.col(dest) if dest is not None else key
+    return out.orderBy(key_col.asc() if ascending else key_col.desc())
 
 
 def sort_column_value_order(
