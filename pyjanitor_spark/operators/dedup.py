@@ -430,7 +430,14 @@ def near_dup_clusters(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(d: DataFrame) -> DataFrame:
-        return d.checkpoint() if checkpoint_dir is not None else d.localCheckpoint()
+        # eager=False: the next action (the convergence count / first
+        # round's join) materializes the checkpoint in the SAME job —
+        # an eager checkpoint would run one extra blocking job per round
+        return (
+            d.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else d.localCheckpoint(eager=False)
+        )
 
     e1 = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
     edges = _ckpt(
