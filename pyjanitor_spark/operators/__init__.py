@@ -18,6 +18,7 @@ from pyjanitor_spark.operators.dedup import (
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from pyjanitor_spark.operators.chemistry import (
     maccs_keys_fingerprint,

@@ -234,6 +234,81 @@ def simhash(
     return df.withColumn(dest, fp)
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the
+    fingerprint-based dedup of Manku et al. (WWW 2007), public
+    literature: pairs whose ``bits``-bit SimHash fingerprints differ in
+    at most ``max_hamming`` bit positions.
+
+    EXACT recall by pigeonhole: the fingerprint splits into ``bands``
+    equal chunks, and a pair within ``max_hamming <= bands - 1`` flips
+    fewer bits than there are chunks, so at least one chunk matches
+    exactly — the equi-join on (band, chunk value) can't miss a
+    qualifying pair (enforced: ``bands > max_hamming``).
+
+    Scale shape: same as MinHash-LSH — fingerprints are one expression
+    pass, the ONLY shuffle is the equi-join on short (band, chunk)
+    keys, candidate volume is Σ bucket² (never all-pairs), and the
+    Hamming verify is a JVM-side ``bit_count(xor)`` expression.
+    Returns (id_1, id_2, hamming) with id_1 < id_2.
+    """
+    if bits > 62:
+        raise ValueError("bits must be <= 62 (bigint fingerprint for xor)")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for exact pigeonhole recall"
+        )
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df.select(id_col, column_name), column_name, bits=bits, dest="__sh")
+    banded = fp.select(
+        F.col(id_col),
+        F.col("__sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("__sh"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "__sh")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -487,3 +487,43 @@ def test_groupby_agg_multi_single_shuffle(spark):
         df, "k", {"mx": ("v", "max"), "mn": ("v", "min"), "s": ("v", "sum")}
     )
     assert shuffle_count(out) == 1
+
+
+class TestSimhashPairs:
+    def test_identical_token_sets_hamming_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta eps zeta")],
+            ["doc_id", "text"],
+        )
+        # simhash is over the DISTINCT token set -> same set, same print
+        rows = {(r["id_1"], r["id_2"]): r["hamming"]
+                for r in pj.simhash_pairs(df, "doc_id", "text").collect()}
+        assert rows.get((1, 2)) == 0
+        assert all(k == (1, 2) for k in rows)
+
+    def test_matches_brute_force(self, spark, documents):
+        """Banded join + pigeonhole == brute-force all-pairs at the same
+        threshold (exact recall, not approximate)."""
+        bits, mh = 48, 3
+        fp = {r["doc_id"]: r["simhash"]
+              for r in pj.simhash(documents, "text", bits=bits, dest="simhash")
+              .select("doc_id", "simhash").collect()}
+        ids = sorted(fp)
+        expect = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin(fp[a] ^ fp[b]).count("1") <= mh:
+                    expect.add((a, b))
+        got = {(r["id_1"], r["id_2"])
+               for r in pj.simhash_pairs(documents, "doc_id", "text",
+                                         bits=bits, bands=4, max_hamming=mh).collect()}
+        assert got == expect
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            pj.simhash_pairs(df, "doc_id", "text", bits=64)
+        with pytest.raises(ValueError):
+            pj.simhash_pairs(df, "doc_id", "text", bands=3, max_hamming=3)
+        with pytest.raises(ValueError):
+            pj.simhash_pairs(df, "doc_id", "text", bits=50, bands=4)
