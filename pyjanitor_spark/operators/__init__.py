@@ -14,6 +14,7 @@ from pyjanitor_spark.operators.dedup import (
     dedupe_near,
     embedding_near_dup,
     minhash_lsh_pairs,
+    minhash_band_buckets,
     minhash_signature,
     near_dup_clusters,
     ngram_jaccard_pairs,

@@ -586,14 +586,60 @@ def dedupe_near(
     return df.join(losers, id_col, "left_anti")
 
 
-def dedupe_against(
-    df: DataFrame,
-    reference: DataFrame,
+def minhash_band_buckets(
+    frame: DataFrame,
     id_col: str,
     column_name: str,
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, key) MinHash band buckets — the deterministic,
+    PERSISTABLE probe structure behind :func:`dedupe_against` and
+    :func:`streaming_dedupe_near`.  Signatures depend only on the text,
+    so write this once per corpus increment and probe it forever: the
+    incremental-dedup cost becomes O(new batch), not O(corpus
+    re-tokenized per batch)."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    shingled = frame.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+    )
+    sig = shingled.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__m{i}")
+            for i in range(k)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"__m{b * r + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedupe_against(
+    df: DataFrame,
+    reference: DataFrame | None,
+    id_col: str,
+    column_name: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    reference_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: drop rows of ``df`` that near-duplicate
     anything in ``reference`` (e.g. a new crawl batch against the
@@ -602,42 +648,21 @@ def dedupe_against(
 
     Both sides run the same MinHash band pipeline; a band-key LEFT SEMI
     join marks collisions, an ANTI join keeps the clean rows.  The only
-    shuffle is on (band, key); the reference side can be precomputed
-    and reused across batches (signatures are deterministic)."""
-
-    def _buckets(frame: DataFrame) -> DataFrame:
-        if k % bands:
-            raise ValueError("k must be divisible by bands")
-        r = k // bands
-        shingled = frame.select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+    shuffle is on (band, key).  Pass ``reference_buckets`` (a persisted
+    :func:`minhash_band_buckets` frame; ``reference`` may then be None)
+    to skip re-tokenizing the corpus side — built with the same
+    k/bands/shingle_n or the probe is meaningless."""
+    if reference_buckets is None:
+        if reference is None:
+            raise ValueError("need reference or reference_buckets")
+        reference_buckets = minhash_band_buckets(
+            reference, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
         )
-        sig = shingled.groupBy(id_col).agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"__m{i}")
-                for i in range(k)
-            ]
-        )
-        return sig.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.concat_ws(
-                                "|", *[F.col(f"__m{b * r + j}") for j in range(r)]
-                            ).alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
-    hits = _buckets(df).join(
-        _buckets(reference).select("band", "key"), ["band", "key"], "left_semi"
+    new_b = minhash_band_buckets(
+        df, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
+    )
+    hits = new_b.join(
+        reference_buckets.select("band", "key"), ["band", "key"], "left_semi"
     ).select(id_col).distinct()
     return df.join(hits, id_col, "left_anti")
 

@@ -303,20 +303,29 @@ def streaming_dedupe_near(
 
     1. within-batch near-dedup (``dedupe_near``: MinHash-LSH ->
        connected components -> keep min id);
-    2. drop survivors that near-duplicate anything ALREADY KEPT
-       (``dedupe_against`` vs the parquet store — a band-key semi-join;
-       the store's band signatures could be precomputed/persisted at
-       real scale);
+    2. drop survivors that near-duplicate anything ALREADY KEPT — the
+       probe runs against the PERSISTED band-signature store
+       (``<store_path>/_signatures``, written per batch), so the corpus
+       side is never re-tokenized: per-batch cost is O(new batch) + a
+       band-key semi-join, not O(corpus);
     3. append survivors to ``store_path`` under ``batch=<id>`` with
-       ``overwrite``, so a replayed batch id rewrites the same directory
-       instead of duplicating rows — idempotence is the sink-side half
-       of exactly-once.
+       ``overwrite``, then their :func:`minhash_band_buckets` under
+       ``_signatures/batch=<id>`` — a replayed batch id rewrites both
+       directories, so replays stay idempotent (the sink-side half of
+       exactly-once; the underscore prefix hides ``_signatures`` from
+       readers of the store itself).
 
     State lives in the store itself (no executor state); the streaming
     checkpoint only tracks source offsets.  Returns the
     ``StreamingQuery``.
     """
-    from pyjanitor_spark.operators.dedup import dedupe_against, dedupe_near
+    from pyjanitor_spark.operators.dedup import (
+        dedupe_against,
+        dedupe_near,
+        minhash_band_buckets,
+    )
+
+    sig_path = f"{store_path}/_signatures"
 
     def batch_fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -324,14 +333,21 @@ def streaming_dedupe_near(
             batch, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
         )
         try:
-            store = spark.read.parquet(store_path).select(id_col, column_name)
+            sigs = spark.read.parquet(sig_path).select(id_col, "band", "key")
         except Exception:
-            store = None  # first batch: no store yet
-        if store is not None:
+            sigs = None  # first batch: no store yet
+        if sigs is not None:
             kept = dedupe_against(
-                kept, store, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
+                kept, None, id_col, column_name,
+                k=k, bands=bands, shingle_n=shingle_n, reference_buckets=sigs,
             )
         kept.write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+        # signatures from the files just written: one bounded re-read of
+        # the new batch, never of the corpus
+        landed = spark.read.parquet(f"{store_path}/batch={batch_id}")
+        minhash_band_buckets(
+            landed, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
+        ).write.mode("overwrite").parquet(f"{sig_path}/batch={batch_id}")
 
     return foreach_batch_sink(df, batch_fn, checkpoint_dir, available_now=available_now)
 
