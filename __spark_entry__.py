@@ -940,6 +940,12 @@ def q_bm25_score(spark, sf):
     return pj.bm25_score(d, "text", "spark window join").select("doc_id", "bm25")
 
 
+def q_top_collocations(spark, sf):
+    # PMI phrase mining: two count shuffles + broadcast totals + TakeOrdered
+    d = _docs(spark, sf)
+    return pj.top_collocations(d, "text", k=10, min_count=5)
+
+
 def q_simhash_pairs(spark, sf):
     # banded Hamming blocking (pigeonhole-exact); oracle brute-forces
     # all pairs — equality proves the banding loses nothing
@@ -980,7 +986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_payload": q_resize_payload,
         "flag_jumps": q_flag_jumps,
         "data_description": q_data_description,
-        "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
         "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
@@ -999,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_table": q_xlsx_table,
         "xlsx_cells": q_xlsx_cells,
         "simhash_pairs": q_simhash_pairs,
+        "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
         "dedupe_against": q_dedupe_against,
@@ -1020,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": q_label_encode,
         "encode_categorical": q_encode_categorical,
         "sort_column_value_order": q_sort_column_value_order,
+        "convert_units": q_convert_units,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1401,6 +1408,24 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "top_collocations": (
+            f"WITH tk AS (SELECT {_TOKS} AS t FROM documents), "
+            "uni AS (SELECT unnest(t) AS w FROM tk), "
+            "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1), "
+            "bt AS (SELECT list_transform(generate_series(1, len(t) - 1), "
+            "i -> t[i] || ' ' || t[i+1]) AS bg FROM tk), "
+            "bi0 AS (SELECT unnest(bg) AS bg FROM bt), "
+            "bc AS (SELECT bg, count(*) AS c_xy FROM bi0 GROUP BY 1 "
+            "HAVING count(*) >= 5), "
+            "tot AS (SELECT (SELECT sum(c) FROM uc) AS t, "
+            "(SELECT count(*) FROM bi0) AS b), "
+            "j AS (SELECT split_part(bg, ' ', 1) AS w1, "
+            "split_part(bg, ' ', 2) AS w2, c_xy FROM bc) "
+            "SELECT j.w1, j.w2, j.c_xy, "
+            "ln((j.c_xy / tot.b) / ((x.c / tot.t) * (y.c / tot.t))) AS pmi "
+            "FROM j JOIN uc x ON j.w1 = x.w JOIN uc y ON j.w2 = y.w, tot "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 10"
         ),
         "simhash_pairs": (
             f"WITH s AS ({_simhash_sql(48)}) "

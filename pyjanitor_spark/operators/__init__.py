@@ -68,6 +68,7 @@ from pyjanitor_spark.operators.text_analysis import (
     quality_score,
     repetition_score,
     token_count,
+    top_collocations,
     top_domains,
     top_ngrams,
     word_shingles,

@@ -26,6 +26,7 @@ __all__ = [
     "fingerprint",
     "repetition_score",
     "pii_redact",
+    "top_collocations",
     "top_ngrams",
     "chunk_text",
     "extract_urls",
@@ -443,6 +444,65 @@ def chunk_text(
         .withColumn(dest, F.col("__c.text"))
         .withColumn(f"{dest}_n_tokens", F.col("__c.n_tokens"))
         .drop("__c")
+    )
+
+
+def top_collocations(
+    df: DataFrame,
+    column_name: str,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` word bigram collocations by pointwise mutual
+    information (Church & Hanks 1990) — word pairs that co-occur far
+    more than their unigram frequencies predict ("new york", "machine
+    learning"); the standard vocabulary-induction / phrase-mining
+    primitive.
+
+    ``pmi(x, y) = ln( (c_xy / B) / ((c_x / T) · (c_y / T)) )`` with
+    ``B`` total bigrams and ``T`` total tokens.  ``min_count`` drops
+    rare-pair noise (PMI is maximized by hapax pairs).
+
+    Plan: unigram and bigram counts are two partial-aggregated
+    shuffles; totals are one broadcast row; the unigram table joins
+    back twice keyed on the word (plain equi-joins — at corpus scale
+    these are the well-partitioned joins a vocabulary fits); final
+    top-k is ``TakeOrderedAndProject`` with (w1, w2) tie-break.
+    """
+    toks = df.select(F.explode(tokens(F.col(column_name))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = (
+        df.select(
+            F.explode(word_shingles(F.col(column_name), 2, distinct=False)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("__t"),
+    ).crossJoin(
+        F.broadcast(
+            df.select(
+                F.explode(word_shingles(F.col(column_name), 2, distinct=False)).alias("b")
+            ).agg(F.count(F.lit(1)).alias("__b"))
+        )
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("c_xy") / F.col("__b"))
+        / ((F.col("c_x") / F.col("__t")) * (F.col("c_y") / F.col("__t")))
+    )
+    return (
+        joined.select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
     )
 
 

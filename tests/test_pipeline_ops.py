@@ -527,3 +527,31 @@ class TestSimhashPairs:
             pj.simhash_pairs(df, "doc_id", "text", bands=3, max_hamming=3)
         with pytest.raises(ValueError):
             pj.simhash_pairs(df, "doc_id", "text", bits=50, bands=4)
+
+
+class TestTopCollocations:
+    def test_known_collocation_wins(self, spark):
+        rows = [(i, "new york is big and the city is old") for i in range(10)]
+        rows += [(100 + i, "old and big the is a") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = pj.top_collocations(df, "text", k=3, min_count=5).collect()
+        # "new york" co-occurs always and its words never appear apart
+        assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+        assert out[0]["c_xy"] == 10
+
+    def test_min_count_filters_hapax(self, spark):
+        df = spark.createDataFrame(
+            [(1, "rare pair here"), (2, "common words common words common words")],
+            ["doc_id", "text"],
+        )
+        out = pj.top_collocations(df, "text", k=10, min_count=2).collect()
+        pairs = {(r["w1"], r["w2"]) for r in out}
+        assert ("rare", "pair") not in pairs
+        assert ("words", "common") in pairs or ("common", "words") in pairs
+
+    def test_pmi_value(self, spark):
+        import math
+        df = spark.createDataFrame([(i, "a b") for i in range(5)], ["doc_id", "text"])
+        r = pj.top_collocations(df, "text", k=1, min_count=1).first()
+        # T=10 tokens, B=5 bigrams, c_a=c_b=5, c_ab=5
+        assert abs(r["pmi"] - math.log((5 / 5) / ((5 / 10) * (5 / 10)))) < 1e-12
