@@ -940,6 +940,25 @@ def q_bm25_score(spark, sf):
     return pj.bm25_score(d, "text", "spark window join").select("doc_id", "bm25")
 
 
+def q_url_normalize(spark, sf):
+    # deterministic synthetic URLs exercise every normalization path;
+    # the oracle derives the EXPECTED canonical form independently
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://Example.COM:443/p"), sid,
+                        F.lit("?utm_source=x&id="), sid, F.lit("#f")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://site"), (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".org:80/a")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("http://h.io/p?gclid=1&x="), sid))
+        .otherwise(F.concat(F.lit("not a url "), sid))
+    )
+    return pj.url_normalize(d.withColumn("url", url), "url")
+
+
 def q_top_collocations(spark, sf):
     # PMI phrase mining: two count shuffles + broadcast totals + TakeOrdered
     d = _docs(spark, sf)
@@ -986,7 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_payload": q_resize_payload,
         "flag_jumps": q_flag_jumps,
         "data_description": q_data_description,
-        "inflate_currency": q_inflate_currency,
+        "url_normalize": q_url_normalize,
         "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
         "normal_cdf": q_normal_cdf,
@@ -1027,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_categorical": q_encode_categorical,
         "sort_column_value_order": q_sort_column_value_order,
         "convert_units": q_convert_units,
+        "inflate_currency": q_inflate_currency,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1408,6 +1428,13 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "url_normalize": (
+            "SELECT doc_id, CASE doc_id % 4 "
+            "WHEN 0 THEN 'https://example.com/p' || doc_id || '?id=' || doc_id "
+            "WHEN 1 THEN 'http://site' || (doc_id % 7) || '.org/a' "
+            "WHEN 2 THEN 'http://h.io/p?x=' || doc_id "
+            "ELSE 'not a url ' || doc_id END AS url FROM documents"
         ),
         "top_collocations": (
             f"WITH tk AS (SELECT {_TOKS} AS t FROM documents), "

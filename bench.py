@@ -44,6 +44,7 @@ HEADLINE = [
     "bloom_dedupe_against",
     "quantile_bin",
     "hashed_tfidf",
+    "simhash_pairs",
 ]
 
 

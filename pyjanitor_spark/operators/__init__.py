@@ -71,6 +71,7 @@ from pyjanitor_spark.operators.text_analysis import (
     top_collocations,
     top_domains,
     top_ngrams,
+    url_normalize,
     word_shingles,
 )
 from pyjanitor_spark.operators.timeseries import (

@@ -12,6 +12,8 @@ value).
 
 from __future__ import annotations
 
+from functools import reduce as functools_reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,6 +33,7 @@ __all__ = [
     "chunk_text",
     "extract_urls",
     "top_domains",
+    "url_normalize",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
@@ -349,6 +352,59 @@ def domain_of(url: Column, strip_www: bool = True) -> Column:
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     return host
+
+
+_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid", "mc_cid", "mc_eid")
+
+
+def url_normalize(
+    df: DataFrame,
+    column_name: str,
+    dest: str | None = None,
+    drop_fragment: bool = True,
+    strip_tracking: bool = True,
+) -> DataFrame:
+    """Canonicalize a URL column so equal resources compare equal — the
+    step before URL-keyed dedup or per-domain caps (two crawls of the
+    same page typically differ only in case, fragment, default port, or
+    tracking parameters).
+
+    Normalizations (all plain regexp/array expressions, no UDF):
+    scheme and host lowercased; default port (``:80`` http / ``:443``
+    https) removed; ``#fragment`` dropped; tracking query parameters
+    (``utm_*``, ``gclid``, ``fbclid``, ``mc_cid``, ``mc_eid``) removed,
+    with the ``?`` dropped too when nothing survives.  Path case and
+    remaining param order are preserved (they can be semantic).
+    """
+    url = F.col(column_name)
+    if drop_fragment:
+        url = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    if strip_tracking:
+        path = F.regexp_replace(rest, r"\?.*$", "")
+        query = F.regexp_extract(rest, r"\?(.*)$", 1)
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda p: ~F.coalesce(
+                functools_reduce(
+                    lambda a, b: a | b,
+                    [p.startswith(pref) for pref in _TRACKING_PREFIXES],
+                ),
+                F.lit(False),
+            ),
+        )
+        rest = F.when(
+            (query == "") | (F.size(kept) == 0), path
+        ).otherwise(F.concat(path, F.lit("?"), F.array_join(kept, "&")))
+    out = F.when(
+        scheme != "", F.concat(scheme, F.lit("://"), host, rest)
+    ).otherwise(F.col(column_name))
+    return df.withColumn(dest or column_name, out)
 
 
 def top_domains(

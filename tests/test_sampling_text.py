@@ -244,3 +244,40 @@ class TestUrlOps:
         )
         rows = [(r["domain"], r["cnt"]) for r in pj.top_domains(df, "text", k=5).collect()]
         assert rows == [("a.com", 2), ("b.net", 2)]  # tie -> lexicographic
+
+
+class TestUrlNormalize:
+    def test_canonical_forms(self, spark):
+        cases = [
+            (1, "HTTPS://Example.COM:443/Path?utm_source=x&id=5#frag",
+             "https://example.com/Path?id=5"),
+            (2, "http://site.org:80/a?utm_campaign=z", "http://site.org/a"),
+            (3, "http://site.org/a?x=1&y=2", "http://site.org/a?x=1&y=2"),
+            (4, "not a url", "not a url"),
+            (5, "https://Host.net/UPPER", "https://host.net/UPPER"),
+            (6, "http://h.io/p?gclid=1&fbclid=2", "http://h.io/p"),
+            (7, None, None),
+        ]
+        df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id int, url string")
+        got = {r["id"]: r["url"] for r in pj.url_normalize(df, "url").collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i], want)
+
+    def test_keep_options(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.b/p?utm_x=1&k=2#frag")], "id int, url string"
+        )
+        keep_frag = pj.url_normalize(df, "url", drop_fragment=False, dest="u2").first()["u2"]
+        assert "#frag" in keep_frag
+        keep_track = pj.url_normalize(df, "url", strip_tracking=False, dest="u3").first()["u3"]
+        assert "utm_x=1" in keep_track
+
+    def test_dedup_after_normalize(self, spark):
+        """The point of the verb: case/port/tracking variants of one
+        resource collapse to a single key."""
+        df = spark.createDataFrame(
+            [(1, "HTTP://X.io:80/a?utm_s=1"), (2, "http://x.io/a"), (3, "http://x.io/b")],
+            "id int, url string",
+        )
+        n = pj.url_normalize(df, "url").select("url").distinct().count()
+        assert n == 2
