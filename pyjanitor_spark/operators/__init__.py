@@ -49,6 +49,7 @@ from pyjanitor_spark.operators.multimodal import (
     resize_payload,
 )
 from pyjanitor_spark.operators.similarity import (
+    centroids,
     cosine_topk,
     hyperplane_bucket,
     ivf_topk,

@@ -83,6 +83,7 @@ def ivf_topk(
     cluster_col: str,
     k: int = 10,
     nprobe: int = 3,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` clusters whose centroids are
     most cosine-similar to the query, brute-force only inside them.
@@ -90,8 +91,20 @@ def ivf_topk(
     Two bounded small actions: centroid agg (n_clusters rows) and the
     centroid ranking; the big-table scan is filtered to the probed
     clusters (prunes partitions when the table is partitioned by
-    cluster)."""
-    cents = centroids(df, vec_col, cluster_col)
+    cluster).
+
+    ``centroids_df`` — a persisted :func:`centroids` frame
+    (``cluster_col``, ``centroid``): pass it to skip the per-query
+    centroid aggregation entirely.  The real-deployment pattern: build
+    centroids once per corpus version (they're decimal-exact, so the
+    persisted file is bit-reproducible), serve every query against the
+    stored index — per-query cost is one tiny ranking action plus the
+    pruned scan."""
+    cents = (
+        centroids_df
+        if centroids_df is not None
+        else centroids(df, vec_col, cluster_col)
+    )
     ranked = (
         cents.select(
             F.col(cluster_col),

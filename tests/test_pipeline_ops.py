@@ -555,3 +555,17 @@ class TestTopCollocations:
         r = pj.top_collocations(df, "text", k=1, min_count=1).first()
         # T=10 tokens, B=5 bigrams, c_a=c_b=5, c_ab=5
         assert abs(r["pmi"] - math.log((5 / 5) / ((5 / 10) * (5 / 10)))) < 1e-12
+
+
+class TestIvfPersistedCentroids:
+    def test_stored_centroids_match_inline(self, spark, tmp_path, embeddings):
+        q = embeddings.first()["embedding"]
+        inline = pj.ivf_topk(embeddings, q, "embedding", "vec_id", "label", k=5)
+        cents = pj.centroids(embeddings, "embedding", "label")
+        p = str(tmp_path / "ivf_index")
+        cents.write.parquet(p)  # decimal-exact -> bit-reproducible index
+        stored = pj.ivf_topk(
+            embeddings, q, "embedding", "vec_id", "label", k=5,
+            centroids_df=spark.read.parquet(p),
+        )
+        assert [tuple(r) for r in inline.collect()] == [tuple(r) for r in stored.collect()]
