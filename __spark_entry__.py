@@ -940,6 +940,13 @@ def q_bm25_score(spark, sf):
     return pj.bm25_score(d, "text", "spark window join").select("doc_id", "bm25")
 
 
+def q_dedupe_near_best(spark, sf):
+    # keep_by: survive the LONGEST doc of each near-dup cluster (ties ->
+    # min id), not the min-id one
+    d = _docs(spark, sf).withColumn("__ln", F.length("text"))
+    return pj.dedupe_near(d, "doc_id", "text", keep_by="__ln").select("doc_id")
+
+
 def q_url_normalize(spark, sf):
     # deterministic synthetic URLs exercise every normalization path;
     # the oracle derives the EXPECTED canonical form independently
@@ -1003,7 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_features": q_decode_features,
         "frame_sample": q_frame_sample,
         "resize_payload": q_resize_payload,
-        "flag_jumps": q_flag_jumps,
+        "dedupe_near_best": q_dedupe_near_best,
         "data_description": q_data_description,
         "url_normalize": q_url_normalize,
         "chunk_text": q_chunk_text,
@@ -1047,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_column_value_order": q_sort_column_value_order,
         "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
+        "flag_jumps": q_flag_jumps,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1694,6 +1702,13 @@ def _cluster_oracles() -> dict[str, str]:
         "dedupe_near": (
             closure + "SELECT d.doc_id FROM documents d LEFT JOIN cl "
             "ON d.doc_id = cl.src WHERE COALESCE(cl.c, d.doc_id) = d.doc_id"
+        ),
+        "dedupe_near_best": (
+            closure + "SELECT doc_id FROM ("
+            "SELECT d.doc_id, row_number() OVER ("
+            "PARTITION BY COALESCE(cl.c, d.doc_id) "
+            "ORDER BY length(d.text) DESC, d.doc_id) AS rn "
+            "FROM documents d LEFT JOIN cl ON d.doc_id = cl.src) WHERE rn = 1"
         ),
         "dedupe_against": (
             _bands_with_lang_sql(8, 4)

@@ -569,12 +569,20 @@ def dedupe_near(
     shingle_n: int = 3,
     jaccard_threshold: float | None = None,
     max_iter: int = 20,
+    keep_by: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash-LSH candidate pairs
     (optionally verified with exact n-gram Jaccard ≥
-    ``jaccard_threshold``) -> connected components -> keep the min-id
-    row of every cluster.  The distributed pipeline a 100 TB corpus
-    dedup actually runs; every stage shuffles short keys only."""
+    ``jaccard_threshold``) -> connected components -> keep one row per
+    cluster.  The distributed pipeline a 100 TB corpus dedup actually
+    runs; every stage shuffles short keys only.
+
+    Which row survives a cluster: by default the MIN-id row (cheap — no
+    data-side lookup).  ``keep_by`` names a column to maximize instead
+    (e.g. a quality score, or a length column to keep the most complete
+    variant); ties fall back to min id.  That path adds one join of the
+    cluster table against ``(id, keep_by)`` plus a per-cluster window —
+    both keyed on cluster ids, still nothing quadratic."""
     pairs = minhash_lsh_pairs(df, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n)
     if jaccard_threshold is not None:
         pairs = ngram_jaccard_pairs(
@@ -582,7 +590,20 @@ def dedupe_near(
             shingle_n=shingle_n, threshold=jaccard_threshold, candidates=pairs,
         ).select("id_1", "id_2")
     clusters = near_dup_clusters(pairs, nodes=None, id_col=id_col, max_iter=max_iter)
-    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    if keep_by is None:
+        losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    else:
+        from pyspark.sql import Window
+
+        scored = clusters.join(df.select(id_col, keep_by), id_col)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col(keep_by).desc(), F.col(id_col).asc()
+        )
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(id_col)
+        )
     return df.join(losers, id_col, "left_anti")
 
 

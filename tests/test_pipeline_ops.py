@@ -569,3 +569,29 @@ class TestIvfPersistedCentroids:
             centroids_df=spark.read.parquet(p),
         )
         assert [tuple(r) for r in inline.collect()] == [tuple(r) for r in stored.collect()]
+
+
+class TestDedupeNearKeepBy:
+    def test_keep_best_not_min_id(self, spark):
+        # 1 and 2 are near-dups; 2 is longer -> keep_by length keeps 2,
+        # while the default keeps min id 1
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog tonight again"),
+                (3, "unrelated totally different content here now"),
+            ],
+            ["doc_id", "text"],
+        ).withColumn("ln", F.length("text"))
+        default = {r["doc_id"] for r in pj.dedupe_near(df, "doc_id", "text").collect()}
+        best = {r["doc_id"] for r in pj.dedupe_near(df, "doc_id", "text", keep_by="ln").collect()}
+        assert default == {1, 3}
+        assert best == {2, 3}
+
+    def test_tie_falls_back_to_min_id(self, spark):
+        df = spark.createDataFrame(
+            [(5, "alpha beta gamma delta"), (9, "alpha beta gamma delta")],
+            ["doc_id", "text"],
+        ).withColumn("ln", F.length("text"))
+        best = {r["doc_id"] for r in pj.dedupe_near(df, "doc_id", "text", keep_by="ln").collect()}
+        assert best == {5}
