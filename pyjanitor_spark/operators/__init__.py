@@ -7,6 +7,7 @@ from pyjanitor_spark.operators.complete import (
     fill_missing_timestamps,
 )
 from pyjanitor_spark.operators.dedup import (
+    bloom_build,
     bloom_dedupe_against,
     cosine_sim,
     dedupe_against,

@@ -688,6 +688,79 @@ def dedupe_against(
     return df.join(hits, id_col, "left_anti")
 
 
+def bloom_build(
+    reference: DataFrame,
+    key_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    shards: int = 1,
+) -> DataFrame:
+    """Build the Bloom bitmap frame :func:`bloom_dedupe_against` probes
+    — one row per shard: (__shard, __bloom array<bigint>, __m, __h).
+
+    PERSIST this (a few MB per 1e6 keys at 1% fpp) and pass it back as
+    ``bloom_df=``: the corpus-side pass happens once per corpus
+    version, and every subsequent batch pays only the probe.  The
+    sizing parameters ride inside the frame, so a stored index can't be
+    probed with mismatched m/h."""
+    import math
+
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    n_total = expected_items if expected_items is not None else max(reference.count(), 1)
+    n = max(1, -(-n_total // shards))  # per-shard expected keys
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    h = max(1, round(m / n * math.log(2)))
+    nwords = (m + 63) // 64
+
+    def _shard(key: Column) -> Column:
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(shards))
+
+    words = (
+        reference.select(
+            _shard(F.col(key_col)).alias("__shard"),
+            F.explode(
+                F.array(*_bloom_positions(F.col(key_col), m, h))
+            ).alias("__pos"),
+        )
+        .select(
+            "__shard",
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__b"),
+        )
+        .groupBy("__shard", "__w")
+        .agg(F.bit_or("__b").alias("__word"))
+    )
+    bitmaps: dict[int, list[int]] = {s: [0] * nwords for s in range(shards)}
+    for row in words.collect():  # bounded: ≤ shards * m/64 rows (documented action)
+        bitmaps[row["__shard"]][row["__w"]] = row["__word"]
+    return reference.sparkSession.createDataFrame(
+        [(s, bm, m, h) for s, bm in bitmaps.items()],
+        "__shard bigint, __bloom array<bigint>, __m bigint, __h int",
+    )
+
+
+def _bloom_positions(key: Column, m: int, h: int) -> list[Column]:
+    # 15 hex nibbles = 60 bits — fits a signed long exactly
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        for i in range(h)
+    ]
+
+
 def bloom_dedupe_against(
     df: DataFrame,
     reference: DataFrame,
@@ -696,6 +769,7 @@ def bloom_dedupe_against(
     fpp: float = 0.01,
     exact: bool = True,
     shards: int = 1,
+    bloom_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental EXACT dedup at corpus scale: drop rows of ``df`` whose
     ``key_col`` value appears anywhere in ``reference`` (the already-kept
@@ -728,72 +802,38 @@ def bloom_dedupe_against(
     broadcast memory, run shard groups sequentially (same construction,
     filtered reference; see SCALE.md).
 
+    ``bloom_df`` — a persisted :func:`bloom_build` frame: skips the
+    corpus-side build pass entirely (``reference`` is then only needed
+    for the ``exact=True`` verify anti-join; ``expected_items``/
+    ``fpp``/``shards`` are read from the stored index).
+
     No reference analog: pyjanitor's ``drop_duplicates`` world is
     single-frame; this is the training-pipeline "new crawl vs corpus"
     primitive (cf. ``dedupe_against`` for the NEAR-dup variant).
     """
-    import math
     from functools import reduce as _reduce
 
-    if not 0.0 < fpp < 1.0:
-        raise ValueError("fpp must be in (0, 1)")
-    if shards < 1:
-        raise ValueError("shards must be >= 1")
-    n_total = expected_items if expected_items is not None else max(reference.count(), 1)
-    n = max(1, -(-n_total // shards))  # per-shard expected keys
-    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    h = max(1, round(m / n * math.log(2)))
-    nwords = (m + 63) // 64
+    if bloom_df is None:
+        if reference is None:
+            raise ValueError("need reference or bloom_df")
+        bloom_df = bloom_build(
+            reference, key_col, expected_items=expected_items, fpp=fpp, shards=shards
+        )
+    # bounded meta action: one row per shard
+    meta = bloom_df.select("__shard", "__m", "__h").collect()
+    m = int(meta[0]["__m"])
+    h = int(meta[0]["__h"])
+    shards = len(meta)
 
     def _shard(key: Column) -> Column:
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(shards))
 
-    def _positions(key: Column) -> list[Column]:
-        # 15 hex nibbles = 60 bits — fits a signed long exactly
-        return [
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(m),
-            )
-            for i in range(h)
-        ]
-
-    # ONE pass over the reference whatever the shard count: group keys
-    # are (shard, word); the collect stays bounded by shards * m/64 rows
-    # total (per-shard bitmaps are m/(64*shards)-scaled).
     # NB: F.shiftleft requires a literal bit count on Spark 4.x; the SQL
     # form accepts an expression, so shifts go through F.expr
-    words = (
-        reference.select(
-            _shard(F.col(key_col)).alias("__shard"),
-            F.explode(F.array(*_positions(F.col(key_col)))).alias("__pos"),
-        )
-        .select(
-            "__shard",
-            (F.col("__pos") / 64).cast("int").alias("__w"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-            ).alias("__b"),
-        )
-        .groupBy("__shard", "__w")
-        .agg(F.bit_or("__b").alias("__word"))
-    )
-    bitmaps: dict[int, list[int]] = {s: [0] * nwords for s in range(shards)}
-    for row in words.collect():  # bounded: ≤ shards * m/64 rows (documented action)
-        bitmaps[row["__shard"]][row["__w"]] = row["__word"]
-
-    spark = df.sparkSession
-    bm_df = spark.createDataFrame(
-        [(s, bm) for s, bm in bitmaps.items()], "__shard bigint, __bloom array<bigint>"
-    )
     probed = df.withColumn("__shard", _shard(F.col(key_col))).join(
-        F.broadcast(bm_df), "__shard"
+        F.broadcast(bloom_df.select("__shard", "__bloom")), "__shard"
     ).withColumns(
-        {f"__bp{i}": p for i, p in enumerate(_positions(F.col(key_col)))}
+        {f"__bp{i}": p for i, p in enumerate(_bloom_positions(F.col(key_col), m, h))}
     )
     checks = [
         F.expr(
@@ -807,6 +847,11 @@ def bloom_dedupe_against(
     clean = probed.filter(~is_candidate).drop(*aux)
     if not exact:
         return clean
+    if reference is None:
+        raise ValueError(
+            "exact=True needs the reference frame for the verify "
+            "anti-join; pass exact=False for a pure stored-index probe"
+        )
     survivors = (
         probed.filter(is_candidate)
         .drop(*aux)

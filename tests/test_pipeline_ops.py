@@ -595,3 +595,30 @@ class TestDedupeNearKeepBy:
         ).withColumn("ln", F.length("text"))
         best = {r["doc_id"] for r in pj.dedupe_near(df, "doc_id", "text", keep_by="ln").collect()}
         assert best == {5}
+
+
+class TestBloomPersistedIndex:
+    def test_stored_bloom_matches_inline(self, spark, tmp_path, documents):
+        ref = documents.filter(F.col("lang") == "en")
+        new = documents.filter(F.col("lang") != "en")
+        inline = {r["doc_id"] for r in
+                  pj.bloom_dedupe_against(new, ref, "text", shards=2).collect()}
+        ix = pj.bloom_build(ref, "text", shards=2)
+        p = str(tmp_path / "bloom_ix")
+        ix.write.parquet(p)
+        stored = {r["doc_id"] for r in pj.bloom_dedupe_against(
+            new, ref, "text", bloom_df=spark.read.parquet(p)).collect()}
+        assert stored == inline and len(stored) > 0
+
+    def test_stored_bloom_inexact_probe_without_reference_scan(self, spark, tmp_path, documents):
+        """exact=False with a stored index never touches the reference
+        data at probe time — the pure streaming-probe shape."""
+        ref = documents.filter(F.col("lang") == "en")
+        new = documents.filter(F.col("lang") != "en")
+        p = str(tmp_path / "bloom_ix2")
+        pj.bloom_build(ref, "text").write.parquet(p)
+        out = pj.bloom_dedupe_against(
+            new, None, "text", exact=False, bloom_df=spark.read.parquet(p))
+        kept = out.count()
+        exact_kept = new.join(ref.select("text"), "text", "left_anti").count()
+        assert kept <= exact_kept  # may drop ~fpp clean rows, never keeps dups
