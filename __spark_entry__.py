@@ -1789,9 +1789,13 @@ def _pipeline_oracles() -> dict[str, str]:
         "SELECT doc_id, q_len, q_punct, q_stop, q_wordlen, "
         "(q_len + q_punct + q_stop + q_wordlen) / 4.0 AS quality FROM v"
     )
-    # trigram rank-weight profiles generated from the SAME dict the
-    # Spark side uses, so the two can never drift
-    from pyjanitor_spark.operators.text_analysis import _TRIGRAM_PROFILES
+    # trigram rank-weight profiles and the language order both come from
+    # the SAME module constants the Spark side uses, so the two can
+    # never drift — the tie cascade is generated, not hand-written
+    from pyjanitor_spark.operators.text_analysis import (
+        _LANG_ORDER,
+        _TRIGRAM_PROFILES,
+    )
 
     def _tri_score(lang: str) -> str:
         arms = " ".join(
@@ -1803,6 +1807,15 @@ def _pipeline_oracles() -> dict[str, str]:
             f"t -> CASE t {arms} ELSE 0 END)), 0)"
         )
 
+    score_cols = ", ".join(f"{_tri_score(l)} AS s_{l}" for l in _LANG_ORDER)
+    all_scores = ", ".join(f"s_{l}" for l in _LANG_ORDER)
+    # earlier language wins a tie: lang_i is picked iff its score is >=
+    # every LATER language's score (earlier ones already failed)
+    arms = []
+    for i, l in enumerate(_LANG_ORDER[:-1]):
+        later = " AND ".join(f"s_{l} >= s_{m}" for m in _LANG_ORDER[i + 1:])
+        arms.append(f"WHEN {later} THEN '{l}'")
+    cascade = " ".join(arms) + f" ELSE '{_LANG_ORDER[-1]}'"
     lang = (
         "WITH n AS (SELECT doc_id, lang, text, "
         "' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS norm "
@@ -1811,18 +1824,11 @@ def _pipeline_oracles() -> dict[str, str]:
         "length(norm) >= 3 THEN list_transform(generate_series(1, "
         "length(norm) - 2), i -> substr(norm, i, 3)) "
         "ELSE []::VARCHAR[] END) AS tris FROM n), "
-        "s AS (SELECT doc_id, lang, text, "
-        f"{_tri_score('en')} AS s_en, "
-        f"{_tri_score('de')} AS s_de, "
-        f"{_tri_score('fr')} AS s_fr, "
-        f"{_tri_score('es')} AS s_es "
-        "FROM t) "
+        f"s AS (SELECT doc_id, lang, text, {score_cols} FROM t) "
         "SELECT doc_id, lang, "
         "CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
-        "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
-        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
-        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
-        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s"
+        f"WHEN greatest({all_scores}) = 0 THEN 'und' "
+        f"{cascade} END AS lang_pred FROM s"
     )
     jaccard = (
         f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "

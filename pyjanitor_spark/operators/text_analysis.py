@@ -137,8 +137,25 @@ _LANG_MARKERS = {
         "por", "con", "para", "su", "al", "lo", "como", "más", "pero",
         "sus", "ya", "este", "entre", "cuando", "también",
     ],
+    "it": [
+        "il", "la", "di", "che", "e", "un", "una", "per", "con", "non",
+        "sono", "del", "le", "si", "da", "come", "anche", "più",
+        "questo", "ma", "nel", "alla", "gli", "ha", "della",
+    ],
+    "pt": [
+        "o", "a", "de", "que", "e", "do", "da", "em", "um", "uma",
+        "para", "com", "não", "por", "os", "as", "se", "mais", "como",
+        "mas", "ao", "ele", "das", "seu", "sua",
+    ],
+    "nl": [
+        "de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+        "zijn", "met", "voor", "niet", "aan", "er", "ook", "als",
+        "maar", "om", "dan", "zou", "of", "wat", "bij",
+    ],
     "zh": [],  # CJK detected by script below
 }
+# fixed iteration order = deterministic tie-break (earlier wins a tie)
+_LANG_ORDER = ("en", "de", "fr", "es", "it", "pt", "nl")
 _CJK_RE = r"[一-鿿]"
 
 # rank-weighted character-trigram profiles (the public Cavnar & Trenkle
@@ -198,7 +215,7 @@ def language_id(
     def score_tree(tris: Column) -> Column:
         best = None
         best_score = None
-        for lang in ("en", "de", "fr", "es"):
+        for lang in _LANG_ORDER:
             weights = F.create_map(
                 *[
                     F.lit(x)

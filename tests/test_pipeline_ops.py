@@ -622,3 +622,16 @@ class TestBloomPersistedIndex:
         kept = out.count()
         exact_kept = new.join(ref.select("text"), "text", "left_anti").count()
         assert kept <= exact_kept  # may drop ~fpp clean rows, never keeps dups
+
+
+def test_language_id_extended_languages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "il gatto e il cane sono nella casa che non ha una porta"),
+            (2, "o gato e o cão estão em uma casa que não tem porta"),
+            (3, "de kat en de hond zijn in het huis met een deur"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["lang_pred"] for r in pj.language_id(df, "text").collect()}
+    assert got == {1: "it", 2: "pt", 3: "nl"}
