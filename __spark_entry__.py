@@ -940,6 +940,20 @@ def q_bm25_score(spark, sf):
     return pj.bm25_score(d, "text", "spark window join").select("doc_id", "bm25")
 
 
+def q_contamination(spark, sf):
+    # decontamination: docs vs a "benchmark" slice of the same corpus
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return pj.contamination_score(corpus, bench, "doc_id", "text", shingle_n=3)
+
+
+def q_assign_packs(spark, sf):
+    # fixed-token-budget sequence packing in doc_id order
+    d = _docs(spark, sf)
+    return pj.assign_packs(d, "text", 500, "doc_id").select("doc_id", "pack_id")
+
+
 def q_dedupe_near_best(spark, sf):
     # keep_by: survive the LONGEST doc of each near-dup cluster (ties ->
     # min id), not the min-id one
@@ -1011,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "resize_payload": q_resize_payload,
         "dedupe_near_best": q_dedupe_near_best,
-        "data_description": q_data_description,
+        "contamination": q_contamination,
         "url_normalize": q_url_normalize,
         "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
@@ -1024,7 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
-        "pivot_longer_spec": q_pivot_longer_spec,
+        "assign_packs": q_assign_packs,
         "bm25_score": q_bm25_score,
         "top_domains": q_top_domains,
         "xlsx_table": q_xlsx_table,
@@ -1055,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
         "flag_jumps": q_flag_jumps,
+        "data_description": q_data_description,
+        "pivot_longer_spec": q_pivot_longer_spec,
         # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
         # rows-only by design) ----
         "groupby_agg": q_groupby_agg,
@@ -1436,6 +1452,24 @@ def oracle_sql() -> dict[str, str]:
             "'https?://([^/:\\s]+)', 1)), '^www\\.', '') AS domain FROM u) "
             "SELECT domain, count(*) AS cnt FROM d WHERE domain <> '' "
             "GROUP BY domain ORDER BY cnt DESC, domain LIMIT 10"
+        ),
+        "contamination": (
+            f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+            f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0), "
+            "corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0), "
+            "tot AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1), "
+            "m AS (SELECT doc_id, count(*) AS m FROM corp "
+            "WHERE s IN (SELECT s FROM bench) GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(mm.m / t.n, 0.0) AS contamination "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d "
+            "LEFT JOIN tot t ON d.doc_id = t.doc_id "
+            "LEFT JOIN m mm ON d.doc_id = mm.doc_id"
+        ),
+        "assign_packs": (
+            f"WITH tk AS (SELECT doc_id, len({_TOKS}) AS ntok FROM documents) "
+            "SELECT doc_id, CAST(FLOOR((sum(ntok) OVER (ORDER BY doc_id) - 1) "
+            "/ 500.0) AS BIGINT) AS pack_id FROM tk"
         ),
         "url_normalize": (
             "SELECT doc_id, CASE doc_id % 4 "

@@ -8,6 +8,7 @@ from pyjanitor_spark.operators.complete import (
 )
 from pyjanitor_spark.operators.dedup import (
     bloom_build,
+    contamination_score,
     bloom_dedupe_against,
     cosine_sim,
     dedupe_against,
@@ -62,6 +63,7 @@ from pyjanitor_spark.operators.sampling import (
     stratified_sample,
 )
 from pyjanitor_spark.operators.text_analysis import (
+    assign_packs,
     chunk_text,
     extract_urls,
     fingerprint,

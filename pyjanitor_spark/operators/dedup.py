@@ -607,6 +607,61 @@ def dedupe_near(
     return df.join(losers, id_col, "left_anti")
 
 
+def contamination_score(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    column_name: str,
+    benchmark_column: str | None = None,
+    shingle_n: int = 8,
+    dest: str = "contamination",
+) -> DataFrame:
+    """Benchmark-contamination score per document: the fraction of the
+    document's distinct word ``shingle_n``-grams that appear anywhere
+    in ``benchmark`` — the standard n-gram-overlap decontamination
+    check (8-gram overlap is the common published heuristic for
+    "this training doc quotes an eval set").
+
+    Returns ``(id_col, dest)`` with ``dest`` in [0, 1]; docs shorter
+    than ``shingle_n`` tokens score 0.0 (no n-grams to leak).  Filter
+    at a threshold (e.g. ``>= 0.05``) or join back for auditing.
+
+    Plan: both sides shingle once; benchmark shingles are md5-hashed
+    and DISTINCT (the set is small relative to the corpus — eval sets,
+    not training data); matches come from a LEFT SEMI join keyed on the
+    32-hex shingle hash; per-doc totals and matches are two counts over
+    the same exploded frame, joined on id.  Nothing quadratic, no
+    driver-side membership set.
+    """
+    bcol = benchmark_column or column_name
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+    ).withColumn("__h", F.md5(F.col("__s"))).drop("__s")
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bcol), shingle_n)).alias("__s")
+        )
+        .select(F.md5(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    matched = (
+        doc_sh.join(bench_sh, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    scores = totals.join(matched, id_col, "left").select(
+        F.col(id_col),
+        (F.coalesce(F.col("__m"), F.lit(0)) / F.col("__n")).alias(dest),
+    )
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .select(id_col, F.coalesce(F.col(dest), F.lit(0.0)).alias(dest))
+    )
+
+
 def minhash_band_buckets(
     frame: DataFrame,
     id_col: str,

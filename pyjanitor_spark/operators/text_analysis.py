@@ -21,6 +21,7 @@ from pyjanitor_spark.utils.expr import let
 
 __all__ = [
     "tokens",
+    "assign_packs",
     "word_shingles",
     "token_count",
     "quality_score",
@@ -518,6 +519,48 @@ def chunk_text(
         .withColumn(f"{dest}_n_tokens", F.col("__c.n_tokens"))
         .drop("__c")
     )
+
+
+def assign_packs(
+    df: DataFrame,
+    column_name: str,
+    max_tokens: int,
+    order_by: str,
+    dest: str = "pack_id",
+    mode: str = "whitespace",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: walking
+    the corpus in ``order_by`` order, a document joins pack
+    ``floor((cumulative_tokens - 1) / max_tokens)`` — the deterministic
+    streaming-concatenation packing used to build fixed-length training
+    sequences (documents may straddle a boundary; the pack id names the
+    sequence their LAST token lands in).
+
+    ``order_by`` must uniquely identify rows (same contract as
+    ``count_cumulative_unique``) — for reproducible packs use a stable
+    key like a document id or a ``deterministic_sample`` hash.
+
+    Scale shape: only ``(order, token_count)`` flows through the
+    running sum (:func:`~pyjanitor_spark.utils.order.partitioned_cumsum`
+    — range partition + broadcast offsets, no single-task stage); the
+    pack id joins back by order key, so wide rows shuffle exactly once.
+    """
+    from pyjanitor_spark.utils.order import partitioned_cumsum
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    narrow = df.select(
+        F.col(order_by), F.size(tokens(F.col(column_name), mode)).alias("__ntok")
+    )
+    cum = partitioned_cumsum(
+        narrow, "__ntok", order_by, "__cum", num_partitions=num_partitions
+    )
+    packs = cum.select(
+        F.col(order_by),
+        F.floor((F.col("__cum") - 1) / F.lit(float(max_tokens))).alias(dest),
+    )
+    return df.join(packs, order_by)
 
 
 def top_collocations(

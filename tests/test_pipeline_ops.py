@@ -635,3 +635,55 @@ def test_language_id_extended_languages(spark):
     )
     got = {r["id"]: r["lang_pred"] for r in pj.language_id(df, "text").collect()}
     assert got == {1: "it", 2: "pt", 3: "nl"}
+
+
+class TestContaminationScore:
+    def test_known_overlap_fractions(self, spark):
+        bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),       # 3/3 distinct 3-grams leak
+                (2, "a b c x y z"),     # 1/4 ('a b c')
+                (3, "p q r s t"),       # 0/3
+                (4, "xx yy"),           # too short -> 0.0
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["contamination"]
+               for r in pj.contamination_score(df, bench, "doc_id", "text", shingle_n=3).collect()}
+        assert got[1] == 1.0 and abs(got[2] - 0.25) < 1e-12
+        assert got[3] == 0.0 and got[4] == 0.0
+
+    def test_threshold_filter_decontaminates(self, spark, documents):
+        bench = documents.filter(F.col("doc_id") % 17 == 0)
+        corpus = documents.filter(F.col("doc_id") % 17 != 0)
+        scored = pj.contamination_score(corpus, bench, "doc_id", "text", shingle_n=3)
+        clean = corpus.join(scored.filter("contamination >= 0.8"), "doc_id", "left_anti")
+        assert 0 < clean.count() <= corpus.count()
+
+
+class TestAssignPacks:
+    def test_pack_boundaries(self, spark):
+        # 4 docs x 3 tokens, budget 5: cum = 3,6,9,12 -> packs 0,1,1,2
+        df = spark.createDataFrame(
+            [(i, "w w w") for i in range(1, 5)], ["doc_id", "text"]
+        )
+        got = {r["doc_id"]: r["pack_id"]
+               for r in pj.assign_packs(df, "text", 5, "doc_id").collect()}
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_stable_under_repartition(self, spark, documents):
+        a = sorted((r["doc_id"], r["pack_id"]) for r in
+                   pj.assign_packs(documents.repartition(1), "text", 300, "doc_id").collect())
+        b = sorted((r["doc_id"], r["pack_id"]) for r in
+                   pj.assign_packs(documents.repartition(9), "text", 300, "doc_id").collect())
+        assert a == b
+        # packs are contiguous in doc order and budgets roughly respected
+        packs = [p for _, p in a]
+        assert packs == sorted(packs)
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            pj.assign_packs(df, "text", 0, "doc_id")
