@@ -1468,8 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "assign_packs": (
             f"WITH tk AS (SELECT doc_id, len({_TOKS}) AS ntok FROM documents) "
-            "SELECT doc_id, CAST(FLOOR((sum(ntok) OVER (ORDER BY doc_id) - 1) "
-            "/ 500.0) AS BIGINT) AS pack_id FROM tk"
+            "SELECT doc_id, CAST(GREATEST(FLOOR((sum(ntok) OVER (ORDER BY doc_id) "
+            "- 1) / 500.0), 0) AS BIGINT) AS pack_id FROM tk"
         ),
         "url_normalize": (
             "SELECT doc_id, CASE doc_id % 4 "

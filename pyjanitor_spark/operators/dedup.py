@@ -883,12 +883,19 @@ def bloom_dedupe_against(
     def _shard(key: Column) -> Column:
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(shards))
 
+    # NULL keys are DEFINITELY clean under anti-join semantics (NULL
+    # never equals a reference key) — route them around the probe,
+    # whose shard equi-join would silently drop them (NULL shard)
+    null_keys = df.filter(F.col(key_col).isNull())
     # NB: F.shiftleft requires a literal bit count on Spark 4.x; the SQL
     # form accepts an expression, so shifts go through F.expr
-    probed = df.withColumn("__shard", _shard(F.col(key_col))).join(
-        F.broadcast(bloom_df.select("__shard", "__bloom")), "__shard"
-    ).withColumns(
-        {f"__bp{i}": p for i, p in enumerate(_bloom_positions(F.col(key_col), m, h))}
+    probed = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__shard", _shard(F.col(key_col)))
+        .join(F.broadcast(bloom_df.select("__shard", "__bloom")), "__shard")
+        .withColumns(
+            {f"__bp{i}": p for i, p in enumerate(_bloom_positions(F.col(key_col), m, h))}
+        )
     )
     checks = [
         F.expr(
@@ -899,7 +906,7 @@ def bloom_dedupe_against(
     ]
     is_candidate = _reduce(lambda a, b: a & b, checks)
     aux = ["__shard", "__bloom"] + [f"__bp{i}" for i in range(h)]
-    clean = probed.filter(~is_candidate).drop(*aux)
+    clean = probed.filter(~is_candidate).drop(*aux).unionByName(null_keys)
     if not exact:
         return clean
     if reference is None:

@@ -203,7 +203,15 @@ def count_cumulative_unique(
             "__is_first", (F.row_number().over(w_first) == 1).cast("long")
         ).drop("__v")
         cum = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name)
-        return df.join(cum.select(ocol, dest_column_name), ocol)
+        # null-safe equi-join: a (single, per the uniqueness contract)
+        # NULL order key must not silently drop its row
+        right = cum.select(
+            F.col(ocol).alias("__ccu_o"), F.col(dest_column_name)
+        )
+        return (
+            df.join(right, F.col(ocol).eqNullSafe(F.col("__ccu_o")), "left")
+            .drop("__ccu_o")
+        )
     w_first = Window.partitionBy(val).orderBy(F.col(ocol))
     flagged = df.withColumn(
         "__is_first", (F.row_number().over(w_first) == 1).cast("long")

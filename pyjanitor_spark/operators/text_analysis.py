@@ -258,8 +258,11 @@ def language_id(
         F.regexp_replace(F.lower(text), r"\s+", " "),
         F.lit(" "),
     )
+    # CJK detection scans the SAME truncated text as the trigram pass —
+    # max_chars must bound every per-row scan, and the decision should
+    # come from one consistent prefix
     pred = F.when(
-        F.regexp_count(F.col(column_name), F.lit(_CJK_RE)) > 0, F.lit("zh")
+        F.regexp_count(text, F.lit(_CJK_RE)) > 0, F.lit("zh")
     ).otherwise(let(norm_expr, tris_tree))
     return df.withColumn(dest, pred)
 
@@ -394,9 +397,12 @@ def url_normalize(
     with the ``?`` dropped too when nothing survives.  Path case and
     remaining param order are preserved (they can be semantic).
     """
-    url = F.col(column_name)
-    if drop_fragment:
-        url = F.regexp_replace(url, r"#.*$", "")
+    raw = F.col(column_name)
+    # ALWAYS parse with the fragment detached — otherwise '#frag' rides
+    # inside the query string and the tracking-param rewrite can eat it
+    # even when drop_fragment=False; re-append at the end if kept
+    frag = F.regexp_extract(raw, r"(#.*)$", 1)
+    url = F.regexp_replace(raw, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
@@ -419,9 +425,10 @@ def url_normalize(
         rest = F.when(
             (query == "") | (F.size(kept) == 0), path
         ).otherwise(F.concat(path, F.lit("?"), F.array_join(kept, "&")))
-    out = F.when(
-        scheme != "", F.concat(scheme, F.lit("://"), host, rest)
-    ).otherwise(F.col(column_name))
+    rebuilt = F.concat(scheme, F.lit("://"), host, rest)
+    if not drop_fragment:
+        rebuilt = F.concat(rebuilt, frag)
+    out = F.when(scheme != "", rebuilt).otherwise(F.col(column_name))
     return df.withColumn(dest or column_name, out)
 
 
@@ -557,10 +564,17 @@ def assign_packs(
         narrow, "__ntok", order_by, "__cum", num_partitions=num_partitions
     )
     packs = cum.select(
-        F.col(order_by),
-        F.floor((F.col("__cum") - 1) / F.lit(float(max_tokens))).alias(dest),
+        F.col(order_by).alias("__pk_o"),
+        # greatest(0, ...): a leading zero-token document has cum=0 and
+        # would otherwise get the invalid pack -1
+        F.greatest(
+            F.floor((F.col("__cum") - 1) / F.lit(float(max_tokens))), F.lit(0)
+        ).alias(dest),
     )
-    return df.join(packs, order_by)
+    return (
+        df.join(packs, F.col(order_by).eqNullSafe(F.col("__pk_o")), "left")
+        .drop("__pk_o")
+    )
 
 
 def top_collocations(
@@ -587,25 +601,26 @@ def top_collocations(
     """
     toks = df.select(F.explode(tokens(F.col(column_name))).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    bi = (
+    bi_counts = (
         df.select(
             F.explode(word_shingles(F.col(column_name), 2, distinct=False)).alias("bg")
         )
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .filter(F.col("c_xy") >= min_count)
+        # pinned: feeds both the totals agg and the min_count branch —
+        # one corpus-scale shingle pass, one vocabulary-sized cache
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        bi_counts.filter(F.col("c_xy") >= min_count)
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
     )
+    # total bigrams = sum over the (vocabulary-sized) PRE-filter counts
+    # frame — no third corpus-scale tokenize+shingle pass
     totals = uni.agg(
         F.sum("c").alias("__t"),
-    ).crossJoin(
-        F.broadcast(
-            df.select(
-                F.explode(word_shingles(F.col(column_name), 2, distinct=False)).alias("b")
-            ).agg(F.count(F.lit(1)).alias("__b"))
-        )
-    )
+    ).crossJoin(F.broadcast(bi_counts.agg(F.sum("c_xy").alias("__b"))))
     joined = (
         bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")

@@ -333,7 +333,16 @@ def streaming_dedupe_near(
             batch, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
         )
         try:
-            sigs = spark.read.parquet(sig_path).select(id_col, "band", "key")
+            # exclude THIS batch id: a replayed batch (crash after the
+            # signature write, before the offset commit) must not probe
+            # against its own first attempt's signatures — it would
+            # dedupe itself to empty and overwrite the kept data with
+            # nothing
+            sigs = (
+                spark.read.parquet(sig_path)
+                .filter(F.col("batch") != batch_id)
+                .select(id_col, "band", "key")
+            )
         except Exception:
             sigs = None  # first batch: no store yet
         if sigs is not None:

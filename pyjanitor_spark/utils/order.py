@@ -87,10 +87,12 @@ def partitioned_cumsum(
     identical partitions (see ``positional_index``)."""
     from pyspark.sql import Window
 
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
     order = F.col(order_col).asc()
     d = (
         df.repartitionByRange(num_partitions, order)
-        if num_partitions
+        if num_partitions is not None
         else df.repartitionByRange(order)
     )
     d = d.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)

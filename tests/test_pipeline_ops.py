@@ -687,3 +687,70 @@ class TestAssignPacks:
         import pytest as _pt
         with _pt.raises(ValueError):
             pj.assign_packs(df, "text", 0, "doc_id")
+
+
+class TestReviewRegressions:
+    """Regressions surfaced by the round-4 review pass."""
+
+    def test_ccu_null_order_key_kept(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "a")], "o int, v string"
+        )
+        out = pj.count_cumulative_unique(df, "v", "ccu", order_by="o")
+        assert out.count() == 3  # NULL-order row is not dropped
+        assert out.filter(F.col("o").isNull()).count() == 1
+
+    def test_assign_packs_null_order_and_leading_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "w w w"), (None, "w")], "o int, text string"
+        )
+        out = pj.assign_packs(df, "text", 5, "o")
+        assert out.count() == 3
+        got = {r["o"]: r["pack_id"] for r in out.collect()}
+        assert got[1] >= 0  # leading empty doc never gets pack -1
+
+    def test_bloom_null_key_is_kept(self, spark):
+        ref = spark.createDataFrame([("x",)], "k string")
+        df = spark.createDataFrame([(1, "x"), (2, "y"), (3, None)], "id int, k string")
+        out = {r["id"] for r in pj.bloom_dedupe_against(df, ref, "k").collect()}
+        # anti-join semantics: NULL key never matches the reference
+        want = {r["id"] for r in df.join(ref, "k", "left_anti").collect()}
+        assert out == want == {2, 3}
+
+    def test_url_fragment_survives_tracking_strip(self, spark):
+        df = spark.createDataFrame(
+            [(1, "http://a.b/p?k=2&utm_x=1#frag"), (2, "http://a.b/p?utm_x=1#f2")],
+            "id int, url string",
+        )
+        got = {r["id"]: r["url"]
+               for r in pj.url_normalize(df, "url", drop_fragment=False).collect()}
+        assert got[1] == "http://a.b/p?k=2#frag"
+        assert got[2] == "http://a.b/p#f2"
+
+    def test_language_id_cjk_respects_max_chars(self, spark):
+        text = "the cat and the dog of the house " * 10 + "你好"
+        df = spark.createDataFrame([(1, text)], ["id", "text"])
+        full = pj.language_id(df, "text").first()["lang_pred"]
+        trunc = pj.language_id(df, "text", max_chars=30).first()["lang_pred"]
+        assert full == "zh" and trunc == "en"
+
+    def test_streaming_near_dedupe_replayed_batch_not_self_erased(self, spark, tmp_path):
+        """Re-running a batch id with the same store must not drop the
+        batch against its own signatures (crash-replay safety)."""
+        from pyjanitor_spark.streaming import streaming_dedupe_near
+
+        src1 = str(tmp_path / "src1")
+        src2 = str(tmp_path / "src2")
+        store = str(tmp_path / "store")
+        schema = "id long, text string"
+        b = spark.createDataFrame([(1, "alpha beta gamma delta")], schema)
+        b.coalesce(1).write.parquet(src1)
+        # run the same source against TWO fresh checkpoints: the second
+        # run replays batch id 0 with the signatures already on disk
+        for ck in ("ck1", "ck2"):
+            q = streaming_dedupe_near(
+                spark.readStream.schema(schema).parquet(src1),
+                "id", "text", store, str(tmp_path / ck), available_now=True,
+            )
+            q.awaitTermination(120)
+        assert spark.read.parquet(store).count() == 1  # survived the replay
