@@ -905,6 +905,38 @@ def q_xlsx_cells(spark, sf):
     return xlsx_cells(spark, _DEMO_XLSX)
 
 
+# rdkit-free chemistry fallback fixture: literal molecules with
+# hand-derived formulas/weights (IUPAC 2021 table), including one
+# invalid SMILES that must yield an all-null descriptor row
+_DEMO_SMILES = [
+    (1, "CCO"),
+    (2, "CC(=O)Oc1ccccc1C(=O)O"),
+    (3, "Cn1cnc2c1c(=O)n(C)c(=O)n2C"),
+    (4, "C(=O)(O)c1ccccc1"),
+    (5, "NCCc1ccc(O)c(O)c1"),
+    (6, "c1ccc2ccccc2c1"),
+    (7, "[Na+].[Cl-]"),
+    (8, "CS(=O)C"),
+    (9, "O"),
+    (10, "not a smiles"),
+]
+
+
+def q_smiles_descriptors(spark, sf):
+    df = spark.createDataFrame(_DEMO_SMILES, "id int, smiles string")
+    out = pj.smiles_descriptors(df, "smiles")
+    return out.select(
+        "id",
+        F.col("mol_formula").alias("formula"),
+        F.round("mol_mol_weight", 3).alias("mol_weight"),
+        F.col("mol_num_h_donors").alias("num_h_donors"),
+        F.col("mol_num_h_acceptors").alias("num_h_acceptors"),
+        F.col("mol_ring_count").alias("ring_count"),
+        F.col("mol_heavy_atoms").alias("heavy_atoms"),
+        F.col("mol_net_charge").alias("net_charge"),
+    )
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -1043,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_domains": q_top_domains,
         "xlsx_table": q_xlsx_table,
         "xlsx_cells": q_xlsx_cells,
+        "smiles_descriptors": q_smiles_descriptors,
         "simhash_pairs": q_simhash_pairs,
         "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1410,6 +1443,25 @@ def oracle_sql() -> dict[str, str]:
             "('Data', 3, 1, 'A3', 's', 'cd'), "
             "('Data', 3, 2, 'B3', 'n', '2.5')"
             ') t(sheet, "row", "column", coordinate, data_type, value)'
+        ),
+        # literal oracle hand-derived from the public SMILES grammar +
+        # IUPAC 2021 atomic weights (NOT generated by the parser)
+        "smiles_descriptors": (
+            "SELECT * FROM (VALUES "
+            "(CAST(1 AS INT), 'C2H6O', CAST(46.069 AS DOUBLE), "
+            "CAST(1 AS INT), CAST(1 AS INT), CAST(0 AS INT), "
+            "CAST(3 AS INT), CAST(0 AS INT)), "
+            "(2, 'C9H8O4', 180.159, 1, 4, 1, 13, 0), "
+            "(3, 'C8H10N4O2', 194.194, 0, 6, 2, 14, 0), "
+            "(4, 'C7H6O2', 122.123, 1, 2, 1, 9, 0), "
+            "(5, 'C8H11NO2', 153.181, 3, 3, 1, 11, 0), "
+            "(6, 'C10H8', 128.174, 0, 0, 2, 10, 0), "
+            "(7, 'ClNa', 58.44, 0, 0, 0, 2, 0), "
+            "(8, 'C2H6OS', 78.129, 0, 1, 0, 4, 0), "
+            "(9, 'H2O', 18.015, 1, 1, 0, 1, 0), "
+            "(10, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+            ") t(id, formula, mol_weight, num_h_donors, num_h_acceptors, "
+            "ring_count, heavy_atoms, net_charge)"
         ),
         "chunk_text": (
             f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents "

@@ -26,8 +26,11 @@ from pyjanitor_spark.operators.dedup import (
 from pyjanitor_spark.operators.chemistry import (
     maccs_keys_fingerprint,
     molecular_descriptors,
+    molecular_formula,
+    molecular_weight,
     morgan_fingerprint,
     smiles2mol,
+    smiles_descriptors,
 )
 from pyjanitor_spark.operators.domain import (
     convert_currency,
