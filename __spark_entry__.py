@@ -937,6 +937,13 @@ def q_smiles_descriptors(spark, sf):
     )
 
 
+def q_ngram_lm_score(spark, sf):
+    # self-trained bigram stupid-backoff LM quality signal; exercises
+    # the seen-bigram path, the unigram backoff, and the <2-token NULL
+    d = _docs(spark, sf)
+    return pj.ngram_lm_score(d, "text").select("doc_id", "lm_logprob")
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -1076,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_table": q_xlsx_table,
         "xlsx_cells": q_xlsx_cells,
         "smiles_descriptors": q_smiles_descriptors,
+        "ngram_lm_score": q_ngram_lm_score,
         "simhash_pairs": q_simhash_pairs,
         "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1443,6 +1451,28 @@ def oracle_sql() -> dict[str, str]:
             "('Data', 3, 1, 'A3', 's', 'cd'), "
             "('Data', 3, 2, 'B3', 'n', '2.5')"
             ') t(sheet, "row", "column", coordinate, data_type, value)'
+        ),
+        # stupid backoff: S = c_xy/c_x when the bigram survives
+        # min_count=2 pruning, else 0.4 * c_w2 / T; doc score = avg(ln S)
+        "ngram_lm_score": (
+            "WITH base AS (SELECT doc_id, list_transform("
+            "string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS t "
+            "FROM documents WHERE trim(text) <> ''), "
+            "uni AS (SELECT w, count(*) AS c FROM "
+            "(SELECT unnest(t) AS w FROM base) GROUP BY w), "
+            "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uni), "
+            "bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM base, "
+            "unnest(generate_series(1, len(t)-1)) AS u(i)), "
+            "bi AS (SELECT w1, w2, count(*) AS c_xy FROM bg "
+            "GROUP BY w1, w2 HAVING count(*) >= 2), "
+            "scored AS (SELECT g.doc_id, CASE WHEN b.c_xy IS NOT NULL "
+            "THEN ln(b.c_xy * 1.0 / u1.c) "
+            "ELSE ln(0.4 * u2.c / (SELECT T FROM tot)) END AS s "
+            "FROM bg g LEFT JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2 "
+            "JOIN uni u1 ON g.w1 = u1.w JOIN uni u2 ON g.w2 = u2.w) "
+            "SELECT d.doc_id, sc.lm_logprob FROM documents d LEFT JOIN "
+            "(SELECT doc_id, avg(s) AS lm_logprob FROM scored "
+            "GROUP BY doc_id) sc ON d.doc_id = sc.doc_id"
         ),
         # literal oracle hand-derived from the public SMILES grammar +
         # IUPAC 2021 atomic weights (NOT generated by the parser)

@@ -71,6 +71,7 @@ from pyjanitor_spark.operators.text_analysis import (
     extract_urls,
     fingerprint,
     language_id,
+    ngram_lm_score,
     pii_redact,
     quality_score,
     repetition_score,

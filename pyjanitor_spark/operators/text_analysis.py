@@ -31,6 +31,7 @@ __all__ = [
     "pii_redact",
     "top_collocations",
     "top_ngrams",
+    "ngram_lm_score",
     "chunk_text",
     "extract_urls",
     "top_domains",
@@ -634,6 +635,100 @@ def top_collocations(
         joined.select("w1", "w2", "c_xy", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    column_name: str,
+    id_col: str = "doc_id",
+    dest: str = "lm_logprob",
+    alpha: float = 0.4,
+    min_count: int = 2,
+    train_df: DataFrame | None = None,
+) -> DataFrame:
+    """Average bigram log-probability of each document under a
+    stupid-backoff language model (Brants et al. 2007) trained on the
+    corpus itself (or ``train_df``) — the classic LM-based quality
+    signal for training-data filtering: low scores flag boilerplate,
+    gibberish, and non-prose.
+
+    Per bigram position ``(w1, w2)``::
+
+        S = c(w1,w2) / c(w1)        if c(w1,w2) >= min_count
+          = alpha * c(w2) / T        otherwise (backoff to unigram)
+
+    and the document score is ``mean(ln S)`` over its bigram positions
+    (NULL for documents with fewer than two tokens).  Tokens are
+    lowercased whitespace words; ``min_count`` prunes hapax bigrams
+    from the model (they carry no reusable evidence and dominate the
+    model's size at corpus scale).  Unknown-``w2`` positions (possible
+    only with a separate ``train_df``) take a half-count floor
+    ``ln(alpha * 0.5 / T)``.
+
+    Plan: model building aggregates the corpus once for unigrams and
+    once for bigrams (both partial-aggregated shuffles); the
+    seen-bigram table precomputes ``ln(c_xy/c_x)`` at MODEL scale so
+    the corpus-side probe is two equi-joins (bigram key, then w2 key)
+    plus one broadcast totals row — never a corpus×model nested loop.
+    """
+    src = train_df if train_df is not None else df
+    lowered = (
+        src.select(F.lower(F.trim(F.col(column_name))).alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    # vocabulary: pinned — feeds the totals row, the seen-bigram
+    # denominator, and the backoff table (one corpus tokenize pass)
+    uni = (
+        lowered.select(F.explode(tokens(F.col("__t"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("c").cast("double").alias("__T"))
+    bi = (
+        lowered.select(
+            F.explode(word_shingles(F.col("__t"), 2, distinct=False)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    seen = (
+        bi.withColumn("__w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(uni.select(F.col("w").alias("__w1"), F.col("c").alias("__cx")), "__w1")
+        .select("bg", F.log(F.col("c_xy") / F.col("__cx")).alias("__ls"))
+    )
+    backoff = uni.crossJoin(F.broadcast(total)).select(
+        F.col("w").alias("__w2"),
+        F.log(F.lit(alpha) * F.col("c") / F.col("__T")).alias("__lb"),
+    )
+    scored = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                word_shingles(
+                    F.lower(F.trim(F.col(column_name))), 2, distinct=False
+                )
+            ).alias("bg"),
+        )
+        .withColumn("__w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(seen, "bg", "left")
+        .join(backoff, "__w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            F.coalesce(
+                F.col("__ls"),
+                F.col("__lb"),
+                F.log(F.lit(alpha) * F.lit(0.5) / F.col("__T")),
+            ).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.avg("__s").alias(dest))
+    )
+    return df.join(
+        scored.withColumnRenamed("__id", id_col), id_col, "left"
     )
 
 

@@ -754,3 +754,54 @@ class TestReviewRegressions:
             )
             q.awaitTermination(120)
         assert spark.read.parquet(store).count() == 1  # survived the replay
+
+
+class TestNgramLmScore:
+    def test_seen_bigram_path(self, spark):
+        import math
+        # uni: a=3 b=2 c=1 (T=6); bigrams: (a,b)=2 (kept), (a,c)=1
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["lm_logprob"]
+               for r in pj.ngram_lm_score(df, "text", min_count=1).collect()}
+        assert abs(out[1] - math.log(2 / 3)) < 1e-12
+        assert abs(out[3] - math.log(1 / 3)) < 1e-12
+
+    def test_backoff_on_pruned_bigram(self, spark):
+        import math
+        # min_count=2 prunes (a,c): doc 3 backs off to 0.4 * c_c / T
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r["lm_logprob"]
+               for r in pj.ngram_lm_score(df, "text", min_count=2).collect()}
+        assert abs(out[3] - math.log(0.4 * 1 / 6)) < 1e-12
+        assert abs(out[1] - math.log(2 / 3)) < 1e-12
+
+    def test_short_and_empty_docs_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "solo"), (3, ""), (4, "   ")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r["lm_logprob"]
+               for r in pj.ngram_lm_score(df, "text").collect()}
+        assert out[1] is not None
+        assert out[2] is None and out[3] is None and out[4] is None
+
+    def test_separate_train_df_oov_floor(self, spark):
+        import math
+        train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+        score = spark.createDataFrame([(9, "z q")], ["doc_id", "text"])
+        out = pj.ngram_lm_score(score, "text", train_df=train).collect()[0]
+        # w2='q' unseen in training: half-count floor ln(0.4 * 0.5 / 4)
+        assert abs(out["lm_logprob"] - math.log(0.4 * 0.5 / 4)) < 1e-12
+
+    def test_case_insensitive_and_original_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat"), (2, "the cat")], ["doc_id", "text"]
+        )
+        out = pj.ngram_lm_score(df, "text", min_count=1)
+        assert set(out.columns) == {"doc_id", "text", "lm_logprob"}
+        rows = {r["doc_id"]: r["lm_logprob"] for r in out.collect()}
+        assert abs(rows[1] - rows[2]) < 1e-12  # lowercased model
