@@ -944,6 +944,22 @@ def q_ngram_lm_score(spark, sf):
     return pj.ngram_lm_score(d, "text").select("doc_id", "lm_logprob")
 
 
+def q_bpe_encode(spark, sf):
+    # fixed literal merge table (rank order) on literal text; the oracle
+    # rows are the hand-executed BPE merge sequence for each word
+    merges = [
+        ("l", "o"), ("lo", "w"), ("lo", "w</w>"),
+        ("e", "r</w>"), ("e", "s"), ("es", "t</w>"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "low lower lowest widest"), (2, "go")], "id int, text string"
+    )
+    out = pj.bpe_encode(df, "text", merges)
+    return out.select(
+        "id", F.posexplode("bpe_tokens").alias("pos", "token")
+    )
+
+
 def q_process_text_fallback(spark, sf):
     # exercises the pandas .str reflection fallback (no builtin mapping)
     c = _t(spark, sf, "customer")
@@ -1084,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_cells": q_xlsx_cells,
         "smiles_descriptors": q_smiles_descriptors,
         "ngram_lm_score": q_ngram_lm_score,
+        "bpe_encode": q_bpe_encode,
         "simhash_pairs": q_simhash_pairs,
         "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1451,6 +1468,18 @@ def oracle_sql() -> dict[str, str]:
             "('Data', 3, 1, 'A3', 's', 'cd'), "
             "('Data', 3, 2, 'B3', 'n', '2.5')"
             ') t(sheet, "row", "column", coordinate, data_type, value)'
+        ),
+        # hand-executed BPE merge sequences for the literal merge table:
+        # low -> low</w>; lower -> low + er</w>; lowest -> low + est</w>;
+        # widest -> w i d est</w>; go -> g o</w> (no merge applies)
+        "bpe_encode": (
+            "SELECT * FROM (VALUES "
+            "(CAST(1 AS INT), CAST(0 AS INT), 'low</w>'), "
+            "(1, 1, 'low'), (1, 2, 'er</w>'), "
+            "(1, 3, 'low'), (1, 4, 'est</w>'), "
+            "(1, 5, 'w'), (1, 6, 'i'), (1, 7, 'd'), (1, 8, 'est</w>'), "
+            "(2, 0, 'g'), (2, 1, 'o</w>')"
+            ") t(id, pos, token)"
         ),
         # stupid backoff: S = c_xy/c_x when the bigram survives
         # min_count=2 pruning, else 0.4 * c_w2 / T; doc score = avg(ln S)

@@ -87,6 +87,11 @@ from pyjanitor_spark.operators.timeseries import (
     sort_timestamps_monotonically,
 )
 from pyjanitor_spark.operators.privacy import hash_columns
+from pyjanitor_spark.operators.tokenize import (
+    bpe_encode,
+    bpe_token_count,
+    bpe_train,
+)
 from pyjanitor_spark.operators.sketches import (
     cardinality_sketch,
     heavy_hitters,

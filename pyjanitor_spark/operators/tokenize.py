@@ -1,0 +1,222 @@
+"""Byte-pair-encoding subword tokenizer: train / encode / count.
+
+The reference has no tokenizer; this extends the pipeline pack's token
+counting (``text_analysis.tokens`` whitespace / BPE-ish regex modes)
+with a real BPE (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units") so token budgets can be
+computed with the same algorithm family real LLM tokenizers use.
+
+Scale shape:
+
+* ``bpe_train`` aggregates word frequencies distributed (one explode +
+  partial-agg shuffle), then truncates to the ``word_limit`` most
+  frequent words — a BOUNDED TakeOrdered driver action (frequency
+  truncation is the standard practical approximation: rare words
+  contribute negligible pair mass).  The merge loop itself runs on the
+  driver over that bounded vocabulary with incremental pair-count
+  updates, and its output — the ranked merge table — is tiny
+  (``n_merges`` rows) and persistable, following the repo's
+  build-once / serve-many index pattern (IVF centroids, bloom bitmaps).
+* ``bpe_encode`` broadcasts the merge ranks into an Arrow-batched
+  pandas UDF; encoding is per-word with an LRU word cache, so Zipfian
+  corpora hit the cache for almost every token.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import tokens
+
+__all__ = ["bpe_train", "bpe_encode", "bpe_token_count"]
+
+EOW = "</w>"  # end-of-word marker (Sennrich's convention)
+
+
+def _train_merges(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_frequency: int,
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a (word, freq) table.
+
+    Deterministic: highest pair count wins, ties break to the
+    lexicographically smallest pair, independent of dict order.
+    """
+    from collections import Counter, defaultdict
+
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in word_counts:
+        if not w:
+            continue
+        sym = list(w)
+        sym[-1] += EOW
+        words.append(sym)
+        freqs.append(c)
+
+    pair_counts: Counter = Counter()
+    where: dict = defaultdict(set)
+    for i, sym in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += freqs[i]
+            where[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and pair_counts:
+        best_count = max(pair_counts.values())
+        if best_count < min_frequency:
+            break
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(best)
+        joined = best[0] + best[1]
+        for i in list(where.get(best, ())):
+            sym, c = words[i], freqs[i]
+            # retract this word's old pair contributions
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(i)
+            # merge every occurrence of the best pair
+            out, j = [], 0
+            while j < len(sym):
+                if (
+                    j + 1 < len(sym)
+                    and sym[j] == best[0]
+                    and sym[j + 1] == best[1]
+                ):
+                    out.append(joined)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            words[i] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += c
+                where[p].add(i)
+    return merges
+
+
+def bpe_train(
+    df: DataFrame,
+    column_name: str,
+    n_merges: int = 500,
+    min_frequency: int = 2,
+    word_limit: int = 50_000,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Learn a ranked BPE merge table from a text column.
+
+    Returns a small DataFrame ``(rank int, left string, right string)``
+    — write it to parquet to reuse the tokenizer across jobs.
+    """
+    col = F.lower(F.col(column_name)) if lowercase else F.col(column_name)
+    wc = (
+        df.select(F.explode(tokens(F.trim(col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # bounded driver action: top word_limit words by frequency
+        # (deterministic tie-break on the word itself)
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(word_limit)
+        .collect()
+    )
+    merges = _train_merges([(r["w"], r["c"]) for r in wc], n_merges, min_frequency)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def _encode_word(word: str, ranks: dict, cache: dict) -> list[str]:
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    sym = list(word)
+    sym[-1] += EOW
+    while len(sym) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(sym, sym[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)  # lowest rank, then leftmost occurrence
+        pair = (sym[i], sym[i + 1])
+        out, j = [], 0
+        while j < len(sym):
+            if j + 1 < len(sym) and (sym[j], sym[j + 1]) == pair:
+                out.append(sym[j] + sym[j + 1])
+                j += 2
+            else:
+                out.append(sym[j])
+                j += 1
+        sym = out
+    if len(cache) < 100_000:  # bound executor memory
+        cache[word] = sym
+    return sym
+
+
+def _merge_list(
+    merges: Union[DataFrame, Iterable[tuple[str, str]]],
+) -> list[tuple[str, str]]:
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("rank").collect()  # bounded: n_merges rows
+        return [(r["left"], r["right"]) for r in rows]
+    return list(merges)
+
+
+def bpe_encode(
+    df: DataFrame,
+    column_name: str,
+    merges: Union[DataFrame, Iterable[tuple[str, str]]],
+    dest: str = "bpe_tokens",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Apply a ranked merge table: text -> array of BPE subword tokens.
+
+    Whitespace pre-split, then greedy lowest-rank-first merging per
+    word (the standard BPE apply loop).  The merge table rides into
+    executors inside the UDF closure (it is ``n_merges`` rows).  NULL
+    text -> NULL; empty/blank text -> empty array.
+    """
+    pairs = _merge_list(merges)
+    ranks = {p: i for i, p in enumerate(pairs)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(s):
+        cache: dict = {}
+
+        def one(x):
+            if x is None:
+                return None
+            if lowercase:
+                x = x.lower()
+            out: list[str] = []
+            for w in x.split():
+                out.extend(_encode_word(w, ranks, cache))
+            return out
+
+        return s.map(one)
+
+    return df.withColumn(dest, _enc(F.col(column_name)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    column_name: str,
+    merges: Union[DataFrame, Iterable[tuple[str, str]]],
+    dest: str = "n_bpe_tokens",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Per-document BPE token count (the budget unit ``assign_packs``
+    consumes)."""
+    out = bpe_encode(df, column_name, merges, dest="__bpe", lowercase=lowercase)
+    return out.withColumn(dest, F.size(F.col("__bpe"))).drop("__bpe")
