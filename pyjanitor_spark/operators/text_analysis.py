@@ -214,29 +214,54 @@ def language_id(
     UDF; the normalized text and the trigram array are ``let``-bound so
     HOF lambdas reference attributes, not re-evaluated subtrees."""
 
+    # ONE scoring pass for all languages: intersect the document's
+    # distinct trigrams with the union profile (ArrayIntersect builds a
+    # hash set of the doc side once, vs. a linear literal-map scan per
+    # trigram per language), then fold the few matched trigrams through
+    # a merged trigram -> per-language weight-vector map.  Semantically
+    # identical to scoring each language separately (weight 0 where a
+    # language's profile lacks the trigram); measured ~5x at sf0.1.
+    all_tris = sorted({t for p in _TRIGRAM_PROFILES.values() for t in p})
+    n_langs = len(_LANG_ORDER)
+    merged = F.create_map(
+        *[
+            c
+            for t in all_tris
+            for c in (
+                F.lit(t),
+                F.array(
+                    *[F.lit(_TRIGRAM_PROFILES[l].get(t, 0)) for l in _LANG_ORDER]
+                ),
+            )
+        ]
+    )
+    union_lit = F.array(*[F.lit(t) for t in all_tris])
+    zero_vec = F.array_repeat(F.lit(0), n_langs)
+
+    def pick(scores: Column) -> Column:
+        # first index holding the max -> earliest language in
+        # _LANG_ORDER wins ties, exactly like the old `>`-cascade
+        def with_max(mx: Column) -> Column:
+            sel = F.lit(_LANG_ORDER[-1])
+            for i in range(n_langs - 2, -1, -1):
+                sel = F.when(
+                    F.element_at(scores, i + 1) == mx, F.lit(_LANG_ORDER[i])
+                ).otherwise(sel)
+            return F.when(mx > 0, sel).otherwise(F.lit("und"))
+
+        return let(F.array_max(scores), with_max)
+
     def score_tree(tris: Column) -> Column:
-        best = None
-        best_score = None
-        for lang in _LANG_ORDER:
-            weights = F.create_map(
-                *[
-                    F.lit(x)
-                    for t, w in sorted(_TRIGRAM_PROFILES[lang].items())
-                    for x in (t, w)
-                ]
-            )
-            s = F.aggregate(
-                tris,
-                F.lit(0),
-                lambda acc, t: acc + F.coalesce(F.element_at(weights, t), F.lit(0)),
-            )
-            if best is None:
-                best, best_score = F.lit(lang), s
-            else:
-                cond = s > best_score
-                best = F.when(cond, F.lit(lang)).otherwise(best)
-                best_score = F.when(cond, s).otherwise(best_score)
-        return F.when(best_score > 0, best).otherwise(F.lit("und"))
+        matched = F.array_intersect(union_lit, tris)
+        scores = F.aggregate(
+            matched,
+            zero_vec,
+            # matched keys all exist in the merged map by construction
+            lambda acc, t: F.zip_with(
+                acc, F.element_at(merged, t), lambda a, b: a + b
+            ),
+        )
+        return let(scores, pick)
 
     def tris_tree(norm: Column) -> Column:
         tris = F.when(
