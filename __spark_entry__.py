@@ -551,6 +551,16 @@ def q_ivf_topk(spark, sf):
     return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
 
 
+def q_semdedup(spark, sf):
+    # SemDeDup on the label clusters; eps=0.3 because the synthetic
+    # embeddings are near-orthogonal (max within-cluster cos ~0.47) —
+    # at 0.3 about 1% of within-cluster pairs form semantic-dup groups
+    e, _ = _query_vec(spark, sf)
+    return pj.semdedup(e, "embedding", "vec_id", "label", eps=0.3).select(
+        "vec_id", "label"
+    )
+
+
 def q_token_count(spark, sf):
     d = _docs(spark, sf)
     return pj.token_count(d, "text").select("doc_id", "n_tokens")
@@ -1072,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
+        "semdedup": q_semdedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -2024,7 +2035,36 @@ def _pipeline_oracles() -> dict[str, str]:
         "SELECT e.vec_id, " + _cos("e.v", "q.qv") + " AS cos "
         "FROM e JOIN probe USING (label), q ORDER BY cos DESC, e.vec_id LIMIT 10"
     )
+    # SemDeDup: within-label pairs >= eps close transitively (recursive
+    # CTE), keep per group the member farthest from its decimal-exact
+    # label centroid (lowest cos, ties on vec_id)
+    semdd = (
+        "WITH RECURSIVE e AS "
+        "(SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+        "p AS (SELECT a.vec_id AS s, b.vec_id AS t FROM e a JOIN e b "
+        "ON a.label = b.label AND a.vec_id < b.vec_id WHERE "
+        + _cos("a.v", "b.v")
+        + " >= 0.3), "
+        "edges AS (SELECT s, t FROM p UNION SELECT t, s FROM p), "
+        "reach(src, dst) AS (SELECT s, t FROM edges UNION "
+        "SELECT r.src, e2.t FROM reach r JOIN edges e2 ON r.dst = e2.s), "
+        "cl AS (SELECT src, least(src, min(dst)) AS c FROM reach GROUP BY src), "
+        "grp AS (SELECT e.vec_id, e.label, COALESCE(cl.c, e.vec_id) AS g "
+        "FROM e LEFT JOIN cl ON e.vec_id = cl.src), "
+        "px AS (SELECT label, t.i AS i, v[t.i] AS val FROM e, "
+        "UNNEST(generate_series(1, len(v))) AS t(i)), "
+        "cent AS (SELECT label, i, CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE) "
+        "/ COUNT(*) AS c FROM px GROUP BY label, i), "
+        "carr AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label), "
+        "ctr AS (SELECT e.vec_id, " + _cos("e.v", "carr.cv") + " AS cent "
+        "FROM e JOIN carr USING (label)) "
+        "SELECT vec_id, label FROM ("
+        "SELECT grp.vec_id, grp.label, row_number() OVER ("
+        "PARTITION BY grp.g ORDER BY ctr.cent ASC, grp.vec_id) AS rn "
+        "FROM grp JOIN ctr ON grp.vec_id = ctr.vec_id) WHERE rn = 1"
+    )
     return {
+        "semdedup": semdd,
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "
             f"doc_id = min(doc_id) OVER (PARTITION BY {_NORM_TEXT})"

@@ -59,6 +59,7 @@ from pyjanitor_spark.operators.similarity import (
     hyperplane_bucket,
     ivf_topk,
     lsh_bucket_topk,
+    semdedup,
 )
 from pyjanitor_spark.operators.sampling import (
     deterministic_sample,

@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from pyjanitor_spark.operators.dedup import cosine_sim
 
-__all__ = ["cosine_topk", "ivf_topk", "lsh_bucket_topk", "hyperplane_bucket"]
+__all__ = [
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_bucket_topk",
+    "hyperplane_bucket",
+    "semdedup",
+]
 
 
 def _qvec(query: list[float]) -> Column:
@@ -116,6 +122,83 @@ def ivf_topk(
     )
     probe = [r[cluster_col] for r in ranked]
     return cosine_topk(df.filter(F.col(cluster_col).isin(probe)), query, vec_col, id_col, k)
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    eps: float = 0.95,
+    keep: str = "far",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (SemDeDup,
+    Abbas et al. 2023): within each pre-assigned cluster, rows whose
+    cosine similarity exceeds ``eps`` form semantic-duplicate groups;
+    keep ONE representative per group — the member FARTHEST from its
+    cluster centroid (``keep='far'``, the paper's preferred policy:
+    outliers carry more information) or nearest (``keep='near'``), ties
+    broken by smallest id.  Returns ``df`` filtered to kept rows.
+
+    Plan shape at 100 TB: pairwise cosine runs per cluster (one shuffle
+    on the cluster key, Σ size² within clusters — never a corpus
+    cross join; the cluster assignment bounds the blocks exactly like
+    LSH bands bound MinHash pairs); centroids are the decimal-exact
+    bounded aggregate reused from :func:`ivf_topk` and join back
+    broadcast (n_clusters rows); groups close transitively with the
+    same log-round connected-components as ``near_dup_clusters``
+    (pass ``checkpoint_dir`` on a real cluster).
+    """
+    from pyjanitor_spark.operators.dedup import near_dup_clusters
+
+    if keep not in ("far", "near"):
+        raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col), F.col(cluster_col), v.alias("__v")
+    )
+    a = base.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("id_1"),
+        F.col("__v").alias("__v1"),
+    )
+    b = base.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("id_2"),
+        F.col("__v").alias("__v2"),
+    )
+    pairs = (
+        a.join(b, cluster_col)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .filter(cosine_sim(F.col("__v1"), F.col("__v2")) >= eps)
+        .select("id_1", "id_2")
+    )
+    groups = near_dup_clusters(
+        pairs,
+        nodes=df.select(id_col),
+        id_col=id_col,
+        dest="__grp",
+        checkpoint_dir=checkpoint_dir,
+    )
+    cents = centroids(df, vec_col, cluster_col)
+    centrality = base.join(F.broadcast(cents), cluster_col).select(
+        F.col(id_col),
+        cosine_sim(F.col("__v"), F.col("centroid").cast("array<double>")).alias(
+            "__cent"
+        ),
+    )
+    order = F.col("__cent").asc() if keep == "far" else F.col("__cent").desc()
+    w = Window.partitionBy("__grp").orderBy(order, F.col(id_col).asc())
+    kept = (
+        groups.join(centrality, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return df.join(kept, id_col, "left_semi")
 
 
 def hyperplane_bucket(

@@ -805,3 +805,55 @@ class TestNgramLmScore:
         assert set(out.columns) == {"doc_id", "text", "lm_logprob"}
         rows = {r["doc_id"]: r["lm_logprob"] for r in out.collect()}
         assert abs(rows[1] - rows[2]) < 1e-12  # lowercased model
+
+
+class TestSemDedup:
+    def _df(self, spark):
+        import math
+        a = 1.8 * math.pi / 180  # ~1.8 degrees from x-axis
+        rows = [
+            (1, [math.cos(a), math.sin(a)], 0),  # near-dup of id 2
+            (2, [1.0, 0.0], 0),                  # farther from centroid
+            (3, [0.0, 1.0], 0),                  # distinct direction
+            (4, [0.0, 1.0], 1),                  # other cluster, singleton
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>, label int"
+        )
+
+    def test_keep_far_prefers_outlier(self, spark):
+        df = self._df(spark)
+        kept = {r["vec_id"]
+                for r in pj.semdedup(df, "embedding", "vec_id", "label",
+                                     eps=0.99, keep="far").collect()}
+        # ids 1,2 group (cos ~0.9995); centroid leans toward +y because
+        # of id 3, so id 2 (pure x-axis) is farther -> kept despite id 1
+        # being smaller
+        assert kept == {2, 3, 4}
+
+    def test_keep_near_flips_choice(self, spark):
+        df = self._df(spark)
+        kept = {r["vec_id"]
+                for r in pj.semdedup(df, "embedding", "vec_id", "label",
+                                     eps=0.99, keep="near").collect()}
+        assert kept == {1, 3, 4}
+
+    def test_no_pairs_keeps_all(self, spark):
+        df = self._df(spark)
+        out = pj.semdedup(df, "embedding", "vec_id", "label", eps=0.999999)
+        assert out.count() == 4
+
+    def test_bad_keep_raises(self, spark):
+        df = self._df(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="keep"):
+            pj.semdedup(df, "embedding", "vec_id", "label", keep="best")
+
+    def test_layout_deterministic(self, spark, embeddings):
+        a = {r["vec_id"] for r in pj.semdedup(
+            embeddings.repartition(1), "embedding", "vec_id", "label", eps=0.3
+        ).collect()}
+        b = {r["vec_id"] for r in pj.semdedup(
+            embeddings.repartition(7), "embedding", "vec_id", "label", eps=0.3
+        ).collect()}
+        assert a == b and 0 < len(a) < embeddings.count()
