@@ -551,6 +551,25 @@ def q_ivf_topk(spark, sf):
     return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
 
 
+def q_asof_join(spark, sf):
+    # every event picks its user's most recent prior (or same-instant)
+    # purchase; (user_id, ts) is unique in the data so the pick is
+    # unambiguous for the oracle comparison
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = pj.asof_join(
+        ev.select("event_id", "user_id", "ts"), purchases, on="ts", by="user_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.col("ts_right").alias("purchase_ts"),
+    )
+
+
 def q_semdedup(spark, sf):
     # SemDeDup on the label clusters; eps=0.3 because the synthetic
     # embeddings are near-orthogonal (max within-cluster cos ~0.47) —
@@ -1082,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
+        "asof_join": q_asof_join,
         "semdedup": q_semdedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -2064,6 +2084,15 @@ def _pipeline_oracles() -> dict[str, str]:
         "FROM grp JOIN ctr ON grp.vec_id = ctr.vec_id) WHERE rn = 1"
     )
     return {
+        # DuckDB's native ASOF JOIN is the independent oracle: the
+        # inequality picks the greatest p.ts <= e.ts per user
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, p.purchase_value, "
+            "p.ts AS purchase_ts FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts, value AS purchase_value FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
         "semdedup": semdd,
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "

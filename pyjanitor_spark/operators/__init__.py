@@ -45,7 +45,11 @@ from pyjanitor_spark.operators.domain import (
     skipna,
     toset,
 )
-from pyjanitor_spark.operators.joins import conditional_join, get_join_indices
+from pyjanitor_spark.operators.joins import (
+    asof_join,
+    conditional_join,
+    get_join_indices,
+)
 from pyjanitor_spark.operators.multimodal import (
     attach_binary,
     binary_metadata,

@@ -32,7 +32,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["conditional_join", "get_join_indices"]
+__all__ = ["conditional_join", "get_join_indices", "asof_join"]
 
 _OPS = {"==", "!=", ">", ">=", "<", "<="}
 _L_ID = "__cj_left_id"
@@ -312,3 +312,123 @@ def get_join_indices(
         c = _build_condition(left[lc], rgt[rc], op)
         pred = c if pred is None else (pred & c)
     return left.join(rgt, on=pred, how="inner").select("left_index", "right_index")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    right_columns: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join (pandas ``merge_asof`` semantics): for every left row,
+    attach the single right row whose ``on`` value is the nearest
+    preceding (``backward``, with equality), nearest following
+    (``forward``), or nearest overall (``nearest``, ties to backward)
+    within the same ``by`` group; unmatched left rows keep NULLs.
+
+    The reference has no as-of join (``conditional_join`` covers general
+    non-equi ranges); this is the dedicated time-series primitive.
+
+    Spark-first plan — NO JOIN AT ALL: both sides union on the
+    ``(by, on)`` sort key and one window (``last(..., ignorenulls)``
+    over preceding rows / ``first`` over following) carries the most
+    recent right payload struct to each left row.  Total cost is ONE
+    shuffle+sort on ``(by, on)`` regardless of match fan-in — no
+    per-row search, no range explosion, no skew amplification beyond
+    the group key itself.  With ``by=None`` the sort is a single total
+    order (use only when one global timeline genuinely exists).
+
+    ``tolerance`` (in ``on`` units; seconds for timestamps) voids
+    matches farther than the bound.  Right rows sharing an ``on`` value
+    within a group resolve deterministically by payload content hash
+    (the repo's ``keep`` tie-break convention).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    rcols = right_columns or [
+        c for c in right.columns if c != on and c not in by_cols
+    ]
+    # the right payload carries its own `on` value for tolerance/nearest
+    payload = F.struct(
+        F.col(on).alias("__on"), *[F.col(c) for c in rcols]
+    )
+    rtype = right.select(payload.alias("__r")).schema["__r"].dataType
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+    ltype = left.select(lstruct.alias("__l")).schema["__l"].dataType
+
+    lside = left.select(
+        *[F.col(c).alias(f"__by{i}") for i, c in enumerate(by_cols)],
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        lstruct.alias("__l"),
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    rside = right.select(
+        *[F.col(c).alias(f"__by{i}") for i, c in enumerate(by_cols)],
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(ltype).alias("__l"),
+        payload.alias("__r"),
+    )
+    u = lside.unionByName(rside)
+    bys = [F.col(f"__by{i}") for i in range(len(by_cols))]
+    tie = F.md5(F.to_json(F.col("__r")))
+    # backward: right rows sort BEFORE left at equal `on` (side 0 < 1)
+    # so the preceding frame includes exact-equality matches
+    w_back = (
+        Window.partitionBy(*bys)
+        .orderBy(F.col("__on").asc(), F.col("__side").asc(), tie.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: flip the side order so equal-`on` right rows land in the
+    # following frame (same exchange, second sort)
+    w_fwd = (
+        Window.partitionBy(*bys)
+        .orderBy(F.col("__on").asc(), F.col("__side").desc(), tie.asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # deltas in `on` units; timestamps (incl. NTZ, which cannot cast to
+    # double directly) go through an epoch-seconds cast — both operands
+    # shift identically so differences are exact
+    on_t = u.schema["__on"].dataType.simpleString()
+    if on_t.startswith(("timestamp", "date")):
+        num = lambda c: c.cast("timestamp").cast("double")  # noqa: E731
+    else:
+        num = lambda c: c.cast("double")  # noqa: E731
+
+    picked = None
+    if direction in ("backward", "nearest"):
+        b = F.last(F.col("__r"), ignorenulls=True).over(w_back)
+        if tolerance is not None:
+            b = F.when(num(F.col("__on")) - num(b["__on"]) <= tolerance, b)
+        picked = b
+    if direction in ("forward", "nearest"):
+        f = F.first(F.col("__r"), ignorenulls=True).over(w_fwd)
+        if tolerance is not None:
+            f = F.when(num(f["__on"]) - num(F.col("__on")) <= tolerance, f)
+        if direction == "forward":
+            picked = f
+        else:  # nearest: smaller |delta| wins, ties to backward
+            b = picked
+            d_b = num(F.col("__on")) - num(b["__on"])
+            d_f = num(f["__on"]) - num(F.col("__on"))
+            picked = (
+                F.when(b.isNull(), f)
+                .when(f.isNull(), b)
+                .when(d_f < d_b, f)
+                .otherwise(b)
+            )
+    out = u.withColumn("__pick", picked).filter(F.col("__side") == 1)
+    lnames = set(left.columns)
+    sel = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    for c in rcols:
+        name = c + suffix if c in lnames else c
+        sel.append(F.col(f"__pick.{c}").alias(name))
+    on_r = on + suffix if on in lnames else on
+    sel.append(F.col("__pick.__on").alias(on_r))
+    return out.select(*sel)

@@ -257,3 +257,78 @@ def test_column_selection_with_indicator_and_noop_flags(spark, df1, df2):
     assert out.columns == ["value_1", "value_2B", "_merge"]
     flags = {r["_merge"] for r in out.collect()}
     assert flags <= {"both", "left_only"}
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 10.0), (3, "a", 12.0),
+             (4, "b", 3.0), (5, "b", 100.0)],
+            "lid int, g string, t double",
+        )
+        right = spark.createDataFrame(
+            [("a", 4.0, "r1"), ("a", 10.0, "r2"), ("a", 11.0, "r3"),
+             ("b", 50.0, "r4")],
+            "g string, t double, tag string",
+        )
+        return left, right
+
+    def _pick(self, out):
+        return {r["lid"]: r["tag"] for r in out.collect()}
+
+    def test_backward_includes_equality(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right, on="t", by="g")
+        assert self._pick(out) == {1: "r1", 2: "r2", 3: "r3", 4: None, 5: "r4"}
+
+    def test_forward(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right, on="t", by="g", direction="forward")
+        assert self._pick(out) == {1: "r2", 2: "r2", 3: None, 4: "r4", 5: None}
+
+    def test_nearest_ties_backward(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right, on="t", by="g", direction="nearest")
+        assert self._pick(out) == {1: "r1", 2: "r2", 3: "r3", 4: "r4", 5: "r4"}
+        # explicit tie: left at 7.5 sits exactly between r1@4... build one
+        l2 = spark.createDataFrame([(9, "a", 7.0)], "lid int, g string, t double")
+        out2 = pj.asof_join(l2, right, on="t", by="g", direction="nearest")
+        assert self._pick(out2) == {9: "r1"}  # |7-4|=3 = |10-7|=3 -> backward
+
+    def test_tolerance_voids_far_matches(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right, on="t", by="g", tolerance=2.0)
+        assert self._pick(out) == {1: "r1", 2: "r2", 3: "r3", 4: None, 5: None}
+
+    def test_duplicate_right_on_deterministic(self, spark):
+        left = spark.createDataFrame([(1, 10.0)], "lid int, t double")
+        right = spark.createDataFrame(
+            [(5.0, "x"), (5.0, "y")], "t double, tag string"
+        )
+        outs = {
+            pj.asof_join(left.repartition(p), right.repartition(p), on="t")
+            .first()["tag"]
+            for p in (1, 2, 7)
+        }
+        assert len(outs) == 1  # content-hash tie-break, layout-stable
+
+    def test_column_collision_suffix(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right.withColumnRenamed("tag", "g2"), on="t", by="g")
+        assert set(out.columns) == {"lid", "g", "t", "g2", "t_right"}
+
+    def test_single_shuffle_plan(self, spark):
+        left, right = self._frames(spark)
+        out = pj.asof_join(left, right, on="t", by="g")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        # exactly one hashpartitioning exchange feeds the window(s); no join
+        assert "Join" not in plan
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, plan
+
+    def test_bad_direction(self, spark):
+        left, right = self._frames(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="direction"):
+            pj.asof_join(left, right, on="t", by="g", direction="sideways")
