@@ -551,6 +551,15 @@ def q_ivf_topk(spark, sf):
     return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
 
 
+def q_dup_span_fraction(spark, sf):
+    # cross-document exact-substring duplication score; k=5 so the
+    # template-similar synthetic docs produce a meaningful spread
+    d = _docs(spark, sf)
+    return pj.dup_span_fraction(d, "doc_id", "text", k=5).select(
+        "doc_id", "dup_fraction"
+    )
+
+
 def q_asof_join(spark, sf):
     # every event picks its user's most recent prior (or same-instant)
     # purchase; (user_id, ts) is unique in the data so the pick is
@@ -1103,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "asof_join": q_asof_join,
         "semdedup": q_semdedup,
+        "dup_span_fraction": q_dup_span_fraction,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -2084,6 +2094,25 @@ def _pipeline_oracles() -> dict[str, str]:
         "FROM grp JOIN ctr ON grp.vec_id = ctr.vec_id) WHERE rn = 1"
     )
     return {
+        # span = word 5-gram; flagged when >= 2 distinct docs share it;
+        # score = flagged spans / total spans per doc (NULL under 5 toks)
+        "dup_span_fraction": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(trim(text), '\\s+') AS t FROM documents), "
+            "sp AS (SELECT doc_id, "
+            "md5(array_to_string(t[i : i + 4], ' ')) AS h FROM t, "
+            "unnest(generate_series(1, len(t) - 4)) AS u(i) "
+            "WHERE len(t) >= 5), "
+            "fl AS (SELECT h FROM sp GROUP BY h "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "tot AS (SELECT doc_id, count(*) AS n FROM sp GROUP BY doc_id), "
+            "dup AS (SELECT sp.doc_id, count(*) AS d FROM sp "
+            "JOIN fl USING (h) GROUP BY sp.doc_id) "
+            "SELECT docs.doc_id, CASE WHEN tot.n IS NOT NULL THEN "
+            "COALESCE(dup.d, 0) * 1.0 / tot.n END AS dup_fraction "
+            "FROM documents docs LEFT JOIN tot ON docs.doc_id = tot.doc_id "
+            "LEFT JOIN dup ON docs.doc_id = dup.doc_id"
+        ),
         # DuckDB's native ASOF JOIN is the independent oracle: the
         # inequality picks the greatest p.ts <= e.ts per user
         "asof_join": (

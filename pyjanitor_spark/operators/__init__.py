@@ -14,6 +14,8 @@ from pyjanitor_spark.operators.dedup import (
     dedupe_against,
     dedupe_exact,
     dedupe_near,
+    dup_span_fraction,
+    duplicated_spans,
     embedding_near_dup,
     minhash_lsh_pairs,
     minhash_band_buckets,

@@ -920,3 +920,97 @@ def bloom_dedupe_against(
         .join(reference.select(key_col), key_col, "left_anti")
     )
     return clean.unionByName(survivors)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication detector (the signal behind
+    suffix-array training-data dedup, Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every word ``k``-gram
+    span that occurs in at least ``min_docs`` DISTINCT documents,
+    reported as ``(id_col, pos, span_hash, n_docs)`` with ``pos`` the
+    0-based token position of the span in its document.  Within-doc
+    repetition does not flag (that is ``repetition_score``'s job) —
+    this is the cross-document boilerplate/quotation detector.
+
+    Plan: one non-distinct positional shingle explode -> md5 span key;
+    distinct-doc counts are a partial-aggregated shuffle on the 32-hex
+    key; flagged keys join back to the position stream on the same key.
+    Nothing quadratic; span keys are fixed-width hashes, never text.
+    """
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                word_shingles(F.col(column_name), k, distinct=False)
+            ).alias("pos", "__s"),
+        )
+        .withColumn("span_hash", F.md5(F.col("__s")))
+        .drop("__s")
+    )
+    flagged = (
+        spans.groupBy("span_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(flagged, "span_hash").select(
+        id_col, "pos", "span_hash", "n_docs"
+    )
+
+
+def dup_span_fraction(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 10,
+    min_docs: int = 2,
+    dest: str = "dup_fraction",
+) -> DataFrame:
+    """Per-document fraction of its word ``k``-gram spans that are
+    duplicated across >= ``min_docs`` documents — the doc-level score
+    form of :func:`duplicated_spans` (filter high fractions as
+    boilerplate; RefinedWeb-style curation).  Documents with fewer than
+    ``k`` tokens have no spans and score NULL.
+    """
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                word_shingles(F.col(column_name), k, distinct=False)
+            ).alias("__s"),
+        )
+        .withColumn("__h", F.md5(F.col("__s")))
+        .drop("__s")
+        # feeds the flag agg, the per-doc totals, and the dup counts —
+        # pin so the corpus shingles once
+        .localCheckpoint(eager=False)
+    )
+    flagged = (
+        spans.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("__tot"))
+    dups = (
+        spans.join(flagged, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+    )
+    return (
+        df.join(totals, id_col, "left")
+        .join(dups, id_col, "left")
+        .withColumn(
+            dest,
+            F.when(
+                F.col("__tot").isNotNull(),
+                F.coalesce(F.col("__dup"), F.lit(0)) / F.col("__tot"),
+            ),
+        )
+        .drop("__tot", "__dup")
+    )

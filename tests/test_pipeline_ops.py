@@ -857,3 +857,44 @@ class TestSemDedup:
             embeddings.repartition(7), "embedding", "vec_id", "label", eps=0.3
         ).collect()}
         assert a == b and 0 < len(a) < embeddings.count()
+
+
+class TestDuplicatedSpans:
+    def _df(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # the shared 5-gram
+        return spark.createDataFrame(
+            [
+                (1, f"intro {shared} outro one"),
+                (2, f"{shared} differs here entirely"),
+                (3, "totally unrelated words in this document body"),
+                (4, "tiny doc"),                       # < k tokens -> NULL
+                (5, "rep rep rep rep rep rep rep rep"),  # within-doc only
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_spans_flag_cross_doc_only(self, spark):
+        out = pj.duplicated_spans(self._df(spark), "doc_id", "text", k=5)
+        rows = [(r["doc_id"], r["pos"], r["n_docs"]) for r in out.collect()]
+        # the shared 5-gram sits at pos 1 in doc 1 and pos 0 in doc 2
+        assert (1, 1, 2) in rows and (2, 0, 2) in rows
+        # doc 5's self-repeated span never flags (distinct-doc count = 1)
+        assert not any(d == 5 for d, _, _ in rows)
+
+    def test_fraction_values(self, spark):
+        out = {r["doc_id"]: r["dup_fraction"]
+               for r in pj.dup_span_fraction(
+                   self._df(spark), "doc_id", "text", k=5).collect()}
+        # doc 1: 4 spans ("intro..." x4 windows), 1 duplicated -> 0.25
+        assert abs(out[1] - 0.25) < 1e-12
+        assert abs(out[2] - 0.25) < 1e-12
+        assert out[3] == 0.0
+        assert out[4] is None          # fewer than k tokens
+        assert out[5] == 0.0           # self-repetition doesn't count
+
+    def test_layout_deterministic(self, spark, documents):
+        a = sorted((r["doc_id"], r["dup_fraction"]) for r in pj.dup_span_fraction(
+            documents.repartition(1), "doc_id", "text", k=5).collect())
+        b = sorted((r["doc_id"], r["dup_fraction"]) for r in pj.dup_span_fraction(
+            documents.repartition(7), "doc_id", "text", k=5).collect())
+        assert a == b
