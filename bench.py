@@ -48,6 +48,13 @@ HEADLINE = [
     # are template-similar, so ~425k pairs genuinely qualify at sf0.1
     # (hamming<=3/48); its wall time tracks output size, not join waste
     "simhash_pairs",
+    # round-4 additions: the join-free asof strategy, the single-pass
+    # trigram LID scorer, the bigram LM probe joins, and cluster-scoped
+    # semantic dedup
+    "asof_join",
+    "language_id",
+    "ngram_lm_score",
+    "semdedup",
 ]
 
 
