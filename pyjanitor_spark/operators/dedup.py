@@ -36,14 +36,20 @@ __all__ = [
     "dedupe_exact",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_band_buckets",
     "simhash",
+    "simhash_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup",
     "cosine_sim",
     "near_dup_clusters",
     "dedupe_near",
     "dedupe_against",
+    "bloom_build",
     "bloom_dedupe_against",
+    "contamination_score",
+    "duplicated_spans",
+    "dup_span_fraction",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_bucket_topk",
     "hyperplane_bucket",
     "semdedup",
+    "centroids",
 ]
 
 

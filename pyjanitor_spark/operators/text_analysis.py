@@ -36,6 +36,7 @@ __all__ = [
     "extract_urls",
     "top_domains",
     "url_normalize",
+    "domain_of",
 ]
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
