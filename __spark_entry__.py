@@ -551,6 +551,15 @@ def q_ivf_topk(spark, sf):
     return pj.ivf_topk(e, qv, "embedding", "vec_id", "label", k=10, nprobe=2)
 
 
+def q_kmeans_assign(spark, sf):
+    # deterministic Lloyd: hash-seeded init, decimal-exact means, 2
+    # rounds; the oracle unrolls the identical arithmetic in SQL
+    e, _ = _query_vec(spark, sf)
+    return pj.kmeans_assign(e, "embedding", "vec_id", k=4, iters=2).select(
+        "vec_id", "cluster"
+    )
+
+
 def q_dup_span_fraction(spark, sf):
     # cross-document exact-substring duplication score; k=5 so the
     # template-similar synthetic docs produce a meaningful spread
@@ -1113,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "semdedup": q_semdedup,
         "dup_span_fraction": q_dup_span_fraction,
+        "kmeans_assign": q_kmeans_assign,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -1783,6 +1793,50 @@ _STOP_SQL = (
 )
 # cosine similarity between DOUBLE[] columns a and b (same fold order as
 # Spark's sequential aggregate/zip_with)
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Generated oracle for kmeans_assign: the same hash-seeded init,
+    DECIMAL-exact centroid means, elementwise squared distances, and
+    first-min tie-break, unrolled over `iters` Lloyd rounds."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), ",
+        "s0 AS (SELECT row_number() OVER (ORDER BY "
+        "md5('km:' || CAST(vec_id AS VARCHAR))) - 1 AS c, v FROM "
+        "(SELECT vec_id, v FROM e ORDER BY "
+        f"md5('km:' || CAST(vec_id AS VARCHAR)) LIMIT {k})), ",
+    ]
+    prev = "s0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT e.vec_id, e.v, (SELECT s.c FROM {prev} s "
+            f"ORDER BY {d2('e.v', 's.v')} ASC, s.c ASC LIMIT 1) AS c FROM e), "
+        )
+        parts.append(
+            f"m{it} AS (SELECT c, i, "
+            "CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS m "
+            f"FROM (SELECT a.c, t.i AS i, a.v[t.i] AS val FROM a{it} a, "
+            "UNNEST(generate_series(1, len(a.v))) AS t(i)) GROUP BY c, i), "
+        )
+        parts.append(
+            f"g{it} AS (SELECT c, list(m ORDER BY i) AS v FROM m{it} GROUP BY c), "
+        )
+        parts.append(
+            f"s{it} AS (SELECT p.c, COALESCE(g.v, p.v) AS v FROM {prev} p "
+            f"LEFT JOIN g{it} g ON p.c = g.c), "
+        )
+        prev = f"s{it}"
+    return "".join(parts).rstrip(", ") + (
+        f" SELECT e.vec_id, (SELECT s.c FROM {prev} s ORDER BY "
+        f"{d2('e.v', 's.v')} ASC, s.c ASC LIMIT 1) AS cluster FROM e"
+    )
+
+
 def _cos(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / "
@@ -2123,6 +2177,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
         ),
         "semdedup": semdd,
+        "kmeans_assign": _kmeans_sql(4, 2),
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "
             f"doc_id = min(doc_id) OVER (PARTITION BY {_NORM_TEXT})"

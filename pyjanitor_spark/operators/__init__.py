@@ -64,6 +64,7 @@ from pyjanitor_spark.operators.similarity import (
     cosine_topk,
     hyperplane_bucket,
     ivf_topk,
+    kmeans_assign,
     lsh_bucket_topk,
     semdedup,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "hyperplane_bucket",
     "semdedup",
     "centroids",
+    "kmeans_assign",
 ]
 
 
@@ -260,3 +261,104 @@ def lsh_bucket_topk(
     return cosine_topk(
         bucketed.filter(F.col("__bkt") == qbits), query, vec_col, id_col, k
     )
+
+
+def _argmin_cluster(v: Column, cents: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid by squared Euclidean
+    distance; ties take the lowest index (both engines' first-match)."""
+    from pyjanitor_spark.utils.expr import let
+
+    def dists(vv: Column) -> Column:
+        d = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vv,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        return let(
+            d, lambda arr: (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+
+    return let(v, dists)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 2,
+    dest: str = "cluster",
+    seed: str = "km",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the
+    cluster-assignment producer for :func:`ivf_topk` / :func:`semdedup`
+    when no natural partition exists.
+
+    Engine-reproducible by construction (no RNG): initial centroids are
+    the ``k`` rows with the smallest ``md5(seed:id)`` (a fixed hash
+    permutation); each Lloyd round recomputes centroids with the same
+    DECIMAL-exact elementwise mean as :func:`centroids` (order- and
+    layout-independent); assignment is first-min squared-Euclidean.
+    Clusters that lose every member keep their previous centroid.
+
+    Cost: ``iters`` scans, each with one (cluster, pos)-keyed shuffle
+    for the centroid update and one bounded k-row collect (the
+    documented iterative-algorithm exception, same as
+    ``near_dup_clusters``).  The centroids fold into the plan as
+    literals, so assignment itself is a pure projection — at serving
+    time, persist the assignment like any column.  This is fixed-round
+    Lloyd, not convergence-driven: ``iters`` bounds cost explicitly.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError("k >= 1 and iters >= 0 required")
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.select(
+            v.alias("__v"),
+            F.md5(
+                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)  # bounded: k rows
+        .collect()
+    )
+    cents = [list(r["__v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            _argmin_cluster(v, cents).alias("__c"), v.alias("__v")
+        )
+        per_pos = (
+            assigned.select(F.col("__c"), F.posexplode(F.col("__v")))
+            .groupBy("__c", "pos")
+            .agg(
+                (
+                    F.sum(F.col("col").cast("decimal(27,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        rows = (
+            per_pos.groupBy("__c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("__pm")
+            )
+            .select(
+                "__c", F.transform(F.col("__pm"), lambda s: s["m"]).alias("cv")
+            )
+            .collect()  # bounded: k rows
+        )
+        got = {r["__c"]: list(r["cv"]) for r in rows}
+        cents = [got.get(i, cents[i]) for i in range(k)]
+    return df.withColumn(dest, _argmin_cluster(v, cents))

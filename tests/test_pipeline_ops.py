@@ -898,3 +898,76 @@ class TestDuplicatedSpans:
         b = sorted((r["doc_id"], r["dup_fraction"]) for r in pj.dup_span_fraction(
             documents.repartition(7), "doc_id", "text", k=5).collect())
         assert a == b
+
+
+class TestKmeansAssign:
+    @staticmethod
+    def _reference(rows, k, iters):
+        # mirror-computed Lloyd with the verb's exact rules: md5 seed
+        # order, plain-float means (close enough for assignment
+        # comparison on well-separated data), first-min ties
+        import hashlib
+
+        def h(i):
+            return hashlib.md5(f"km:{i}".encode()).hexdigest()
+
+        seeds = sorted(rows, key=lambda r: h(r[0]))[:k]
+        cents = [list(r[1]) for r in seeds]
+
+        def assign(v):
+            ds = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents]
+            return ds.index(min(ds))
+
+        for _ in range(iters):
+            groups = {}
+            for i, v in rows:
+                groups.setdefault(assign(v), []).append(v)
+            cents = [
+                [sum(col) / len(col) for col in zip(*groups[c])]
+                if c in groups else cents[c]
+                for c in range(k)
+            ]
+        return {i: assign(v) for i, v in rows}
+
+    def test_differential_vs_python_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        # three well-separated blobs in 4-D
+        rows = []
+        for i in range(60):
+            center = [(0, 0, 0, 0), (8, 8, 0, 0), (0, 0, 8, 8)][i % 3]
+            rows.append(
+                (i, [c + rng.uniform(-1, 1) for c in center])
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        out = {r["vec_id"]: r["cluster"]
+               for r in pj.kmeans_assign(df, "embedding", "vec_id",
+                                         k=3, iters=2).collect()}
+        want = self._reference(rows, 3, 2)
+        assert out == want
+
+    def test_iters_zero_uses_seed_centroids(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [10.0]), (3, [0.1])],
+            "vec_id int, embedding array<double>",
+        )
+        out = pj.kmeans_assign(df, "embedding", "vec_id", k=2, iters=0)
+        labels = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        # md5('km:3') < md5('km:1') < md5('km:2'): seeds are [0.1] (c0)
+        # and [0.0] (c1); nearest-seed assignment with no refinement
+        assert labels == {3: 0, 1: 1, 2: 0}
+
+    def test_layout_deterministic(self, spark, embeddings):
+        a = sorted((r["vec_id"], r["cluster"]) for r in pj.kmeans_assign(
+            embeddings.repartition(1), "embedding", "vec_id", k=4).collect())
+        b = sorted((r["vec_id"], r["cluster"]) for r in pj.kmeans_assign(
+            embeddings.repartition(7), "embedding", "vec_id", k=4).collect())
+        assert a == b
+
+    def test_bad_params(self, spark, embeddings):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            pj.kmeans_assign(embeddings, "embedding", "vec_id", k=0)
