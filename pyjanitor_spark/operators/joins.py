@@ -315,7 +315,7 @@ def get_join_indices(
 
 
 def asof_join(
-    left: DataFrame,
+    df: DataFrame,
     right: DataFrame,
     on: str,
     by: str | list[str] | None = None,
@@ -350,6 +350,7 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    left = df
     rcols = right_columns or [
         c for c in right.columns if c != on and c not in by_cols
     ]
