@@ -97,3 +97,72 @@ def test_conditional_join_matches_brute_force(spark, seed, how, conds):
     )
     exp = _brute(left, right, conds, how)
     assert got == exp
+
+
+class TestAsofJoinProperty:
+    """Randomized differential test: asof_join vs a brute-force scan."""
+
+    @staticmethod
+    def _brute(left, right, direction, tolerance):
+        out = {}
+        for lid, g, t in left:
+            cands = []
+            for rg, rt, tag in right:
+                if rg != g:
+                    continue
+                if direction == "backward" and rt <= t:
+                    d = t - rt
+                elif direction == "forward" and rt >= t:
+                    d = rt - t
+                elif direction == "nearest":
+                    d = abs(rt - t)
+                else:
+                    continue
+                if tolerance is not None and d > tolerance:
+                    continue
+                cands.append((d, rt, tag))
+            if not cands:
+                out[lid] = None
+                continue
+            dmin = min(c[0] for c in cands)
+            best = [c for c in cands if c[0] == dmin]
+            if direction == "nearest" and len(best) > 1:
+                # ties to backward: the candidate with rt <= t
+                back = [c for c in best if c[1] <= t]
+                best = back or best
+            # duplicate right 'on' values: any deterministic pick is
+            # acceptable — restrict generation to unique (g, rt)
+            out[lid] = best[0][2]
+        return out
+
+    def test_random_frames_all_directions(self, spark):
+        import random
+
+        rng = random.Random(42)
+        for trial in range(3):
+            gs = ["a", "b", "c"]
+            left = [
+                (i, rng.choice(gs), float(rng.randrange(0, 50)))
+                for i in range(40)
+            ]
+            seen = set()
+            right = []
+            for j in range(30):
+                g, t = rng.choice(gs), float(rng.randrange(0, 50))
+                if (g, t) in seen:
+                    continue
+                seen.add((g, t))
+                right.append((g, t, f"r{j}"))
+            ldf = spark.createDataFrame(left, "lid int, g string, t double")
+            rdf = spark.createDataFrame(right, "g string, t double, tag string")
+            for direction in ("backward", "forward", "nearest"):
+                for tol in (None, 5.0):
+                    got = {
+                        r["lid"]: r["tag"]
+                        for r in pj.asof_join(
+                            ldf, rdf, on="t", by="g",
+                            direction=direction, tolerance=tol,
+                        ).collect()
+                    }
+                    want = self._brute(left, right, direction, tol)
+                    assert got == want, (trial, direction, tol)
