@@ -560,6 +560,11 @@ def q_kmeans_assign(spark, sf):
     )
 
 
+def q_normalize_text(spark, sf):
+    d = _docs(spark, sf)
+    return pj.normalize_text(d, "text", dest="norm").select("doc_id", "norm")
+
+
 def q_dup_span_fraction(spark, sf):
     # cross-document exact-substring duplication score; k=5 so the
     # template-similar synthetic docs produce a meaningful spread
@@ -1123,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dup_span_fraction": q_dup_span_fraction,
         "kmeans_assign": q_kmeans_assign,
+        "normalize_text": q_normalize_text,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -1793,6 +1799,29 @@ _STOP_SQL = (
 )
 # cosine similarity between DOUBLE[] columns a and b (same fold order as
 # Spark's sequential aggregate/zip_with)
+def _normalize_text_sql() -> str:
+    """Oracle generated from the SAME folding tables the Spark verb
+    uses (single source of truth, like the LID profiles)."""
+    from pyjanitor_spark.operators.text_analysis import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+        _PUNCT_DST,
+        _PUNCT_SRC,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return (
+        "SELECT doc_id, trim(regexp_replace(translate(lower(translate("
+        "regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', "
+        "'', 'g'), "
+        f"'{q(_PUNCT_SRC)}', '{q(_PUNCT_DST)}')), "
+        f"'{q(_ACCENT_SRC)}', '{q(_ACCENT_DST)}'), "
+        "'\\s+', ' ', 'g')) AS norm FROM documents"
+    )
+
+
 def _kmeans_sql(k: int, iters: int) -> str:
     """Generated oracle for kmeans_assign: the same hash-seeded init,
     DECIMAL-exact centroid means, elementwise squared distances, and
@@ -2178,6 +2207,7 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "semdedup": semdd,
         "kmeans_assign": _kmeans_sql(4, 2),
+        "normalize_text": _normalize_text_sql(),
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "
             f"doc_id = min(doc_id) OVER (PARTITION BY {_NORM_TEXT})"

@@ -80,6 +80,7 @@ from pyjanitor_spark.operators.text_analysis import (
     fingerprint,
     language_id,
     ngram_lm_score,
+    normalize_text,
     pii_redact,
     quality_score,
     repetition_score,

@@ -37,11 +37,59 @@ __all__ = [
     "top_domains",
     "url_normalize",
     "domain_of",
+    "normalize_text",
 ]
+
+# 1:1 foldings for the common unicode punctuation variants (curly
+# quotes, dashes, ellipsis, NBSP) — translate is a single JVM pass
+_PUNCT_SRC = "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u2013\u2014\u2212\u00a0\u2026"
+_PUNCT_DST = "''''\"\"\"--- ."
+# Latin-1/Latin-Ext accent foldings (same table clean_names uses)
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+_ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
 
 # BPE-ish pre-tokenizer: words, numbers, or single punctuation — the
 # usual "GPT-2 style" coarse split without the byte-level merge table.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(
+    df: DataFrame,
+    column_name: str,
+    dest: str | None = None,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    fold_punctuation: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Canonicalize a text column for downstream dedup/fingerprinting —
+    the standard corpus-prep first pass: drop control characters, fold
+    curly quotes / long dashes / NBSP / ellipsis to ASCII, lowercase,
+    fold Latin accents (the same table ``clean_names`` uses), collapse
+    all whitespace runs to single spaces and trim.  In-place when
+    ``dest`` is None.  One chain of ``translate``/``regexp_replace``
+    expressions — single codegen pass, no UDF; NULL passes through.
+
+    ``dedupe_exact(normalize=True)`` applies a subset of this
+    internally; use this verb when the normalized text itself should be
+    kept (e.g. before ``minhash_lsh_pairs`` or ``fingerprint`` so near-
+    dup candidates aren't split by quote style or accent variants).
+    """
+    c = F.col(column_name).cast("string")
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if fold_punctuation:
+        c = F.translate(c, _PUNCT_SRC, _PUNCT_DST)
+    if lowercase:
+        c = F.lower(c)
+    if strip_accents:
+        # the table carries both cases; after lower() the uppercase
+        # entries simply never match
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(dest or column_name, c)
 
 
 def tokens(col: Column, mode: str = "whitespace") -> Column:

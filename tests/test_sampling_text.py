@@ -281,3 +281,40 @@ class TestUrlNormalize:
         )
         n = pj.url_normalize(df, "url").select("url").distinct().count()
         assert n == 2
+
+
+class TestNormalizeText:
+    def test_full_pipeline(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "“Café” — naïve…\x07 résumé"),
+                (2, "A B\t\tC\n\nD"),
+                (3, None),
+                (4, "   "),
+            ],
+            "id int, text string",
+        )
+        out = {r["id"]: r["norm"]
+               for r in pj.normalize_text(df, "text", dest="norm").collect()}
+        assert out[1] == '"cafe" - naive. resume'
+        assert out[2] == "a b c d"
+        assert out[3] is None
+        assert out[4] == ""
+
+    def test_inplace_and_flags(self, spark):
+        df = spark.createDataFrame([(1, "Été Café")], "id int, text string")
+        # in-place replaces the column
+        out = pj.normalize_text(df, "text")
+        assert out.columns == ["id", "text"]
+        assert out.first()["text"] == "ete cafe"
+        # accents kept when disabled
+        keep = pj.normalize_text(df, "text", strip_accents=False).first()["text"]
+        assert keep == "été café"
+        # case kept when disabled
+        up = pj.normalize_text(df, "text", lowercase=False).first()["text"]
+        assert up == "Ete Cafe"
+
+    def test_idempotent(self, spark, documents):
+        once = pj.normalize_text(documents, "text", dest="n1")
+        twice = pj.normalize_text(once, "n1", dest="n2")
+        assert twice.filter("n1 <> n2").count() == 0
