@@ -560,6 +560,12 @@ def q_kmeans_assign(spark, sf):
     )
 
 
+def q_winsorize(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.winsorize(li, "l_extendedprice", dest="wz", lower=0.05, upper=0.95)
+    return out.select("l_orderkey", "l_linenumber", "wz")
+
+
 def q_normalize_text(spark, sf):
     d = _docs(spark, sf)
     return pj.normalize_text(d, "text", dest="norm").select("doc_id", "norm")
@@ -1129,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_fraction": q_dup_span_fraction,
         "kmeans_assign": q_kmeans_assign,
         "normalize_text": q_normalize_text,
+        "winsorize": q_winsorize,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -2208,6 +2215,21 @@ def _pipeline_oracles() -> dict[str, str]:
         "semdedup": semdd,
         "kmeans_assign": _kmeans_sql(4, 2),
         "normalize_text": _normalize_text_sql(),
+        # cutpoint = smallest v with cnt_le(v)/n >= q (inclusive ECDF,
+        # the quantile_bin tie-safe contract)
+        "winsorize": (
+            "WITH c AS (SELECT l_extendedprice AS v, count(*) AS cnt "
+            "FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY v), "
+            "cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c), "
+            "n AS (SELECT sum(cnt) AS n FROM c), "
+            "cuts AS (SELECT min(CASE WHEN cum * 1.0 / n.n >= 0.05 "
+            "THEN v END) AS lo, min(CASE WHEN cum * 1.0 / n.n >= 0.95 "
+            "THEN v END) AS hi FROM cum, n) "
+            "SELECT l.l_orderkey, l.l_linenumber, CASE WHEN "
+            "l.l_extendedprice IS NULL THEN NULL ELSE "
+            "least(greatest(l.l_extendedprice, cuts.lo), cuts.hi) END AS wz "
+            "FROM lineitem l, cuts"
+        ),
         "dedupe_exact": (
             "SELECT doc_id, source FROM documents QUALIFY "
             f"doc_id = min(doc_id) OVER (PARTITION BY {_NORM_TEXT})"

@@ -180,6 +180,7 @@ from pyjanitor_spark.operators.transforms import (
     min_max_scale,
     process_text,
     quantile_bin,
+    winsorize,
     round_to_fraction,
     to_datetime,
     transform_column,

@@ -41,6 +41,7 @@ __all__ = [
     "expand_column",
     "add_column",
     "add_columns",
+    "winsorize",
 ]
 
 
@@ -651,3 +652,70 @@ def add_columns(df: DataFrame, **kwargs: Any) -> DataFrame:
     return df.withColumns(
         {k: (v if isinstance(v, Column) else F.lit(v)) for k, v in kwargs.items()}
     )
+
+
+def winsorize(
+    df: DataFrame,
+    column_name: str,
+    dest: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Clip a numeric column to its [``lower``, ``upper``] empirical
+    quantiles — the standard outlier-taming transform before scaling /
+    feature extraction.  In-place when ``dest`` is None; NULL passes
+    through.
+
+    Cutpoint definition (deterministic, engine-reproducible, no
+    interpolation): the ``q`` cutpoint is the smallest value ``v`` with
+    ``cnt_le(v) / n >= q`` — the inclusive empirical CDF, the same
+    tie-safe contract :func:`quantile_bin` uses (approx-percentile
+    edges would not be oracle-checkable).
+
+    Scale shape: quantiles come from the DISTINCT values —
+    ``groupBy(value).count()`` (map-side combined), the
+    ``partitioned_cumsum`` prefix sum (no single-task stage), then ONE
+    bounded 1-row aggregate for both cutpoints, broadcast back.  Rows
+    are touched once, by the final projection join.
+    """
+    from ..utils.order import partitioned_cumsum
+
+    if not (0.0 <= lower <= upper <= 1.0):
+        raise ValueError("need 0 <= lower <= upper <= 1")
+    col = F.col(column_name)
+    counts = (
+        df.filter(col.isNotNull())
+        .groupBy(column_name)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    counts = partitioned_cumsum(
+        counts, "__cnt", column_name, "__cum", num_partitions=num_partitions
+    )
+    cuts = (
+        counts.crossJoin(
+            F.broadcast(counts.agg(F.sum("__cnt").alias("__n")))
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__cum") / F.col("__n") >= F.lit(float(lower)),
+                    F.col(column_name),
+                )
+            ).alias("__lo"),
+            F.min(
+                F.when(
+                    F.col("__cum") / F.col("__n") >= F.lit(float(upper)),
+                    F.col(column_name),
+                )
+            ).alias("__hi"),
+        )
+    )
+    out = df.crossJoin(F.broadcast(cuts)).withColumn(
+        dest or column_name,
+        F.when(
+            col.isNotNull(),
+            F.least(F.greatest(col, F.col("__lo")), F.col("__hi")),
+        ),
+    )
+    return out.drop("__lo", "__hi")

@@ -53,3 +53,40 @@ def test_every_bin_within_range_and_monotone(spark):
     # monotone: bin never decreases as the value grows
     for (v1, b1), (v2, b2) in zip(by_val, by_val[1:]):
         assert b1 <= b2
+
+
+class TestWinsorize:
+    def test_hand_computed(self, spark):
+        # values 1..20: lower=0.1 -> smallest v with cnt_le/n >= 0.1 is 2;
+        # upper=0.9 -> v=18
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 21)],
+                                   "id int, v double")
+        out = {r["id"]: r["w"]
+               for r in pj.winsorize(df, "v", dest="w", lower=0.1, upper=0.9).collect()}
+        assert out[1] == 2.0 and out[2] == 2.0
+        assert out[19] == 18.0 and out[20] == 18.0
+        assert out[10] == 10.0  # interior untouched
+
+    def test_nulls_and_bounds(self, spark):
+        df = spark.createDataFrame([(1, 5.0), (2, None), (3, 100.0)],
+                                   "id int, v double")
+        out = {r["id"]: r["v"] for r in pj.winsorize(df, "v").collect()}
+        assert out[2] is None
+        # lower=0, upper=1 is the identity
+        ident = {r["id"]: r["v"]
+                 for r in pj.winsorize(df, "v", lower=0.0, upper=1.0).collect()}
+        assert ident == {1: 5.0, 2: None, 3: 100.0}
+
+    def test_ties_share_fate(self, spark):
+        # heavy-hitter tie group at 1.0 spans the 5% cut: cnt_le(1)=10 of
+        # 12 -> 1.0 is the 5% cutpoint itself, nothing below survives
+        rows = [(i, 1.0) for i in range(10)] + [(10, 50.0), (11, 99.0)]
+        df = spark.createDataFrame(rows, "id int, v double")
+        out = pj.winsorize(df, "v", lower=0.05, upper=0.95)
+        assert out.filter("v < 1.0").count() == 0
+
+    def test_bad_bounds(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            pj.winsorize(df, "v", lower=0.9, upper=0.1)
