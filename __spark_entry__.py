@@ -566,6 +566,12 @@ def q_winsorize(spark, sf):
     return out.select("l_orderkey", "l_linenumber", "wz")
 
 
+def q_robust_scale(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    out = pj.robust_scale(li, "l_quantity", dest="rs")
+    return out.select("l_orderkey", "l_linenumber", "rs")
+
+
 def q_normalize_text(spark, sf):
     d = _docs(spark, sf)
     return pj.normalize_text(d, "text", dest="norm").select("doc_id", "norm")
@@ -1136,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "normalize_text": q_normalize_text,
         "winsorize": q_winsorize,
+        "robust_scale": q_robust_scale,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
@@ -2228,6 +2235,22 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT l.l_orderkey, l.l_linenumber, CASE WHEN "
             "l.l_extendedprice IS NULL THEN NULL ELSE "
             "least(greatest(l.l_extendedprice, cuts.lo), cuts.hi) END AS wz "
+            "FROM lineitem l, cuts"
+        ),
+        # (x - median) / (q75 - q25) with the same ECDF cut rule
+        "robust_scale": (
+            "WITH c AS (SELECT l_quantity AS v, count(*) AS cnt "
+            "FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY v), "
+            "cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c), "
+            "n AS (SELECT sum(cnt) AS n FROM c), "
+            "cuts AS (SELECT "
+            "min(CASE WHEN cum * 1.0 / n.n >= 0.25 THEN v END) AS q1, "
+            "min(CASE WHEN cum * 1.0 / n.n >= 0.5 THEN v END) AS med, "
+            "min(CASE WHEN cum * 1.0 / n.n >= 0.75 THEN v END) AS q3 "
+            "FROM cum, n) "
+            "SELECT l.l_orderkey, l.l_linenumber, CASE WHEN "
+            "l.l_quantity IS NOT NULL AND cuts.q3 - cuts.q1 <> 0 THEN "
+            "(l.l_quantity - cuts.med) / (cuts.q3 - cuts.q1) END AS rs "
             "FROM lineitem l, cuts"
         ),
         "dedupe_exact": (

@@ -180,6 +180,8 @@ from pyjanitor_spark.operators.transforms import (
     min_max_scale,
     process_text,
     quantile_bin,
+    quantiles,
+    robust_scale,
     winsorize,
     round_to_fraction,
     to_datetime,

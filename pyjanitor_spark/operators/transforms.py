@@ -42,6 +42,8 @@ __all__ = [
     "add_column",
     "add_columns",
     "winsorize",
+    "quantiles",
+    "robust_scale",
 ]
 
 
@@ -679,10 +681,43 @@ def winsorize(
     bounded 1-row aggregate for both cutpoints, broadcast back.  Rows
     are touched once, by the final projection join.
     """
-    from ..utils.order import partitioned_cumsum
-
     if not (0.0 <= lower <= upper <= 1.0):
         raise ValueError("need 0 <= lower <= upper <= 1")
+    col = F.col(column_name)
+    cuts = quantiles(
+        df, column_name, [lower, upper], num_partitions=num_partitions
+    ).select(F.col("q_0").alias("__lo"), F.col("q_1").alias("__hi"))
+    out = df.crossJoin(F.broadcast(cuts)).withColumn(
+        dest or column_name,
+        F.when(
+            col.isNotNull(),
+            F.least(F.greatest(col, F.col("__lo")), F.col("__hi")),
+        ),
+    )
+    return out.drop("__lo", "__hi")
+
+
+def quantiles(
+    df: DataFrame,
+    column_name: str,
+    qs: list[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact empirical quantiles of a numeric column as ONE bounded row
+    (columns ``q_0, q_1, ...`` in ``qs`` order) — the cut engine behind
+    :func:`winsorize` / :func:`robust_scale`, exposed for reuse.
+
+    Each quantile is the smallest value whose inclusive ECDF reaches
+    ``q`` (tie-safe, deterministic, engine-reproducible — see
+    :func:`quantile_bin`).  Cost: one distinct-value count agg, the
+    ``partitioned_cumsum`` prefix sum, one 1-row aggregate; never a
+    raw-row sort or global window.
+    """
+    from ..utils.order import partitioned_cumsum
+
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
     col = F.col(column_name)
     counts = (
         df.filter(col.isNotNull())
@@ -692,30 +727,46 @@ def winsorize(
     counts = partitioned_cumsum(
         counts, "__cnt", column_name, "__cum", num_partitions=num_partitions
     )
-    cuts = (
-        counts.crossJoin(
-            F.broadcast(counts.agg(F.sum("__cnt").alias("__n")))
-        )
-        .agg(
+    frac = F.col("__cum") / F.col("__n")
+    return counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("__cnt").alias("__n")))
+    ).agg(
+        *[
             F.min(
-                F.when(
-                    F.col("__cum") / F.col("__n") >= F.lit(float(lower)),
-                    F.col(column_name),
-                )
-            ).alias("__lo"),
-            F.min(
-                F.when(
-                    F.col("__cum") / F.col("__n") >= F.lit(float(upper)),
-                    F.col(column_name),
-                )
-            ).alias("__hi"),
-        )
+                F.when(frac >= F.lit(float(q)), F.col(column_name))
+            ).alias(f"q_{i}")
+            for i, q in enumerate(qs)
+        ]
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    column_name: str,
+    dest: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Median/IQR scaling: ``(x - median) / (q75 - q25)`` — the
+    outlier-robust alternative to :func:`min_max_scale` / ``z_score``
+    (a handful of extreme values cannot move the center or the scale).
+    Quantiles use the tie-safe ECDF definition of :func:`quantiles`;
+    a zero IQR (constant-dominated column) yields NULL rather than an
+    ANSI divide-by-zero; NULL passes through.  One bounded 1-row
+    quantile aggregate broadcast over the rows.
+    """
+    cuts = quantiles(
+        df, column_name, [0.25, 0.5, 0.75], num_partitions=num_partitions
+    ).select(
+        F.col("q_0").alias("__q1"),
+        F.col("q_1").alias("__med"),
+        F.col("q_2").alias("__q3"),
+    )
+    col = F.col(column_name)
+    iqr = F.col("__q3") - F.col("__q1")
     out = df.crossJoin(F.broadcast(cuts)).withColumn(
         dest or column_name,
         F.when(
-            col.isNotNull(),
-            F.least(F.greatest(col, F.col("__lo")), F.col("__hi")),
+            col.isNotNull() & (iqr != 0), (col - F.col("__med")) / iqr
         ),
     )
-    return out.drop("__lo", "__hi")
+    return out.drop("__q1", "__med", "__q3")

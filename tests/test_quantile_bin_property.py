@@ -90,3 +90,39 @@ class TestWinsorize:
         import pytest as _pt
         with _pt.raises(ValueError):
             pj.winsorize(df, "v", lower=0.9, upper=0.1)
+
+
+class TestRobustScaleQuantiles:
+    def test_quantiles_hand_computed(self, spark):
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                                   "id int, v double")
+        r = pj.quantiles(df, "v", [0.0, 0.25, 0.5, 0.75, 1.0]).first()
+        # smallest v with cnt_le/10 >= q: 1, 3, 5, 8, 10
+        assert [r[f"q_{i}"] for i in range(5)] == [1.0, 3.0, 5.0, 8.0, 10.0]
+
+    def test_robust_scale_values(self, spark):
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                                   "id int, v double")
+        out = {r["id"]: r["rs"]
+               for r in pj.robust_scale(df, "v", dest="rs").collect()}
+        # med=5, iqr=8-3=5: v=10 -> 1.0; v=5 -> 0.0; v=1 -> -0.8
+        assert out[10] == 1.0 and out[5] == 0.0 and out[1] == -0.8
+
+    def test_zero_iqr_null(self, spark):
+        df = spark.createDataFrame([(i, 7.0) for i in range(10)],
+                                   "id int, v double")
+        out = pj.robust_scale(df, "v", dest="rs")
+        assert out.filter("rs IS NOT NULL").count() == 0
+
+    def test_null_passthrough_and_inplace(self, spark):
+        df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0), (4, 9.0)],
+                                   "id int, v double")
+        out = pj.robust_scale(df, "v")
+        assert out.columns == ["id", "v"]
+        assert out.filter("id = 2").first()["v"] is None
+
+    def test_bad_quantile_raises(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            pj.quantiles(df, "v", [0.5, 1.5])
