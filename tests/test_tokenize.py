@@ -88,3 +88,37 @@ def test_merges_table_persistable(spark, tmp_path, documents):
     a = pj.bpe_encode(documents.limit(5), "text", merges).collect()
     b = pj.bpe_encode(documents.limit(5), "text", stored).collect()
     assert [r["bpe_tokens"] for r in a] == [r["bpe_tokens"] for r in b]
+
+
+def test_bpe_roundtrip_property(spark):
+    """Hypothesis-style random-text round-trip: for ANY corpus and any
+    trained merge table, concatenating the encoded tokens and stripping
+    EOW restores the whitespace-normalized text."""
+    import random
+
+    rng = random.Random(123)
+    alphabet = "abcdef xyz QW ,.!?"
+    rows = []
+    for i in range(50):
+        n = rng.randrange(0, 60)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, "id int, text string")
+    merges = pj.bpe_train(df, "text", n_merges=40, min_frequency=1)
+    from pyspark.sql import functions as F
+
+    back = (
+        pj.bpe_encode(df, "text", merges)
+        .select(
+            "text",
+            F.array_join(
+                F.transform(
+                    "bpe_tokens",
+                    lambda t: F.replace(t, F.lit(EOW), F.lit(" ")),
+                ),
+                "",
+            ).alias("rt"),
+        )
+        .collect()
+    )
+    for r in back:
+        assert r["rt"].rstrip() == " ".join(r["text"].split()), repr(r["text"])
