@@ -1118,14 +1118,154 @@ def q_heavy_hitters(spark, sf):
     return pj.heavy_hitters(d, "lang", 0.05)
 
 
+def q_factorize_appearance(spark, sf):
+    # first-appearance-order codes (pandas pd.factorize parity) driven by
+    # the _row_order contract: min(order) per value -> dense_rank
+    c = _t(spark, sf, "customer")
+    return pj.factorize_columns(
+        c, ["c_mktsegment"], order_by="c_custkey"
+    ).select("c_custkey", "c_mktsegment", "c_mktsegment_enc")
+
+
+def q_groupby_agg_multi(spark, sf):
+    # dict multi-agg form: both aggregates share the ONE window shuffle
+    li = _t(spark, sf, "lineitem")
+    return (
+        pj.groupby_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "sum_qty": ("l_quantity", "sum"),
+                "max_price": ("l_extendedprice", "max"),
+                "n_parts": ("l_partkey", "nunique"),
+            },
+        )
+        .select("l_returnflag", "sum_qty", "max_price", "n_parts")
+        .distinct()
+    )
+
+
+def q_conditional_join_keep_last(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_acctbal").alias("lo"), (F.col("s_acctbal") + 500).alias("hi")
+    )
+    out = pj.conditional_join(
+        p, s, ("p_retailprice", "lo", ">"), ("p_retailprice", "hi", "<"),
+        keep="last",
+    )
+    return out.select("p_partkey", "lo", "hi")
+
+
+def q_conditional_join_indicator(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = pj.conditional_join(
+        o, li,
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", "<"),
+        how="left",
+        indicator=True,
+    )
+    return out.select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice", "_merge"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
-    # entries in insertion order. Round 4 rotated chunk_text / sessionize /
-    # running_counter / top_domains (replica-green, never driver-checked)
-    # into the window, swapping out exp / logit / add_columns / move_reorder
-    # (each already has two green driver rows, r02+r03).
+    # entries in insertion order.  Round 5 window = (a) verbs whose PLANS
+    # were rewritten after their last driver row (ecdf / ccu /
+    # pivot_wider / groupby_agg / conditional_join keep / min_max_scale —
+    # VERDICT r4 task 1), (b) verbs changed THIS round (kmeans_assign
+    # broadcast-centroid path, semdedup guard, url_normalize exact-name
+    # tracking, heavy_hitters broadcast removal, hash_columns validation,
+    # multimodal decode), (c) the four NEW queries (factorize_appearance,
+    # groupby_agg_multi, conditional_join keep_last / indicator), (d)
+    # r02-era rows to refresh.  Everything rotated out is r03/r04
+    # driver-green with unchanged code and stays replica-covered.
     return {
-        # ---- first 50: everything not yet double-verified by the driver ----
+        # ---- (a) rewritten after last driver row ----
+        "ecdf": q_ecdf,
+        "count_cumulative_unique": q_count_cumulative_unique,
+        "min_max_scale": q_min_max_scale,
+        "pivot_wider": q_pivot_wider,
+        "groupby_agg": q_groupby_agg,
+        "conditional_join_keep_first": q_conditional_join_keep_first,
+        # ---- (b) changed this round ----
+        "factorize_columns": q_factorize_columns,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup": q_semdedup,
+        "url_normalize": q_url_normalize,
+        "heavy_hitters": q_heavy_hitters,
+        "hash_columns": q_hash_columns,
+        "decode_features": q_decode_features,
+        "frame_sample": q_frame_sample,
+        # ---- (c) new this round ----
+        "factorize_appearance": q_factorize_appearance,
+        "groupby_agg_multi": q_groupby_agg_multi,
+        "conditional_join_keep_last": q_conditional_join_keep_last,
+        "conditional_join_indicator": q_conditional_join_indicator,
+        # ---- (d) r02-era driver rows, refreshed ----
+        "conditional_join_equi": q_conditional_join_equi,
+        "conditional_join_range": q_conditional_join_range,
+        "conditional_join_left": q_conditional_join_left,
+        "conditional_join_outer": q_conditional_join_outer,
+        "pivot_longer": q_pivot_longer,
+        "complete": q_complete,
+        "expand": q_expand,
+        "fill_missing_timestamps": q_fill_missing_timestamps,
+        "z_score": q_z_score,
+        "sigmoid": q_sigmoid,
+        "log": q_log,
+        "softmax": q_softmax,
+        "process_text": q_process_text,
+        "find_replace": q_find_replace,
+        "column_ops": q_column_ops,
+        "drop_constant_columns": q_drop_constant_columns,
+        "expand_column": q_expand_column,
+        "currency_column_to_numeric": q_currency_to_numeric,
+        "transform_column": q_transform_column,
+        "clean_names": q_clean_names,
+        "filter_date": q_filter_date,
+        "filter_string": q_filter_string,
+        "filter_on": q_filter_on,
+        "filter_column_isin": q_filter_isin,
+        "case_when": q_case_when,
+        "update_where": q_update_where,
+        "flag_nulls": q_flag_nulls,
+        "coalesce": q_coalesce,
+        "fill_empty": q_fill_empty,
+        "impute": q_impute_mean,
+        "get_dupes": q_get_dupes,
+        "groupby_topk": q_groupby_topk,
+        # ==== end of first-50 window ====
+        # r02/r03 driver-green, unchanged code, replica-covered
+        "take_first": q_take_first,
+        "dropnotnull": q_dropnotnull,
+        "concatenate_columns": q_concatenate_columns,
+        "deconcatenate_column": q_deconcatenate_column,
+        "change_type": q_change_type,
+        "convert_excel_date": q_convert_excel_date,
+        "convert_unix_date": q_convert_unix_date,
+        "truncate_datetime": q_truncate_datetime,
+        "bin_numeric": q_bin_numeric,
+        "round_to_fraction": q_round_to_fraction,
+        "sort_naturally": q_sort_naturally,
+        "sort_column_value_order": q_sort_column_value_order,
+        "convert_matlab_date": q_convert_matlab_date,
+        "remove_empty": q_remove_empty,
+        "limit_column_characters": q_limit_column_characters,
+        "label_encode": q_label_encode,
+        "encode_categorical": q_encode_categorical,
+        "convert_units": q_convert_units,
+        "inflate_currency": q_inflate_currency,
+        "flag_jumps": q_flag_jumps,
+        "data_description": q_data_description,
+        "pivot_longer_spec": q_pivot_longer_spec,
+        # r04 driver-green pipeline ops, unchanged code
         "fill_direction": q_fill_direction,
         "dedupe_exact": q_dedupe_exact,
         "fingerprint": q_fingerprint,
@@ -1137,9 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
         "asof_join": q_asof_join,
-        "semdedup": q_semdedup,
         "dup_span_fraction": q_dup_span_fraction,
-        "kmeans_assign": q_kmeans_assign,
         "normalize_text": q_normalize_text,
         "winsorize": q_winsorize,
         "robust_scale": q_robust_scale,
@@ -1147,20 +1285,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "binary_metadata": q_binary_metadata,
-        "decode_features": q_decode_features,
-        "frame_sample": q_frame_sample,
         "resize_payload": q_resize_payload,
         "dedupe_near_best": q_dedupe_near_best,
         "contamination": q_contamination,
-        "url_normalize": q_url_normalize,
         "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
         "normal_cdf": q_normal_cdf,
         "probit": q_probit,
-        "hash_columns": q_hash_columns,
         "quantile_bin": q_quantile_bin,
         "hashed_tfidf": q_hashed_tfidf,
-        "heavy_hitters": q_heavy_hitters,
         "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
@@ -1186,77 +1319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedupe_against": q_bloom_dedupe_against,
         "top_ngrams": q_top_ngrams,
         "process_text_fallback": q_process_text_fallback,
-        # rotated out of the window mid-round-4 (each has a green r03
-        # driver row) to make room for the three new pipeline ops above;
-        # the replica still covers them every run
-        "convert_matlab_date": q_convert_matlab_date,
-        "remove_empty": q_remove_empty,
-        "limit_column_characters": q_limit_column_characters,
-        "label_encode": q_label_encode,
-        "encode_categorical": q_encode_categorical,
-        "sort_column_value_order": q_sort_column_value_order,
-        "convert_units": q_convert_units,
-        "inflate_currency": q_inflate_currency,
-        "flag_jumps": q_flag_jumps,
-        "data_description": q_data_description,
-        "pivot_longer_spec": q_pivot_longer_spec,
-        # ---- verified in CORRECTNESS_r01/r02 (all pass; sort_naturally
-        # rows-only by design) ----
-        "groupby_agg": q_groupby_agg,
-        "clean_names": q_clean_names,
-        "filter_date": q_filter_date,
-        "filter_string": q_filter_string,
-        "filter_on": q_filter_on,
-        "filter_column_isin": q_filter_isin,
-        "case_when": q_case_when,
-        "update_where": q_update_where,
-        "flag_nulls": q_flag_nulls,
-        "coalesce": q_coalesce,
-        "fill_empty": q_fill_empty,
-        "impute": q_impute_mean,
-        "get_dupes": q_get_dupes,
-        "dropnotnull": q_dropnotnull,
-        "concatenate_columns": q_concatenate_columns,
-        "deconcatenate_column": q_deconcatenate_column,
-        "change_type": q_change_type,
-        "convert_excel_date": q_convert_excel_date,
-        "convert_unix_date": q_convert_unix_date,
-        "truncate_datetime": q_truncate_datetime,
-        "bin_numeric": q_bin_numeric,
-        "round_to_fraction": q_round_to_fraction,
-        "min_max_scale": q_min_max_scale,
-        "groupby_topk": q_groupby_topk,
-        "take_first": q_take_first,
-        "factorize_columns": q_factorize_columns,
-        "count_cumulative_unique": q_count_cumulative_unique,
-        "z_score": q_z_score,
-        "sigmoid": q_sigmoid,
-        "log": q_log,
-        "softmax": q_softmax,
-        "ecdf": q_ecdf,
-        "process_text": q_process_text,
-        "find_replace": q_find_replace,
-        "column_ops": q_column_ops,
-        "drop_constant_columns": q_drop_constant_columns,
-        "expand_column": q_expand_column,
-        "currency_column_to_numeric": q_currency_to_numeric,
-        "transform_column": q_transform_column,
-        "sort_naturally": q_sort_naturally,
-        "conditional_join_equi": q_conditional_join_equi,
-        "conditional_join_range": q_conditional_join_range,
-        "conditional_join_keep_first": q_conditional_join_keep_first,
-        "conditional_join_left": q_conditional_join_left,
-        "conditional_join_outer": q_conditional_join_outer,
-        "pivot_longer": q_pivot_longer,
-        "pivot_wider": q_pivot_wider,
-        "complete": q_complete,
-        "expand": q_expand,
-        "fill_missing_timestamps": q_fill_missing_timestamps,
-        # rotated out of the first-50 window in round 4: exp/logit/
-        # add_columns/move_reorder each have two green driver rows
-        # (r02+r03); shuffle/jitter are rows-only by design (random) so
-        # their window slots went to the new hash-checkable xlsx queries.
-        # The replica keeps covering everything here.
         "exp": q_exp,
         "logit": q_logit,
         "add_columns": q_add_columns,
@@ -1379,6 +1441,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment, CAST(dense_rank() OVER (ORDER BY c_mktsegment) "
             "- 1 AS INT) AS c_mktsegment_enc FROM customer"
         ),
+        "factorize_appearance": (
+            "WITH firsts AS (SELECT c_mktsegment, min(c_custkey) AS fp "
+            "FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment), "
+            "codes AS (SELECT c_mktsegment, CAST(dense_rank() OVER "
+            "(ORDER BY fp, c_mktsegment) - 1 AS INT) AS enc FROM firsts) "
+            "SELECT c_custkey, c_mktsegment, COALESCE(enc, -1) AS c_mktsegment_enc "
+            "FROM customer LEFT JOIN codes USING (c_mktsegment)"
+        ),
+        "groupby_agg_multi": (
+            "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
+            "max(l_extendedprice) AS max_price, "
+            "CAST(count(DISTINCT l_partkey) AS INT) AS n_parts "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "count_cumulative_unique": (
             "WITH t AS (SELECT event_id, row_number() OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS rn FROM events) "
@@ -1451,6 +1527,20 @@ def oracle_sql() -> dict[str, str]:
             "AND p_retailprice < s_acctbal + 500) "
             "SELECT p_partkey, lo, hi FROM j QUALIFY "
             "row_number() OVER (PARTITION BY p_partkey ORDER BY lo, hi) = 1"
+        ),
+        "conditional_join_keep_last": (
+            "WITH j AS (SELECT p_partkey, s_acctbal AS lo, s_acctbal + 500 AS hi "
+            "FROM part, supplier WHERE p_retailprice > s_acctbal "
+            "AND p_retailprice < s_acctbal + 500) "
+            "SELECT p_partkey, lo, hi FROM j QUALIFY "
+            "row_number() OVER (PARTITION BY p_partkey ORDER BY lo DESC, hi DESC) = 1"
+        ),
+        "conditional_join_indicator": (
+            "SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice, "
+            "CASE WHEN l_orderkey IS NOT NULL THEN 'both' ELSE 'left_only' END "
+            "AS _merge "
+            "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+            "AND o_totalprice < l_extendedprice"
         ),
         "conditional_join_left": (
             "SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice "

@@ -41,7 +41,8 @@ def hash_columns(
       reproducible in any engine) or ``xxhash64`` (fastest, bigint
       output, Spark-specific — use for ephemeral intra-pipeline keys).
     * ``truncate`` — keep only the first N hex chars (shorter keys,
-      bounded collision risk: ~birthday(16^N)).  Ignored for xxhash64.
+      bounded collision risk: ~birthday(16^N)).  Must be within the
+      digest's hex length; rejected for xxhash64 (bigint output).
     * ``suffix`` — if non-empty, write to ``<col><suffix>`` and keep the
       original column (for validation pipelines).
 
@@ -56,6 +57,14 @@ def hash_columns(
     missing = [c for c in column_names if c not in df.columns]
     if missing:
         raise KeyError(f"columns not in DataFrame: {missing}")
+    if truncate is not None:
+        if algo == "xxhash64":
+            raise ValueError("truncate= is not applicable to algo='xxhash64' (bigint output)")
+        hex_len = 32 if algo == "md5" else 64
+        if not 1 <= int(truncate) <= hex_len:
+            raise ValueError(
+                f"truncate must be in [1, {hex_len}] for algo={algo!r}, got {truncate}"
+            )
 
     def hashed(c: str):
         salted = F.concat(F.lit(f"{salt}:"), F.col(c).cast("string"))

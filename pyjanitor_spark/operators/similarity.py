@@ -134,6 +134,7 @@ def semdedup(
     eps: float = 0.95,
     keep: str = "far",
     checkpoint_dir: str | None = None,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -156,9 +157,36 @@ def semdedup(
     here (measured 13 s -> <1 s on the sf0.1 gate query).
     ``checkpoint_dir`` is accepted for API compatibility and unused:
     the in-task closure has no iterative lineage to checkpoint.
+
+    The Σ size² pair cost is only bounded when clusters are genuinely
+    small relative to the corpus — the natural failure mode is feeding a
+    billion-row table clustered with ``kmeans_assign(k=8)`` and paying
+    (n/8)² per block.  ``max_cluster_size`` makes that cost explicit
+    (the same gate pattern as ``embedding_near_dup``'s
+    ``allow_cross_join``): if any cluster exceeds it, raise with the
+    offending sizes and the advice to re-cluster with larger ``k``.
+    Pass ``None`` to skip the check (one extra tiny agg saved).
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
+    if max_cluster_size is not None:
+        big = (
+            df.groupBy(cluster_col)
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .filter(F.col("__sz") > int(max_cluster_size))
+            .orderBy(F.col("__sz").desc())
+            .limit(5)
+            .collect()  # bounded: 5 rows
+        )
+        if big:
+            worst = ", ".join(f"{r[cluster_col]}={r['__sz']}" for r in big)
+            raise ValueError(
+                f"semdedup: cluster(s) exceed max_cluster_size="
+                f"{max_cluster_size} ({worst}); the within-cluster pair "
+                f"join is quadratic in cluster size — re-cluster with a "
+                f"larger k (kmeans_assign) or raise/disable "
+                f"max_cluster_size explicitly"
+            )
     from pyspark.sql import Window
 
     v = F.col(vec_col).cast("array<double>")
@@ -309,6 +337,12 @@ def lsh_bucket_topk(
     )
 
 
+# above this many centroids, assignment rides a one-row broadcast of the
+# centroid data instead of O(k*dim) plan literals — large literal trees
+# break whole-stage codegen and eventually Janino's 64 KB method limit
+_KMEANS_LITERAL_MAX = 64
+
+
 def _argmin_cluster(v: Column, cents: list[list[float]]) -> Column:
     """0-based index of the nearest centroid by squared Euclidean
     distance; ties take the lowest index (both engines' first-match)."""
@@ -336,6 +370,49 @@ def _argmin_cluster(v: Column, cents: list[list[float]]) -> Column:
     return let(v, dists)
 
 
+def _argmin_cluster_data(v: Column, cents_arr: Column) -> Column:
+    """Data-driven twin of :func:`_argmin_cluster`: centroids arrive as
+    an ``array<array<double>>`` COLUMN (one broadcast row), so the plan
+    is O(1) size regardless of k.  Same first-min tie semantics."""
+    from pyjanitor_spark.utils.expr import let
+
+    def dists(vv: Column) -> Column:
+        d = F.transform(
+            cents_arr,
+            lambda c: F.aggregate(
+                F.zip_with(vv, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return let(
+            d, lambda arr: (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+
+    return let(v, dists)
+
+
+def _with_cluster(
+    df: DataFrame, v: Column, cents: list[list[float]], dest: str
+) -> DataFrame:
+    """Attach the nearest-centroid index as ``dest``.  Small k folds the
+    centroids into the plan as literals (pure projection, scan-time);
+    above ``_KMEANS_LITERAL_MAX`` the centroids ride ONE broadcast row
+    cross-joined in, keeping the expression tree O(1) while the data
+    plane carries the k*dim doubles."""
+    if len(cents) <= _KMEANS_LITERAL_MAX:
+        return df.withColumn(dest, _argmin_cluster(v, cents))
+    cdf = df.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in cents],)],
+        "__cents array<array<double>>",
+    )
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(dest, _argmin_cluster_data(v, F.col("__cents")))
+        .drop("__cents")
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str,
@@ -359,10 +436,13 @@ def kmeans_assign(
     Cost: ``iters`` scans, each with one (cluster, pos)-keyed shuffle
     for the centroid update and one bounded k-row collect (the
     documented iterative-algorithm exception, same as
-    ``near_dup_clusters``).  The centroids fold into the plan as
-    literals, so assignment itself is a pure projection — at serving
-    time, persist the assignment like any column.  This is fixed-round
-    Lloyd, not convergence-driven: ``iters`` bounds cost explicitly.
+    ``near_dup_clusters``).  Assignment is a pure projection: for small
+    ``k`` the centroids fold into the plan as literals; beyond
+    ``_KMEANS_LITERAL_MAX`` (64) they ride a single broadcast row so the
+    expression tree stays O(1) regardless of ``k`` (large literal trees
+    would break whole-stage codegen).  This is fixed-round Lloyd, not
+    convergence-driven: ``iters`` bounds cost explicitly.  ``k`` is
+    clamped to the row count when the input is smaller than ``k``.
     """
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
@@ -378,10 +458,15 @@ def kmeans_assign(
         .limit(k)  # bounded: k rows
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_assign: input DataFrame is empty")
+    # fewer rows than k: clamp — every row is its own centroid and the
+    # extra clusters could never win an assignment anyway
+    k = min(k, len(seeds))
     cents = [list(r["__v"]) for r in seeds]
     for _ in range(iters):
-        assigned = df.select(
-            _argmin_cluster(v, cents).alias("__c"), v.alias("__v")
+        assigned = _with_cluster(df, v, cents, "__c").select(
+            F.col("__c"), v.alias("__v")
         )
         per_pos = (
             assigned.select(F.col("__c"), F.posexplode(F.col("__v")))
@@ -407,4 +492,4 @@ def kmeans_assign(
         )
         got = {r["__c"]: list(r["cv"]) for r in rows}
         cents = [got.get(i, cents[i]) for i in range(k)]
-    return df.withColumn(dest, _argmin_cluster(v, cents))
+    return _with_cluster(df, v, cents, dest)

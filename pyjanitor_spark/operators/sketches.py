@@ -49,8 +49,10 @@ def heavy_hitters(
     keys = list(by or [])
     counts = df.groupBy(*keys, column_name).agg(F.count(F.lit(1)).alias("cnt"))
     if keys:
+        # one row per group: unbounded for high-cardinality `by`, so no
+        # broadcast hint — AQE picks broadcast itself when totals is small
         totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__tot"))
-        joined = counts.join(F.broadcast(totals), keys)
+        joined = counts.join(totals, keys)
     else:
         totals = df.agg(F.count(F.lit(1)).alias("__tot"))
         joined = counts.crossJoin(F.broadcast(totals))

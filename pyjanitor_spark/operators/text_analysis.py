@@ -450,7 +450,8 @@ def domain_of(url: Column, strip_www: bool = True) -> Column:
     return host
 
 
-_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid", "mc_cid", "mc_eid")
+_TRACKING_PREFIXES = ("utm_",)  # family prefix: any utm_* param
+_TRACKING_EXACT = ("gclid", "fbclid", "mc_cid", "mc_eid")  # exact names only
 
 
 def url_normalize(
@@ -489,10 +490,16 @@ def url_normalize(
         query = F.regexp_extract(rest, r"\?(.*)$", 1)
         kept = F.filter(
             F.split(query, "&"),
+            # utm_ is a family prefix; the named params match exactly
+            # ("gclid" / "gclid=v") so "gclid_src" survives
             lambda p: ~F.coalesce(
                 functools_reduce(
                     lambda a, b: a | b,
-                    [p.startswith(pref) for pref in _TRACKING_PREFIXES],
+                    [p.startswith(pref) for pref in _TRACKING_PREFIXES]
+                    + [
+                        (p == name) | p.startswith(name + "=")
+                        for name in _TRACKING_EXACT
+                    ],
                 ),
                 F.lit(False),
             ),

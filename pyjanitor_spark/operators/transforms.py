@@ -509,23 +509,46 @@ def min_max_scale(
 
 
 def factorize_columns(
-    df: DataFrame, column_names: Any, suffix: str = "_enc"
+    df: DataFrame, column_names: Any, suffix: str = "_enc", order_by: str | None = None
 ) -> DataFrame:
     """Integer codes per column (ref ``factorize_columns.py:12-66``).
 
-    Deterministic sorted-order codes via ``dense_rank`` — documented
-    divergence from pandas first-appearance order (SURVEY.md §2.7), which
-    has no scalable distributed meaning.  Nulls get code -1 like pandas."""
+    Default: deterministic sorted-order codes via ``dense_rank`` —
+    documented divergence from pandas first-appearance order (SURVEY.md
+    §2.7), which has no meaning without a row order.  With ``order_by``
+    (any column that defines the frame's row order — the ``_row_order``
+    contract, ``utils/order.py``), codes follow FIRST-APPEARANCE order
+    exactly like ``pd.factorize``: per value, take ``min(order_by)``
+    (one partial-agg shuffle over distinct values), then dense-rank the
+    distinct frame by that first position.  Either way the ranking
+    window runs over the value-DISTINCT frame only (bounded vocabulary,
+    never the full data) and joins back broadcast.  Nulls get code -1
+    like pandas."""
     cols = resolve_columns(df, column_names)
+    if order_by is not None and order_by not in df.columns:
+        raise KeyError(f"order column {order_by!r} not in DataFrame")
     out = df
     for c in cols:
-        w = Window.orderBy(F.col(c))
         # dense_rank over a value-distinct frame, broadcast-joined back:
         # avoids a global single-task window over the full data.
-        codes = (
-            df.select(c).where(F.col(c).isNotNull()).distinct()
-            .withColumn(f"{c}{suffix}", F.dense_rank().over(w) - 1)
-        )
+        if order_by is not None:
+            firsts = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(c)
+                .agg(F.min(order_by).alias("__first_pos"))
+            )
+            # tie-break by value: two values first appearing at the same
+            # order key have no defined pandas order — keep it deterministic
+            w = Window.orderBy(F.col("__first_pos"), F.col(c))
+            codes = firsts.withColumn(
+                f"{c}{suffix}", F.dense_rank().over(w) - 1
+            ).drop("__first_pos")
+        else:
+            w = Window.orderBy(F.col(c))
+            codes = (
+                df.select(c).where(F.col(c).isNotNull()).distinct()
+                .withColumn(f"{c}{suffix}", F.dense_rank().over(w) - 1)
+            )
         out = out.join(F.broadcast(codes), on=c, how="left")
         out = out.withColumn(f"{c}{suffix}", F.coalesce(F.col(f"{c}{suffix}"), F.lit(-1)))
     return out

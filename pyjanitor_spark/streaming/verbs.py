@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -343,8 +344,13 @@ def streaming_dedupe_near(
                 .filter(F.col("batch") != batch_id)
                 .select(id_col, "band", "key")
             )
-        except Exception:
-            sigs = None  # first batch: no store yet
+        except AnalysisException:
+            # Only the missing-path case means "first batch, no store
+            # yet".  Any other error (corrupt parquet, transient storage
+            # failure, schema drift) must FAIL the batch so the
+            # checkpoint retries it — swallowing it would silently skip
+            # dedup-against-store and admit near-duplicates permanently.
+            sigs = None
         if sigs is not None:
             kept = dedupe_against(
                 kept, None, id_col, column_name,

@@ -31,6 +31,35 @@ ORDER_COL = "_row_order"
 
 __all__ = ["ORDER_COL", "ensure_order_column", "positional_index", "partitioned_cumsum"]
 
+# expression markers whose presence makes re-computation of a plan yield
+# different rows/layout between the two branch reads below.  Checked
+# lowercase against the ANALYZED logical plan: "sample" catches both
+# TableSample and df.sample; monotonically_increasing_id is only
+# nondeterministic when the upstream layout is (so treat it as a taint);
+# "shuffle(" is the array-shuffle SQL function.  False positives (e.g.
+# a column literally named "sample_rate") only cost the pin — safe side.
+_NONDET_MARKERS = (
+    "rand(",
+    "randn(",
+    "uuid(",
+    "shuffle(",
+    "sample",
+    "monotonically_increasing_id",
+)
+
+
+def _plan_is_deterministic(df: DataFrame) -> bool:
+    """True when re-executing ``df``'s plan provably yields the same rows
+    in the same partition layout: deterministic scans, filters, joins and
+    hash/range shuffles of those.  Range-exchange boundary sampling uses
+    fixed per-partition seeds, so even the repartitionByRange below is
+    replay-stable over a deterministic input."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString().lower()
+    except Exception:
+        return False
+    return not any(m in s for m in _NONDET_MARKERS)
+
 
 def positional_index(df: DataFrame, name: str) -> DataFrame:
     """0-based positional row index in the frame's current order,
@@ -39,21 +68,25 @@ def positional_index(df: DataFrame, name: str) -> DataFrame:
     no global single-task window.  After an ``orderBy`` (range-partitioned
     total sort) this yields the global sort rank.
 
+    When the upstream plan is nondeterministic (rand/sample/uuid/…),
     ``localCheckpoint`` pins the input before the plan branches: the
     offsets aggregate and the joined branch must read the SAME partition
     layout, and without materialization a nondeterministic upstream (or
     an AQE re-plan between the two executions) could hand each branch
-    different ``__pid``/``__mid`` assignments.  (Non-durable checkpoint:
-    on executor loss the job retries from the action — acceptable; use a
-    durable ``checkpoint_dir`` pattern as in ``near_dup_clusters`` when
-    running under preemption.)"""
+    different ``__pid``/``__mid`` assignments.  A deterministic plan
+    (file scan + deterministic expressions/shuffles) replays identically
+    on both branches, so the pin — and its extra materialization — is
+    skipped.  (Non-durable checkpoint: on executor loss the job retries
+    from the action — acceptable; use a durable ``checkpoint_dir``
+    pattern as in ``near_dup_clusters`` when running under
+    preemption.)"""
     from pyspark.sql import Window
 
-    d = (
-        df.withColumn("__pid", F.spark_partition_id())
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
+    d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__mid", F.monotonically_increasing_id()
     )
+    if not _plan_is_deterministic(df):
+        d = d.localCheckpoint(eager=False)
     sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.withColumn(
@@ -82,9 +115,12 @@ def partitioned_cumsum(
     one partition), per-partition partial sums, broadcast the cumulative
     offsets (one tiny #partitions-row aggregate — the only unpartitioned
     window, bounded by the partition count), then an in-partition
-    cumulative window plus the offset.  ``localCheckpoint`` pins the
-    partition layout so the offsets aggregate and the main branch read
-    identical partitions (see ``positional_index``)."""
+    cumulative window plus the offset.  For nondeterministic inputs
+    ``localCheckpoint`` pins the partition layout so the offsets
+    aggregate and the main branch read identical partitions; a
+    deterministic plan skips the pin — the identical range exchange on
+    both branches is computed once via exchange reuse, or replays
+    bit-identically if not (see ``positional_index``)."""
     from pyspark.sql import Window
 
     if num_partitions is not None and num_partitions < 1:
@@ -95,7 +131,11 @@ def partitioned_cumsum(
         if num_partitions is not None
         else df.repartitionByRange(order)
     )
-    d = d.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+    d = d.withColumn("__pid", F.spark_partition_id())
+    if not _plan_is_deterministic(df):
+        # nondeterministic upstream: pin the layout so the offsets agg
+        # and the joined branch read the SAME partition assignment
+        d = d.localCheckpoint(eager=False)
     sizes = d.groupBy("__pid").agg(
         F.coalesce(F.sum(value_col), F.lit(0)).alias("__psum")
     )

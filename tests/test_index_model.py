@@ -135,3 +135,38 @@ def test_partitioned_cumsum_matches_serial(spark):
         out = partitioned_cumsum(df, "v", "o", "cum", num_partitions=target)
         got = {r["o"]: r["cum"] for r in out.collect()}
         assert got == serial
+
+
+def test_partitioned_cumsum_pin_skipped_for_deterministic_plan(spark, tmp_path):
+    """A deterministic file-scan input must NOT pay the localCheckpoint
+    materialization (the r4 ccu regression); a rand-tainted input must
+    keep the pin.  The checkpoint shows up as a LogicalRDD leaf."""
+    from pyspark.sql import functions as F
+
+    from pyjanitor_spark.utils.order import partitioned_cumsum
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).select(
+        F.col("id").alias("o"), (F.col("id") % 3).alias("v")
+    ).write.parquet(p)
+    det = spark.read.parquet(p)
+    plan_det = str(
+        partitioned_cumsum(det, "v", "o", "cum")
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "LogicalRDD" not in plan_det
+
+    nondet = det.withColumn("r", F.rand(1))
+    plan_nd = str(
+        partitioned_cumsum(nondet, "v", "o", "cum")
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    assert "LogicalRDD" in plan_nd
+
+    # and the skipped-pin path still computes the right prefix sums
+    got = {r["o"]: r["cum"] for r in partitioned_cumsum(det, "v", "o", "cum").collect()}
+    acc, want = 0, {}
+    for i in range(100):
+        acc += i % 3
+        want[i] = acc
+    assert got == want

@@ -971,3 +971,132 @@ class TestKmeansAssign:
         import pytest as _pt
         with _pt.raises(ValueError):
             pj.kmeans_assign(embeddings, "embedding", "vec_id", k=0)
+
+    def test_k_larger_than_rows_clamps(self, spark):
+        # fewer rows than k must clamp, not IndexError (default-arg
+        # cents[i] indexing bug class)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [0.1, 0.1])],
+            "vec_id int, embedding array<double>",
+        )
+        out = pj.kmeans_assign(df, "embedding", "vec_id", k=10, iters=2)
+        labels = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert len(labels) == 3
+        assert all(0 <= c < 3 for c in labels.values())
+
+    def test_empty_input_raises(self, spark):
+        df = spark.createDataFrame([], "vec_id int, embedding array<double>")
+        with pytest.raises(ValueError, match="empty"):
+            pj.kmeans_assign(df, "embedding", "vec_id", k=2)
+
+
+class TestKmeansLargeK:
+    """Above _KMEANS_LITERAL_MAX the centroids ride one broadcast row,
+    not O(k*dim) plan literals — same assignments, bounded plan size."""
+
+    def test_data_path_matches_literal_path_k256(self, spark):
+        import random
+
+        from pyjanitor_spark.operators.similarity import (
+            _argmin_cluster,
+            _with_cluster,
+        )
+
+        rng = random.Random(11)
+        dim = 8
+        cents = [[rng.uniform(-5, 5) for _ in range(dim)] for _ in range(256)]
+        rows = [(i, [rng.uniform(-5, 5) for _ in range(dim)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        v = F.col("embedding").cast("array<double>")
+        lit = {
+            r["vec_id"]: r["c"]
+            for r in df.withColumn("c", _argmin_cluster(v, cents)).collect()
+        }
+        dat = {
+            r["vec_id"]: r["c"]
+            for r in _with_cluster(df, v, cents, "c").collect()
+        }
+        assert lit == dat
+
+    def test_plan_size_bounded_at_large_k(self, spark):
+        import random
+
+        from pyjanitor_spark.operators.similarity import _with_cluster
+
+        rng = random.Random(12)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)],
+            "vec_id int, embedding array<double>",
+        )
+        v = F.col("embedding").cast("array<double>")
+
+        def plan_len(k):
+            cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(k)]
+            out = _with_cluster(df, v, cents, "c")
+            return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+        # doubling k beyond the literal threshold must NOT double the
+        # plan: the centroid data lives in a broadcast row, not the tree
+        p256, p512 = plan_len(256), plan_len(512)
+        assert p512 < p256 * 1.5
+        assert p256 < 50_000
+
+    def test_kmeans_end_to_end_large_k(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, [rng.uniform(-5, 5) for _ in range(4)]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = pj.kmeans_assign(df, "embedding", "vec_id", k=100, iters=1)
+        labels = [r["cluster"] for r in out.collect()]
+        assert len(labels) == 200 and all(0 <= c < 100 for c in labels)
+
+
+class TestSemdedupClusterGuard:
+    def test_oversize_cluster_raises(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0], 0) for i in range(20)],
+            "vec_id int, embedding array<double>, label int",
+        )
+        with pytest.raises(ValueError, match="max_cluster_size"):
+            pj.semdedup(df, "embedding", "vec_id", "label",
+                        max_cluster_size=10)
+
+    def test_guard_disabled_or_loose_passes(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
+            "vec_id int, embedding array<double>, label int",
+        )
+        n_loose = pj.semdedup(df, "embedding", "vec_id", "label",
+                              max_cluster_size=50).count()
+        n_off = pj.semdedup(df, "embedding", "vec_id", "label",
+                            max_cluster_size=None).count()
+        assert n_loose == n_off > 0
+
+
+class TestFactorizeAppearanceOrder:
+    def test_appearance_order_matches_pandas(self, spark):
+        import pandas as pd
+
+        vals = ["pear", "apple", "pear", "fig", "apple", None, "banana"]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "o int, fruit string"
+        )
+        out = {r["o"]: r["fruit_enc"]
+               for r in pj.factorize_columns(df, "fruit", order_by="o").collect()}
+        codes, _ = pd.factorize(pd.Series(vals))
+        want = {i: int(c) for i, c in enumerate(codes)}
+        assert out == want  # pear=0, apple=1, fig=2, None=-1, banana=3
+
+    def test_sorted_default_unchanged(self, spark):
+        df = spark.createDataFrame(
+            [(0, "b"), (1, "a"), (2, "b")], "o int, v string"
+        )
+        out = {r["o"]: r["v_enc"]
+               for r in pj.factorize_columns(df, "v").collect()}
+        assert out == {0: 1, 1: 0, 2: 1}  # sorted order: a=0, b=1
+
+    def test_bad_order_column_raises(self, spark):
+        df = spark.createDataFrame([(0, "a")], "o int, v string")
+        with pytest.raises(KeyError, match="nope"):
+            pj.factorize_columns(df, "v", order_by="nope")

@@ -318,3 +318,29 @@ class TestNormalizeText:
         once = pj.normalize_text(documents, "text", dest="n1")
         twice = pj.normalize_text(once, "n1", dest="n2")
         assert twice.filter("n1 <> n2").count() == 0
+
+
+class TestUrlNormalizeExactTrackingNames:
+    def test_prefix_collisions_survive(self, spark):
+        # gclid_src / fbclid2 merely share a prefix with the tracking
+        # names — exact-name semantics must keep them
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/p?gclid_src=aw&x=1"),
+                (2, "https://ex.com/p?fbclid2=z"),
+                (3, "https://ex.com/p?gclid=abc&x=1"),
+                (4, "https://ex.com/p?fbclid=b&mc_cid=c&mc_eid=d"),
+                (5, "https://ex.com/p?utm_source=s&utm_medium=m&y=2"),
+            ],
+            ["id", "url"],
+        )
+        got = {r["id"]: r["url"] for r in pj.url_normalize(df, "url").collect()}
+        assert got[1] == "https://ex.com/p?gclid_src=aw&x=1"
+        assert got[2] == "https://ex.com/p?fbclid2=z"
+        assert got[3] == "https://ex.com/p?x=1"
+        assert got[4] == "https://ex.com/p"
+        assert got[5] == "https://ex.com/p?y=2"
+
+    def test_bare_tracking_name_no_value_stripped(self, spark):
+        df = spark.createDataFrame([(1, "https://ex.com/p?gclid&x=1")], ["id", "url"])
+        assert pj.url_normalize(df, "url").first()["url"] == "https://ex.com/p?x=1"

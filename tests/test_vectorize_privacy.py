@@ -182,3 +182,27 @@ class TestHashedTfidf:
         got = [r["doc_id"] for r in top.collect()]
         assert got[0] == 1  # itself first; doc 5 shares 'cat', doc 2 shares 'the sat'
         assert len(got) == 2
+
+
+class TestHashColumnsTruncateValidation:
+    def test_truncate_zero_raises(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        with pytest.raises(ValueError, match="truncate"):
+            pj.hash_columns(df, "name", truncate=0)
+
+    def test_truncate_negative_raises(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        with pytest.raises(ValueError, match="truncate"):
+            pj.hash_columns(df, "name", truncate=-3)
+
+    def test_truncate_beyond_digest_raises(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        with pytest.raises(ValueError, match=r"\[1, 32\]"):
+            pj.hash_columns(df, "name", algo="md5", truncate=33)
+        with pytest.raises(ValueError, match=r"\[1, 64\]"):
+            pj.hash_columns(df, "name", algo="sha256", truncate=65)
+
+    def test_truncate_with_xxhash64_raises(self, spark):
+        df = spark.createDataFrame([(1, "a")], ["id", "name"])
+        with pytest.raises(ValueError, match="xxhash64"):
+            pj.hash_columns(df, "name", algo="xxhash64", truncate=8)
