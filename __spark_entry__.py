@@ -639,13 +639,18 @@ def q_binary_metadata(spark, sf):
 
 
 def q_decode_features(spark, sf):
-    # mapInPandas decode stub -> rows-only check
+    # mapInPandas decode: PNG/WAV decode for real (stdlib codec /
+    # wave); these text payloads take the tagged kind='raw' fallback.
+    # Byte-level extraction isn't expressible in DuckDB SQL over UTF-8
+    # text -> rows-only here; value checks live in
+    # tests/test_multimodal_decode.py (generated PNG/WAV fixtures).
     d = _t(spark, sf, "documents")
     return pj.decode_features(pj.attach_binary(d, "text"))
 
 
 def q_frame_sample(spark, sf):
-    # mapInPandas frame demux stub -> rows-only check
+    # vectorized mapInPandas frame demux -> rows-only (see above);
+    # value-equivalence to the serial reference is unit-tested
     d = _t(spark, sf, "documents")
     return pj.frame_sample(pj.attach_binary(d, "text"), every=64)
 
