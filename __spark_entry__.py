@@ -775,7 +775,10 @@ def q_move_reorder(spark, sf):
 
 
 def q_shuffle(spark, sf):
-    # random permutation: rows-only check (row content is order-free)
+    # random permutation — but a permutation preserves the row MULTISET,
+    # and the driver's compare sorts rows before hashing, so the identity
+    # select IS a sound oracle: it proves no row was dropped, duplicated,
+    # or mutated.  (Order itself is untestable/random by design.)
     o = _t(spark, sf, "orders")
     return pj.shuffle(o.select("o_orderkey", "o_totalprice"), random_state=42)
 
@@ -1123,6 +1126,13 @@ def q_heavy_hitters(spark, sf):
     return pj.heavy_hitters(d, "lang", 0.05)
 
 
+def q_add_column_values(spark, sf):
+    # list-form add_column: zip-with-order via positional_index over a
+    # range-sorted frame; the oracle mirrors with row_number()
+    ev = _t(spark, sf, "events").select("event_id").orderBy("event_id")
+    return pj.add_column(ev, "bucket3", ["a", "b", "c"], fill_remaining=True)
+
+
 def q_factorize_appearance(spark, sf):
     # first-appearance-order codes (pandas pd.factorize parity) driven by
     # the _row_order contract: min(order) per value -> dense_rank
@@ -1213,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_agg_multi": q_groupby_agg_multi,
         "conditional_join_keep_last": q_conditional_join_keep_last,
         "conditional_join_indicator": q_conditional_join_indicator,
+        "add_column_values": q_add_column_values,
+        "shuffle": q_shuffle,
         # ---- (d) r02-era driver rows, refreshed ----
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
@@ -1244,10 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce": q_coalesce,
         "fill_empty": q_fill_empty,
         "impute": q_impute_mean,
-        "get_dupes": q_get_dupes,
-        "groupby_topk": q_groupby_topk,
         # ==== end of first-50 window ====
         # r02/r03 driver-green, unchanged code, replica-covered
+        "get_dupes": q_get_dupes,
+        "groupby_topk": q_groupby_topk,
         "take_first": q_take_first,
         "dropnotnull": q_dropnotnull,
         "concatenate_columns": q_concatenate_columns,
@@ -1328,7 +1340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logit": q_logit,
         "add_columns": q_add_columns,
         "move_reorder": q_move_reorder,
-        "shuffle": q_shuffle,
         "jitter": q_jitter,
     }
 
@@ -2459,7 +2470,17 @@ def _pipeline_oracles() -> dict[str, str]:
             "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS orig_bytes, "
             "32 AS n_bytes FROM documents"
         ),
-        # shuffle / jitter: random streams are engine-specific -> rows-only
+        # jitter: the randn stream is engine-specific -> rows-only.
+        # shuffle: a permutation preserves the row multiset and the
+        # compare sorts rows, so identity-select is a sound oracle.
+        "shuffle": (
+            "SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        "add_column_values": (
+            "SELECT event_id, list_extract(['a','b','c'], "
+            "CAST((row_number() OVER (ORDER BY event_id) - 1) % 3 AS INT) + 1) "
+            "AS bucket3 FROM events"
+        ),
         "inflate_currency": (
             "SELECT l_orderkey, l_linenumber, l_extendedprice * 1.23 "
             "AS l_extendedprice FROM lineitem"

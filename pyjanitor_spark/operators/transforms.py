@@ -664,12 +664,58 @@ def expand_column(
     return out
 
 
+# hard cap on list-form add_column: the values become ONE array literal
+# in the plan, so this path is for small reference lists only — a larger
+# sequence belongs in a DataFrame join (or a parquet side table)
+_ADD_COLUMN_MAX_VALUES = 10_000
+
+
 def add_column(df: DataFrame, column_name: str, value: Any, fill_remaining: bool = False) -> DataFrame:
-    """Append a scalar/expression column (ref ``add_columns.py:18-145``).
-    Iterable-of-values semantics are an anti-pattern at scale (SURVEY §2.4)
-    — only scalars and Columns are supported."""
-    v = value if isinstance(value, Column) else F.lit(value)
-    return df.withColumn(column_name, v)
+    """Append a scalar/expression/iterable column (ref
+    ``add_columns.py:18-145``).
+
+    * scalar or ``Column`` — a pure projection, any size.
+    * list/tuple of values — pandas parity via the zip-with-order form:
+      a ``positional_index`` (partition-offset pattern, no single-task
+      stage) indexes into the values array; ``fill_remaining=True``
+      cycles the values when shorter than the frame (ref
+      ``add_columns.py:96-118``), otherwise the length must equal the
+      row count (checked with one bounded ``count()`` action).  "Row
+      order" is the frame's current order per the ``_row_order``
+      contract (``utils/order.py``).  Bounded at
+      ``_ADD_COLUMN_MAX_VALUES`` values — the list rides the plan as an
+      array literal, so a longer sequence should be joined as a
+      DataFrame instead (the error says so)."""
+    if isinstance(value, Column):
+        return df.withColumn(column_name, value)
+    if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
+        vals = list(value)
+        if not vals:
+            raise ValueError("add_column: empty values iterable")
+        if len(vals) > _ADD_COLUMN_MAX_VALUES:
+            raise ValueError(
+                f"add_column: {len(vals)} values exceeds "
+                f"{_ADD_COLUMN_MAX_VALUES}; join a DataFrame on a key "
+                f"instead of inlining the sequence into the plan"
+            )
+        from ..utils.order import positional_index
+
+        arr = F.array(*[F.lit(v) for v in vals])
+        d = positional_index(df, "__add_pos")
+        if fill_remaining:
+            idx = (F.col("__add_pos") % F.lit(len(vals))) + 1
+        else:
+            n_rows = df.count()  # bounded action: one count aggregate
+            if n_rows != len(vals):
+                raise ValueError(
+                    f"add_column: {len(vals)} values for {n_rows} rows; "
+                    f"pass fill_remaining=True to cycle"
+                )
+            idx = F.col("__add_pos") + 1
+        return d.withColumn(
+            column_name, F.element_at(arr, idx.cast("int"))
+        ).drop("__add_pos")
+    return df.withColumn(column_name, F.lit(value))
 
 
 def add_columns(df: DataFrame, **kwargs: Any) -> DataFrame:

@@ -1100,3 +1100,37 @@ class TestFactorizeAppearanceOrder:
         df = spark.createDataFrame([(0, "a")], "o int, v string")
         with pytest.raises(KeyError, match="nope"):
             pj.factorize_columns(df, "v", order_by="nope")
+
+
+class TestAddColumnIterable:
+    def test_exact_length_values_follow_row_order(self, spark):
+        df = spark.createDataFrame(
+            [(i,) for i in range(6)], "o int"
+        ).repartition(3).orderBy("o")
+        vals = ["a", "b", "c", "d", "e", "f"]
+        out = {r["o"]: r["tag"] for r in pj.add_column(df, "tag", vals).collect()}
+        assert out == dict(enumerate(vals))
+
+    def test_fill_remaining_cycles(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(7)], "o int").orderBy("o")
+        out = {r["o"]: r["tag"]
+               for r in pj.add_column(df, "tag", [10, 20, 30],
+                                      fill_remaining=True).collect()}
+        assert out == {i: [10, 20, 30][i % 3] for i in range(7)}
+
+    def test_length_mismatch_raises(self, spark):
+        df = spark.createDataFrame([(1,), (2,), (3,)], "o int")
+        with pytest.raises(ValueError, match="fill_remaining"):
+            pj.add_column(df, "tag", [1, 2])
+
+    def test_oversize_list_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "o int")
+        with pytest.raises(ValueError, match="join a DataFrame"):
+            pj.add_column(df, "tag", list(range(10_001)), fill_remaining=True)
+
+    def test_scalar_and_column_paths_unchanged(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "o int")
+        out = pj.add_column(df, "k", 5)
+        assert [r["k"] for r in out.collect()] == [5, 5]
+        out2 = pj.add_column(df, "d", F.col("o") * 2)
+        assert sorted(r["d"] for r in out2.collect()) == [2, 4]
