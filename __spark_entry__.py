@@ -1126,6 +1126,15 @@ def q_heavy_hitters(spark, sf):
     return pj.heavy_hitters(d, "lang", 0.05)
 
 
+def q_remove_duplicated_spans(spark, sf):
+    # Lee-2021 ExactSubstr CUT action: tokens under cross-doc duplicated
+    # 5-gram spans removed, untouched docs byte-identical
+    d = _docs(spark, sf)
+    return pj.remove_duplicated_spans(d, "doc_id", "text", k=5).select(
+        "doc_id", "text"
+    )
+
+
 def q_add_column_values(spark, sf):
     # list-form add_column: zip-with-order via positional_index over a
     # range-sorted frame; the oracle mirrors with row_number()
@@ -1225,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_indicator": q_conditional_join_indicator,
         "add_column_values": q_add_column_values,
         "shuffle": q_shuffle,
+        "remove_duplicated_spans": q_remove_duplicated_spans,
         # ---- (d) r02-era driver rows, refreshed ----
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
@@ -1255,9 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_nulls": q_flag_nulls,
         "coalesce": q_coalesce,
         "fill_empty": q_fill_empty,
-        "impute": q_impute_mean,
         # ==== end of first-50 window ====
         # r02/r03 driver-green, unchanged code, replica-covered
+        "impute": q_impute_mean,
         "get_dupes": q_get_dupes,
         "groupby_topk": q_groupby_topk,
         "take_first": q_take_first,
@@ -2315,6 +2325,33 @@ def _pipeline_oracles() -> dict[str, str]:
             "COALESCE(dup.d, 0) * 1.0 / tot.n END AS dup_fraction "
             "FROM documents docs LEFT JOIN tot ON docs.doc_id = tot.doc_id "
             "LEFT JOIN dup ON docs.doc_id = dup.doc_id"
+        ),
+        # the CUT action over the same 5-gram span model as
+        # dup_span_fraction: union the covered token positions, rebuild
+        # affected docs, leave the rest byte-identical
+        "remove_duplicated_spans": (
+            "WITH t AS (SELECT doc_id, text, "
+            "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+            "sp AS (SELECT doc_id, i, "
+            "md5(array_to_string(toks[i : i + 4], ' ')) AS h FROM t, "
+            "unnest(generate_series(1, len(toks) - 4)) u(i) "
+            "WHERE len(toks) >= 5), "
+            "fl AS (SELECT h FROM sp GROUP BY h "
+            "HAVING count(DISTINCT doc_id) >= 2), "
+            "cov AS (SELECT DISTINCT s.doc_id, v.j FROM "
+            "(SELECT sp.doc_id, sp.i FROM sp JOIN fl USING (h)) s, "
+            "unnest(generate_series(s.i, s.i + 4)) v(j)), "
+            "tok AS (SELECT doc_id, i, toks[i] AS tok FROM t, "
+            "unnest(generate_series(1, len(toks))) u(i)), "
+            "kept AS (SELECT tok.doc_id, "
+            "string_agg(tok.tok, ' ' ORDER BY tok.i) AS txt "
+            "FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id "
+            "AND tok.i = cov.j WHERE cov.j IS NULL GROUP BY tok.doc_id), "
+            "rw AS (SELECT d.doc_id, COALESCE(kept.txt, '') AS txt FROM "
+            "(SELECT DISTINCT doc_id FROM cov) d "
+            "LEFT JOIN kept USING (doc_id)) "
+            "SELECT docs.doc_id, COALESCE(rw.txt, docs.text) AS text "
+            "FROM documents docs LEFT JOIN rw ON docs.doc_id = rw.doc_id"
         ),
         # DuckDB's native ASOF JOIN is the independent oracle: the
         # inequality picks the greatest p.ts <= e.ts per user

@@ -22,6 +22,7 @@ from pyjanitor_spark.operators.dedup import (
     minhash_signature,
     near_dup_clusters,
     ngram_jaccard_pairs,
+    remove_duplicated_spans,
     simhash,
     simhash_pairs,
 )

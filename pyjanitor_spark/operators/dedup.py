@@ -50,6 +50,7 @@ __all__ = [
     "contamination_score",
     "duplicated_spans",
     "dup_span_fraction",
+    "remove_duplicated_spans",
 ]
 
 
@@ -1019,4 +1020,109 @@ def dup_span_fraction(
             ),
         )
         .drop("__tot", "__dup")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    k: int = 10,
+    min_docs: int = 2,
+    dest: str | None = None,
+) -> DataFrame:
+    """CUT cross-document duplicated spans out of the text — the dedup
+    ACTION of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better", the ExactSubstr variant), token-level:
+    every token covered by a word ``k``-gram span occurring in >=
+    ``min_docs`` DISTINCT documents is removed; surviving tokens are
+    re-joined with single spaces.
+
+    Only documents that actually contain a flagged span are rewritten
+    (rewriting normalizes their whitespace); every other document keeps
+    its text byte-identical.  A document whose every token is covered
+    becomes the empty string — filter on it downstream if desired.
+    In-place when ``dest`` is None.
+
+    Plan shape (nothing quadratic, all key-partitioned shuffles):
+    positional shingle explode -> md5 span keys; flagged keys = one
+    partial-agg distinct-doc count on the 32-hex key; covered token
+    positions = flagged spans exploded k-wide then distinct; kept
+    tokens = anti join on (id, pos); reassembly = one groupBy(id) with
+    an in-group sort of (pos, token) structs.  Span keys are
+    fixed-width hashes; raw text moves only in the final token stream.
+    """
+    from pyjanitor_spark.operators.text_analysis import tokens, word_shingles
+
+    out_col = dest or column_name
+    text = F.col(column_name)
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                word_shingles(text, k, distinct=False)
+            ).alias("__pos", "__s"),
+        )
+        .withColumn("__h", F.md5(F.col("__s")))
+        .drop("__s")
+        # feeds both the flag aggregate and the join-back — pin so the
+        # corpus shingles once (deterministic input would replay
+        # identically, but this stream is large; one materialization
+        # beats two shingle passes)
+        .localCheckpoint(eager=False)
+    )
+    flagged = (
+        spans.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    covered = (
+        spans.join(flagged, "__h", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+            ).alias("__cpos"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text)).alias("__tpos", "__tok"),
+    )
+    kept = (
+        toks.join(
+            covered,
+            (toks[id_col] == covered[id_col])
+            & (F.col("__tpos") == F.col("__cpos")),
+            "left_anti",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__tpos"), F.col("__tok")))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("__kept_text")
+        )
+    )
+    # rewrite ONLY docs with at least one covered token; a doc whose
+    # every token is covered is missing from `kept` -> empty string
+    rewritten = (
+        covered.select(id_col).distinct()
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col).alias("__rd_id"),
+            F.coalesce(F.col("__kept_text"), F.lit("")).alias("__rd_text"),
+        )
+    )
+    return (
+        df.join(rewritten, df[id_col] == F.col("__rd_id"), "left")
+        .withColumn(out_col, F.coalesce(F.col("__rd_text"), text))
+        .drop("__rd_id", "__rd_text")
     )

@@ -1134,3 +1134,54 @@ class TestAddColumnIterable:
         assert [r["k"] for r in out.collect()] == [5, 5]
         out2 = pj.add_column(df, "d", F.col("o") * 2)
         assert sorted(r["d"] for r in out2.collect()) == [2, 4]
+
+
+class TestRemoveDuplicatedSpans:
+    def _df(self, spark):
+        shared = "alpha beta gamma delta epsilon"
+        return spark.createDataFrame(
+            [
+                (1, f"intro {shared} outro one"),
+                (2, f"{shared} differs here entirely"),
+                (3, "totally unrelated words in this document body"),
+                (4, "tiny doc"),
+                (5, shared),  # the whole doc IS the shared span
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_covered_tokens_cut_others_byte_identical(self, spark):
+        out = {r["doc_id"]: r["text"] for r in pj.remove_duplicated_spans(
+            self._df(spark), "doc_id", "text", k=5).collect()}
+        assert out[1] == "intro outro one"
+        assert out[2] == "differs here entirely"
+        # untouched docs keep their exact original text
+        assert out[3] == "totally unrelated words in this document body"
+        assert out[4] == "tiny doc"
+        # fully-covered doc becomes empty, not NULL
+        assert out[5] == ""
+
+    def test_dest_column_keeps_original(self, spark):
+        out = pj.remove_duplicated_spans(
+            self._df(spark), "doc_id", "text", k=5, dest="clean")
+        r = {x["doc_id"]: x for x in out.collect()}
+        assert r[1]["text"].startswith("intro alpha")
+        assert r[1]["clean"] == "intro outro one"
+
+    def test_overlapping_spans_union_coverage(self, spark):
+        # two docs share a 6-token run -> two overlapping 5-gram spans;
+        # covered positions union, not double-remove
+        run = "a b c d e f"
+        df = spark.createDataFrame(
+            [(1, f"x {run} y"), (2, f"{run} tail here")], ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in pj.remove_duplicated_spans(
+            df, "doc_id", "text", k=5).collect()}
+        assert out[1] == "x y"
+        assert out[2] == "tail here"
+
+    def test_layout_deterministic(self, spark, documents):
+        a = sorted((r["doc_id"], r["text"]) for r in pj.remove_duplicated_spans(
+            documents.repartition(1), "doc_id", "text", k=5).collect())
+        b = sorted((r["doc_id"], r["text"]) for r in pj.remove_duplicated_spans(
+            documents.repartition(7), "doc_id", "text", k=5).collect())
+        assert a == b
