@@ -166,3 +166,53 @@ class TestAsofJoinProperty:
                     }
                     want = self._brute(left, right, direction, tol)
                     assert got == want, (trial, direction, tol)
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_keep_matches_brute_force(spark, keep):
+    """keep='first'/'last' picks the min/max right row by the condition
+    columns (in condition order).  Unique x per right row keeps the
+    md5 content tie-break out of play, so the brute pick is exact."""
+    left, right = _frames(11)
+    for i, r in enumerate(right):
+        r["x"] = r["x"] * 100 + i  # make the primary order key unique
+    conds = [("a", "x", "<"), ("a", "y", ">")]
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, keep=keep)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    exp = []
+    for l in left:
+        matched = [
+            r for r in right
+            if OPS["<"](l["a"], r["x"]) and OPS[">"](l["a"], r["y"])
+        ]
+        if matched:
+            pick = (min if keep == "first" else max)(
+                matched, key=lambda r: (r["x"], r["y"])
+            )
+            exp.append((l["lid"], pick["rid"]))
+    assert got == sorted(exp)
+
+
+def test_indicator_matches_brute_force(spark):
+    left, right = _frames(13)
+    conds = [("b", "k", "=="), ("a", "x", "<")]
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, how="left", indicator=True)
+    rows = [(r["lid"], r["rid"], r["_merge"]) for r in out.collect()]
+    assert all(
+        (m == "both") == (rid is not None) for _, rid, m in rows
+    )
+    matched_lids = {
+        l["lid"] for l in left
+        if any(l["b"] == r["k"] and l["a"] < r["x"] for r in right)
+    }
+    got_both = {lid for lid, _, m in rows if m == "both"}
+    got_only = {lid for lid, _, m in rows if m == "left_only"}
+    assert got_both == matched_lids
+    assert got_only == {l["lid"] for l in left} - matched_lids
+    # named indicator column
+    named = pj.conditional_join(ldf, rdf, *conds, how="left", indicator="src")
+    assert "src" in named.columns and "_merge" not in named.columns

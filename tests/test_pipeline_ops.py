@@ -1185,3 +1185,43 @@ class TestRemoveDuplicatedSpans:
         b = sorted((r["doc_id"], r["text"]) for r in pj.remove_duplicated_spans(
             documents.repartition(7), "doc_id", "text", k=5).collect())
         assert a == b
+
+
+class TestRemoveDuplicatedSpansDifferential:
+    @staticmethod
+    def _reference(docs, k, min_docs):
+        toks = {d: t.split() for d, t in docs}
+        gram_docs: dict = {}
+        for d, tk in toks.items():
+            for i in range(len(tk) - k + 1):
+                gram_docs.setdefault(tuple(tk[i : i + k]), set()).add(d)
+        flagged = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+        out = {}
+        for d, t in docs:
+            tk = toks[d]
+            covered = set()
+            for i in range(len(tk) - k + 1):
+                if tuple(tk[i : i + k]) in flagged:
+                    covered.update(range(i, i + k))
+            if covered:
+                out[d] = " ".join(
+                    w for j, w in enumerate(tk) if j not in covered
+                )
+            else:
+                out[d] = t
+        return out
+
+    def test_random_docs_match_reference(self, spark):
+        import random
+
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab forces collisions
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for k in (3, 5):
+            got = {r["doc_id"]: r["text"] for r in pj.remove_duplicated_spans(
+                df, "doc_id", "text", k=k).collect()}
+            assert got == self._reference(docs, k, 2), f"k={k}"
