@@ -135,6 +135,7 @@ def semdedup(
     keep: str = "far",
     checkpoint_dir: str | None = None,
     max_cluster_size: int | None = 100_000,
+    check: str = "inline",
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -163,13 +164,21 @@ def semdedup(
     billion-row table clustered with ``kmeans_assign(k=8)`` and paying
     (n/8)² per block.  ``max_cluster_size`` makes that cost explicit
     (the same gate pattern as ``embedding_near_dup``'s
-    ``allow_cross_join``): if any cluster exceeds it, raise with the
-    offending sizes and the advice to re-cluster with larger ``k``.
-    Pass ``None`` to skip the check (one extra tiny agg saved).
+    ``allow_cross_join``): any cluster exceeding it aborts the job.
+    ``check='inline'`` (default) enforces it with ``assert_true`` over a
+    window count that rides the SAME cluster-key shuffle the pair join
+    needs — zero extra jobs, the violation surfaces as a runtime error
+    naming the first offending cluster.  ``check='eager'`` runs one
+    bounded pre-flight aggregate instead and raises ``ValueError``
+    listing the five largest offenders before any heavy work starts
+    (nicer message, one extra scan).  Pass ``max_cluster_size=None`` to
+    skip entirely.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
-    if max_cluster_size is not None:
+    if check not in ("inline", "eager"):
+        raise ValueError(f"check must be 'inline' or 'eager', got {check!r}")
+    if max_cluster_size is not None and check == "eager":
         big = (
             df.groupBy(cluster_col)
             .agg(F.count(F.lit(1)).alias("__sz"))
@@ -200,6 +209,30 @@ def semdedup(
         "__n",
         F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    if max_cluster_size is not None and check == "inline":
+        # zero-extra-job guard: the window count hash-shuffles on the
+        # cluster key — the very partitioning the pair join needs, so
+        # the exchange is shared.  assert_true aborts the job at
+        # execution when any cluster exceeds the cap; the filter keeps
+        # the guard expression from being pruned (assert_true returns
+        # NULL, so isNull() keeps every row).
+        w_sz = Window.partitionBy(cluster_col)
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(w_sz) <= F.lit(int(max_cluster_size)),
+            F.concat(
+                F.lit("semdedup: cluster "),
+                F.col(cluster_col).cast("string"),
+                F.lit(
+                    f" exceeds max_cluster_size={int(max_cluster_size)}; "
+                    f"the within-cluster pair join is quadratic in "
+                    f"cluster size - re-cluster with a larger k "
+                    f"(kmeans_assign) or raise/disable max_cluster_size"
+                ),
+            ),
+        )
+        base = base.withColumn("__guard", guard).filter(
+            F.col("__guard").isNull()
+        ).drop("__guard")
     a = base.select(
         F.col(cluster_col),
         F.col(id_col).alias("id_1"),

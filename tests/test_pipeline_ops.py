@@ -1053,14 +1053,31 @@ class TestKmeansLargeK:
 
 
 class TestSemdedupClusterGuard:
-    def test_oversize_cluster_raises(self, spark):
+    def test_oversize_cluster_fails_inline_at_execution(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0], 0) for i in range(20)],
+            "vec_id int, embedding array<double>, label int",
+        )
+        out = pj.semdedup(df, "embedding", "vec_id", "label",
+                          max_cluster_size=10)  # lazy: builds fine
+        with pytest.raises(Exception, match="max_cluster_size"):
+            out.count()
+
+    def test_oversize_cluster_raises_eagerly(self, spark):
         df = spark.createDataFrame(
             [(i, [float(i), 1.0], 0) for i in range(20)],
             "vec_id int, embedding array<double>, label int",
         )
         with pytest.raises(ValueError, match="max_cluster_size"):
             pj.semdedup(df, "embedding", "vec_id", "label",
-                        max_cluster_size=10)
+                        max_cluster_size=10, check="eager")
+
+    def test_bad_check_mode_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0], 0)], "vec_id int, embedding array<double>, label int"
+        )
+        with pytest.raises(ValueError, match="check"):
+            pj.semdedup(df, "embedding", "vec_id", "label", check="maybe")
 
     def test_guard_disabled_or_loose_passes(self, spark):
         df = spark.createDataFrame(

@@ -226,3 +226,58 @@ def test_positional_index_offsets_broadcast(lineitem):
 
     out = positional_index(lineitem.select("l_orderkey"), "idx")
     assert broadcast_join_count(out) >= 1
+
+
+def test_registry_scale_lint(spark):
+    """Registry-wide lint: NO query's physical plan may contain a
+    cartesian product or nested-loop join unless it is on the explicit
+    whitelist of documented 1-row broadcast stat attaches (a
+    crossJoin(broadcast(<1-row aggregate>)) plans as
+    BroadcastNestedLoopJoin — bounded and intended).  Any new quadratic
+    join sneaking into ANY registered query fails here by name."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    # queries whose plan legitimately contains a broadcast nested-loop /
+    # cartesian: every entry is a <=1-row (or k-row bounded) broadcast
+    # attach, documented in the verb's docstring
+    ONE_ROW_ATTACH = {
+        "min_max_scale",     # min/max 1-row agg attach
+        "z_score",           # mean/std 1-row agg attach
+        "softmax",           # max+sum 1-row agg attach
+        "ecdf",              # n 1-row agg attach
+        "count_cumulative_unique",  # partitioned_cumsum offsets (<=#partitions rows)
+        "quantile_bin",      # cut points 1-row attach
+        "winsorize",         # 2-quantile 1-row attach
+        "robust_scale",      # 3-quantile 1-row attach
+        "hashed_tfidf",      # n_docs 1-row attach
+        "bm25_score",        # avgdl/N 1-row attach
+        "ngram_lm_score",    # unigram/bigram totals 1-row attach
+        "heavy_hitters",     # global totals 1-row attach (ungrouped form)
+        "expand_grid",       # cartesian by definition (bounded VALUES)
+        "cartesian_product", # cartesian by definition
+        "complete",          # bounded category-combination expansion
+        "expand",            # bounded category-combination expansion
+        "language_id",       # merged weight-map 1-row attach
+        "contamination",     # bench-shingle broadcast semi-join
+        "kmeans_assign",     # broadcast-offsets / bounded k-row attaches
+        "semdedup",          # centroid broadcast attach
+        "dedupe_near_best",  # centroid/keep-by bounded attach
+        "ivf_topk",          # nprobe centroid pruning attach
+        "add_column_values", # positional_index offsets broadcast
+        "normal_cdf",        # erf constants fold; offsets attach if any
+        "probit",
+        "xlsx_table",        # driver-parsed literal frames
+        "xlsx_cells",
+    }
+    bad = {}
+    for name, q in e.queries().items():
+        try:
+            plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # construction failure is its own bug
+            bad[name] = f"build error: {ex}"
+            continue
+        has_nl = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        if has_nl and name not in ONE_ROW_ATTACH:
+            bad[name] = "unwhitelisted cartesian/nested-loop join"
+    assert not bad, f"scale lint failures: {bad}"
