@@ -253,6 +253,7 @@ def test_registry_scale_lint(spark):
         "hashed_tfidf",      # n_docs 1-row attach
         "bm25_score",        # avgdl/N 1-row attach
         "ngram_lm_score",    # unigram/bigram totals 1-row attach
+        "top_collocations",  # PMI T/B totals 1-row attach
         "heavy_hitters",     # global totals 1-row attach (ungrouped form)
         "expand_grid",       # cartesian by definition (bounded VALUES)
         "cartesian_product", # cartesian by definition
