@@ -56,18 +56,87 @@ def select_columns(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame
 def select_rows(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
     """Row selection (ref ``select.py:261-327``).
 
-    Spark rows carry no labels, so selectors are SQL predicate strings or
-    ``Column`` conditions (the reference itself recommends ``.loc`` over
-    this verb; our model makes predicates the only scalable row address).
+    Spark rows carry no labels; selectors are
+
+    * SQL predicate strings or ``Column`` conditions — the scalable row
+      address (the reference itself recommends ``.loc`` over this verb);
+    * ``int`` / ``slice`` / list-of-int POSITIONS in the frame's current
+      order (the ``_row_order`` contract) — pandas ``.iloc`` parity,
+      resolved through ``positional_index`` (partition-offset pattern,
+      no single-task stage).  Negative positions and open-ended or
+      negative slice bounds need the row count: ONE bounded ``count()``
+      action, only when such a selector appears.
+
     Multiple selectors OR together, matching label-list union semantics.
     """
     if not args:
         return df
-    conds = [F.expr(a) if isinstance(a, str) else a for a in args]
+
+    def is_pos(a: Any) -> bool:
+        return (
+            isinstance(a, (int, slice))
+            and not isinstance(a, bool)
+            or (
+                isinstance(a, (list, tuple))
+                and bool(a)
+                and all(isinstance(x, int) and not isinstance(x, bool) for x in a)
+            )
+        )
+
+    pos_args = [a for a in args if is_pos(a)]
+    pred_args = [a for a in args if not is_pos(a)]
+    conds = [F.expr(a) if isinstance(a, str) else a for a in pred_args]
+    d = df
+    if pos_args:
+        from pyjanitor_spark.utils.order import positional_index
+
+        needs_n = any(
+            (isinstance(a, int) and a < 0)
+            or (
+                isinstance(a, slice)
+                and (
+                    (a.start or 0) < 0
+                    or (a.stop is None)
+                    or (a.stop is not None and a.stop < 0)
+                    or (a.step or 1) < 0
+                )
+            )
+            or (isinstance(a, (list, tuple)) and any(x < 0 for x in a))
+            for a in pos_args
+        )
+        n = df.count() if needs_n else None  # bounded action, documented
+
+        def fix(i: int) -> int:
+            return i + n if i < 0 else i
+
+        d = positional_index(df, "__srow")
+        p = F.col("__srow")
+        for a in pos_args:
+            if isinstance(a, int):
+                conds.append(p == fix(a))
+            elif isinstance(a, (list, tuple)):
+                conds.append(p.isin([fix(x) for x in a]))
+            else:  # slice — normalize to ascending [start, stop) + step
+                step = a.step or 1
+                if step < 0:
+                    # pandas iloc semantics: walk backwards from start
+                    start = fix(a.start) if a.start is not None else n - 1
+                    stop = fix(a.stop) if a.stop is not None else -1
+                    c = (p <= start) & (p > stop) & (
+                        (F.lit(start) - p) % F.lit(-step) == 0
+                    )
+                else:
+                    start = fix(a.start) if a.start is not None else 0
+                    stop = fix(a.stop) if a.stop is not None else n
+                    c = (p >= start) & (p < stop) & (
+                        (p - F.lit(start)) % F.lit(step) == 0
+                    )
+                conds.append(c)
     cond = conds[0]
     for c in conds[1:]:
         cond = cond | c
-    return df.filter(~cond if invert else cond)
+    out = d.filter(~cond if invert else cond)
+    return out.drop("__srow") if pos_args else out
 
 
 def get_columns(df: DataFrame, label: Any) -> DataFrame:

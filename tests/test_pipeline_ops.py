@@ -1242,3 +1242,47 @@ class TestRemoveDuplicatedSpansDifferential:
             got = {r["doc_id"]: r["text"] for r in pj.remove_duplicated_spans(
                 df, "doc_id", "text", k=k).collect()}
             assert got == self._reference(docs, k, 2), f"k={k}"
+
+
+class TestSelectRowsPositional:
+    """iloc-parity positional selection over the current row order."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, chr(97 + i)) for i in range(10)], "o int, v string"
+        ).orderBy("o")
+
+    def _ids(self, out):
+        return sorted(r["o"] for r in out.collect())
+
+    def test_int_and_negative(self, spark):
+        df = self._df(spark)
+        assert self._ids(pj.select_rows(df, 3)) == [3]
+        assert self._ids(pj.select_rows(df, -1)) == [9]
+        assert self._ids(pj.select_rows(df, 0, -2)) == [0, 8]
+
+    def test_slices_match_iloc(self, spark):
+        import pandas as pd
+
+        df = self._df(spark)
+        pdf = pd.DataFrame({"o": range(10)})
+        for sl in [slice(2, 6), slice(None, 4), slice(5, None),
+                   slice(1, 9, 3), slice(-3, None), slice(8, 2, -2)]:
+            want = sorted(pdf.iloc[sl]["o"].tolist())
+            got = self._ids(pj.select_rows(df, sl))
+            assert got == want, sl
+
+    def test_list_and_mixed_with_predicate(self, spark):
+        df = self._df(spark)
+        assert self._ids(pj.select_rows(df, [1, -1, 4])) == [1, 4, 9]
+        # predicate ORs with positions (label-union semantics)
+        assert self._ids(pj.select_rows(df, "o >= 8", 0)) == [0, 8, 9]
+
+    def test_invert(self, spark):
+        df = self._df(spark)
+        assert self._ids(pj.select_rows(df, slice(0, 8), invert=True)) == [8, 9]
+
+    def test_predicate_only_path_unchanged(self, spark):
+        df = self._df(spark)
+        out = pj.select_rows(df, "o < 3")
+        assert "__srow" not in out.columns and self._ids(out) == [0, 1, 2]

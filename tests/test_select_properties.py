@@ -73,3 +73,4 @@ def test_slice_label_bounds(cols):
     if len(cols) >= 3:
         out = resolve_columns(cols, slice(cols[1], cols[-1]))
         assert out == cols[1:]
+
