@@ -1126,6 +1126,16 @@ def q_heavy_hitters(spark, sf):
     return pj.heavy_hitters(d, "lang", 0.05)
 
 
+def q_move_rows(spark, sf):
+    # move(axis=0): first five rows (by event_id order) land after
+    # position 99; the new order is observable via the positional index
+    from pyjanitor_spark.utils.order import positional_index
+
+    ev = _t(spark, sf, "events").select("event_id").orderBy("event_id")
+    mv = pj.move(ev, source=[0, 1, 2, 3, 4], target=99, position="after", axis=0)
+    return positional_index(mv, "new_pos").select("event_id", "new_pos")
+
+
 def q_remove_duplicated_spans(spark, sf):
     # Lee-2021 ExactSubstr CUT action: tokens under cross-doc duplicated
     # 5-gram spans removed, untouched docs byte-identical
@@ -1235,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_column_values": q_add_column_values,
         "shuffle": q_shuffle,
         "remove_duplicated_spans": q_remove_duplicated_spans,
+        "move_rows": q_move_rows,
         # ---- (d) r02-era driver rows, refreshed ----
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
@@ -1264,9 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_where": q_update_where,
         "flag_nulls": q_flag_nulls,
         "coalesce": q_coalesce,
-        "fill_empty": q_fill_empty,
         # ==== end of first-50 window ====
         # r02/r03 driver-green, unchanged code, replica-covered
+        "fill_empty": q_fill_empty,
         "impute": q_impute_mean,
         "get_dupes": q_get_dupes,
         "groupby_topk": q_groupby_topk,
@@ -2512,6 +2523,14 @@ def _pipeline_oracles() -> dict[str, str]:
         # compare sorts rows, so identity-select is a sound oracle.
         "shuffle": (
             "SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        "move_rows": (
+            "WITH t AS (SELECT event_id, row_number() OVER (ORDER BY event_id) "
+            "- 1 AS rn FROM events), "
+            "k AS (SELECT event_id, rn, CASE WHEN rn BETWEEN 0 AND 4 "
+            "THEN 99.5 ELSE rn * 1.0 END AS key FROM t) "
+            "SELECT event_id, CAST(row_number() OVER (ORDER BY key, rn) - 1 "
+            "AS BIGINT) AS new_pos FROM k"
         ),
         "add_column_values": (
             "SELECT event_id, list_extract(['a','b','c'], "

@@ -178,20 +178,83 @@ def reorder_columns(df: DataFrame, column_order: Any) -> DataFrame:
 
 
 def move(
-    df: DataFrame, source: str, target: str | None = None, position: str = "before"
+    df: DataFrame,
+    source: Any,
+    target: Any = None,
+    position: str = "before",
+    axis: int | None = None,
 ) -> DataFrame:
-    """Move a column before/after target (ref ``move.py:13-133``; the
-    axis=0 row variant is meaningless without an index — use orderBy)."""
-    cols = [c for c in df.columns if c != source]
-    if source not in df.columns:
-        raise KeyError(source)
+    """Move a column OR a block of rows before/after a target (ref
+    ``move.py:13-133``).
+
+    * ``axis=1`` (or a string ``source``): column reorder — a pure
+      projection.
+    * ``axis=0`` (or an int / list-of-int ``source``): ROW move by
+      POSITION in the frame's current order (the reference moves by
+      index label; positions are the ``_row_order``-contract analog).
+      The moved block lands immediately before/after the ``target``
+      position, preserving its internal order; the result is a
+      range-sorted frame, so downstream positional verbs
+      (``positional_index``, ``select_rows`` positions, ``row_to_names``)
+      see the new order.  Negative positions count from the end (one
+      bounded ``count()`` action).  Plan: ``positional_index`` + one
+      total sort on the adjusted key — no single-task stage.
+
+    ``axis=None`` infers: string source = column, int/list = rows.
+    """
+    if position not in ("before", "after"):
+        raise ValueError(f"position must be 'before' or 'after', got {position!r}")
+    row_move = axis == 0 or (
+        axis is None
+        and isinstance(source, (int, list, tuple))
+        and not isinstance(source, bool)
+    )
+    if not row_move:
+        if not isinstance(source, str):
+            raise TypeError("column move needs a string source (or pass axis=0)")
+        cols = [c for c in df.columns if c != source]
+        if source not in df.columns:
+            raise KeyError(source)
+        if target is None:
+            idx = 0 if position == "before" else len(cols)
+        else:
+            t = cols.index(target)
+            idx = t if position == "before" else t + 1
+        cols.insert(idx, source)
+        return df.select(*cols)
+
+    from pyjanitor_spark.utils.order import positional_index
+
+    srcs = [source] if isinstance(source, int) else sorted(set(source))
+    if not srcs or not all(isinstance(s, int) for s in srcs):
+        raise TypeError("row move needs an int or list-of-int source")
+    if target is not None and not isinstance(target, int):
+        raise TypeError("row move target must be an int position")
+    needs_n = (
+        any(s < 0 for s in srcs)
+        or (target is not None and target < 0)
+        or (target is None and position == "after")
+    )
+    n = df.count() if needs_n else None  # bounded action, documented
+
+    def fix(i: int) -> int:
+        return i + n if i < 0 else i
+
+    srcs = sorted({fix(s) for s in srcs})
     if target is None:
-        idx = 0 if position == "before" else len(cols)
+        t = 0 if position == "before" else n - 1
     else:
-        t = cols.index(target)
-        idx = t if position == "before" else t + 1
-    cols.insert(idx, source)
-    return df.select(*cols)
+        t = fix(target)
+    if t in srcs:
+        raise ValueError("target position cannot be inside the moved block")
+    d = positional_index(df, "__mvp")
+    p = F.col("__mvp")
+    tkey = float(t) - 0.5 if position == "before" else float(t) + 0.5
+    key = F.when(p.isin(srcs), F.lit(tkey)).otherwise(p.cast("double"))
+    # secondary key p keeps the moved block's internal order AND the
+    # target row's relative position vs the block (t sorts after t-0.5,
+    # before t+0.5)
+    return d.orderBy(key.asc(), p.asc()).drop("__mvp")
 
 
 def remove_columns(df: DataFrame, column_names: Any) -> DataFrame:

@@ -1286,3 +1286,45 @@ class TestSelectRowsPositional:
         df = self._df(spark)
         out = pj.select_rows(df, "o < 3")
         assert "__srow" not in out.columns and self._ids(out) == [0, 1, 2]
+
+
+class TestMoveRows:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(2, "w"), (4, "x"), (6, "y"), (8, "z")], ["a", "b"]
+        ).orderBy("a")
+
+    def _order(self, out):
+        from pyjanitor_spark.utils.order import positional_index
+
+        rows = positional_index(out, "p").collect()
+        return [r["a"] for r in sorted(rows, key=lambda r: r["p"])]
+
+    def test_reference_doctest_example(self, spark):
+        # ref move.py doctest: move row 0 before row 3 -> [1, 2, 0, 3]
+        out = pj.move(self._df(spark), source=0, target=3,
+                      position="before", axis=0)
+        assert self._order(out) == [4, 6, 2, 8]
+
+    def test_after_and_block(self, spark):
+        out = pj.move(self._df(spark), source=[0, 1], target=3,
+                      position="after", axis=0)
+        assert self._order(out) == [6, 8, 2, 4]
+
+    def test_negative_and_default_target(self, spark):
+        out = pj.move(self._df(spark), source=-1, position="before", axis=0)
+        assert self._order(out) == [8, 2, 4, 6]
+        out2 = pj.move(self._df(spark), source=0, position="after", axis=0)
+        assert self._order(out2) == [4, 6, 8, 2]
+
+    def test_axis_inferred_from_int(self, spark):
+        out = pj.move(self._df(spark), source=2, target=0, position="before")
+        assert self._order(out) == [6, 2, 4, 8]
+
+    def test_target_inside_block_raises(self, spark):
+        with pytest.raises(ValueError, match="inside the moved block"):
+            pj.move(self._df(spark), source=[1, 2], target=2, axis=0)
+
+    def test_column_move_unchanged(self, spark):
+        out = pj.move(self._df(spark), "b", target="a", position="before")
+        assert out.columns == ["b", "a"]
