@@ -4,6 +4,7 @@ from pyjanitor_spark.plans.inspect import (  # noqa: F401
     executed_plan,
     pushed_filters,
     read_schema,
+    scale_report,
     scan_columns,
     shuffle_count,
 )

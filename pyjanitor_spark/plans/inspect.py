@@ -29,6 +29,7 @@ __all__ = [
     "pushed_filters",
     "read_schema",
     "scan_columns",
+    "scale_report",
 ]
 
 
@@ -102,3 +103,27 @@ def scan_columns(df: DataFrame) -> set[str]:
             if ":" in field:
                 cols.add(field.split(":")[0].strip())
     return cols
+
+
+def scale_report(df: DataFrame) -> dict:
+    """One-call scale audit of a plan: the numbers a reviewer asks for
+    before letting a query near 100 TB.
+
+    Returns ``{shuffles, broadcast_joins, codegen_stages,
+    pushed_filters, scan_columns, cartesian}`` — ``cartesian`` flags
+    any CartesianProduct / BroadcastNestedLoopJoin node (legitimate
+    only for bounded 1-row broadcast attaches; anything else is the
+    quadratic join this library spends most of its design avoiding).
+    Driver-side plan inspection only; never executes the query.
+    """
+    plan = executed_plan(df)
+    return {
+        "shuffles": shuffle_count(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "codegen_stages": codegen_stage_count(df),
+        "pushed_filters": pushed_filters(df),
+        "scan_columns": sorted(scan_columns(df)),
+        "cartesian": bool(
+            re.search(r"CartesianProduct|BroadcastNestedLoopJoin", plan)
+        ),
+    }

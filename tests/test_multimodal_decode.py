@@ -161,3 +161,28 @@ class TestFrameSampleVectorized:
             for fno, off in enumerate(range(0, len(p), 16))
         )
         assert got == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestPngCodecProperty:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.integers(1, 4),
+        data=st.data(),
+    )
+    def test_roundtrip_random_pixels(self, w, h, ch, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                )
+            )
+        )
+        d = decode_png(encode_png(w, h, ch, px))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+        assert d["pixels"] == px

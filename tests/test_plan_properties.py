@@ -282,3 +282,23 @@ def test_registry_scale_lint(spark):
         if has_nl and name not in ONE_ROW_ATTACH:
             bad[name] = "unwhitelisted cartesian/nested-loop join"
     assert not bad, f"scale lint failures: {bad}"
+
+
+def test_scale_report(lineitem):
+    from pyjanitor_spark.plans import scale_report
+
+    out = pj.groupby_agg(
+        pj.filter_on(lineitem, "l_quantity > 30"),
+        ["l_returnflag"], "s", "l_quantity", "sum",
+    ).select("l_orderkey", "s")
+    rep = scale_report(out)
+    assert rep["shuffles"] >= 1
+    assert rep["cartesian"] is False
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+    assert "l_returnflag" in rep["scan_columns"]
+    # AQE hides codegen span ids until the final plan; just require the key
+    assert rep["codegen_stages"] >= 0
+    # a 1-row broadcast attach flags cartesian=True (documented pattern)
+    from pyjanitor_spark.functions.math import apply_math, z_score
+    rep2 = scale_report(apply_math(lineitem, "l_quantity", z_score, dest="z"))
+    assert rep2["cartesian"] is True
