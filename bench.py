@@ -55,6 +55,9 @@ HEADLINE = [
     "language_id",
     "ngram_lm_score",
     "semdedup",
+    # round-5 addition: the Lee-2021 exact-substring CUT action (shingle
+    # agg + covered-position anti join + per-doc reassembly)
+    "remove_duplicated_spans",
 ]
 
 
