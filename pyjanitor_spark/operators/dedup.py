@@ -107,6 +107,9 @@ def minhash_signature(
     subexpression elimination), so the k transforms would otherwise each
     re-run the whole shingle pipeline."""
 
+    if k < 1 or shingle_n < 1:
+        raise ValueError("k and shingle_n must be >= 1")
+
     # NB: the lambda must take exactly one parameter — PySpark passes the
     # array index to any second parameter (even a defaulted one)
     def perm(prefix: str):
@@ -134,6 +137,8 @@ def minhash_lsh_pairs(
     signature[k] → ``bands`` bands of k/bands rows; band key = concat of
     its signature elements; pairs = self-equi-join on (band_idx, key)
     then distinct.  The join shuffles only (band, key) — scalable."""
+    if k < 1 or bands < 1:
+        raise ValueError("k and bands must be >= 1")
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -200,9 +205,10 @@ def simhash(
     fingerprint bit = 1 iff Σ(2·bit−1) > 0.  One ``aggregate`` pass over
     the token array accumulates all bit votes at once.  ``bits`` ≤ 126
     (fingerprint is decimal(38,0); ≤62 narrows to bigint)."""
-    if bits > 126:
-        # 2^126 ~ 8.5e37 is the largest power of two inside decimal(38,0)
-        raise ValueError("bits must be <= 126 (decimal(38,0) fingerprint)")
+    if not 1 <= bits <= 126:
+        # 2^126 ~ 8.5e37 is the largest power of two inside decimal(38,0);
+        # bits=0 would build a DESCENDING sequence(0,-1) and vote wrong bits
+        raise ValueError("bits must be in [1, 126] (decimal(38,0) fingerprint)")
     toks = F.array_distinct(F.split(F.trim(F.col(column_name)), r"\s+"))
     digests = F.transform(toks, F.md5)
     # ONE pass over the tokens: each digest contributes a ±1 vote vector
@@ -336,6 +342,10 @@ def ngram_jaccard_pairs(
     stream is semi-filtered first — the production shape at corpus
     scale, where a stop-shingle's quadratic bucket would otherwise
     dominate (exact all-pairs Jaccard is inherently Σ bucket²)."""
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1] (Jaccard range)")
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(column_name), shingle_n)).alias("s")
     )
@@ -683,6 +693,8 @@ def minhash_band_buckets(
     so write this once per corpus increment and probe it forever: the
     incremental-dedup cost becomes O(new batch), not O(corpus
     re-tokenized per batch)."""
+    if k < 1 or bands < 1:
+        raise ValueError("k and bands must be >= 1")
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands

@@ -48,6 +48,8 @@ def cosine_topk(
     k: int = 10,
 ) -> DataFrame:
     """Brute-force cosine top-k: returns (id, cos), ties broken by id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     sim = cosine_sim(F.col(vec_col).cast("array<double>"), _qvec(query))
     return (
         df.select(F.col(id_col), sim.alias("cos"))

@@ -681,6 +681,8 @@ def top_collocations(
     these are the well-partitioned joins a vocabulary fits); final
     top-k is ``TakeOrderedAndProject`` with (w1, w2) tie-break.
     """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
     toks = df.select(F.explode(tokens(F.col(column_name))).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     bi_counts = (
@@ -830,6 +832,8 @@ def top_ngrams(
     top-k, merge of k-row heaps on the driver; no global sort at any
     scale).  Ties break on the n-gram string so results are
     deterministic."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
     grams = df.select(
         F.explode(word_shingles(F.col(column_name), n, sep, distinct=False)).alias("ngram")
     )

@@ -1328,3 +1328,41 @@ class TestMoveRows:
     def test_column_move_unchanged(self, spark):
         out = pj.move(self._df(spark), "b", target="a", position="before")
         assert out.columns == ["b", "a"]
+
+
+class TestParameterValidationSweep:
+    """Invalid parameters must raise clear ValueErrors at call time, not
+    assert confusingly or silently return empty frames."""
+
+    def test_minhash_bad_params(self, docs):
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.minhash_lsh_pairs(docs, "doc_id", "text", k=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.minhash_lsh_pairs(docs, "doc_id", "text", k=8, bands=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.minhash_signature(docs, "text", k=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.minhash_signature(docs, "text", shingle_n=0)
+
+    def test_simhash_bits_range(self, docs):
+        for bits in (0, -1, 127):
+            with pytest.raises(ValueError, match=r"\[1, 126\]"):
+                pj.simhash(docs, "text", bits=bits)
+
+    def test_jaccard_bad_params(self, docs):
+        with pytest.raises(ValueError, match="threshold"):
+            pj.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=2.0)
+        with pytest.raises(ValueError, match="threshold"):
+            pj.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.0)
+        with pytest.raises(ValueError, match="shingle_n"):
+            pj.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=0)
+
+    def test_topk_and_ngram_params(self, docs, embeddings):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            pj.cosine_topk(embeddings, [1.0] * 8, "embedding", "vec_id", k=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.top_ngrams(docs, "text", k=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.top_ngrams(docs, "text", n=0)
+        with pytest.raises(ValueError, match=">= 1"):
+            pj.top_collocations(docs, "text", k=0)
