@@ -306,6 +306,8 @@ def drop_constant_columns(df: DataFrame) -> DataFrame:
 def limit_column_characters(df: DataFrame, column_length: int, col_separator: str = "_") -> DataFrame:
     """Truncate names to N chars, de-dup with numeric suffixes (ref
     ``limit_column_characters.py:10-92``)."""
+    if column_length < 1:
+        raise ValueError("column_length must be >= 1")
     truncated = [c[:column_length] for c in df.columns]
     seen: dict[str, int] = {}
     out = []

@@ -151,6 +151,8 @@ def groupby_topk(
 ) -> DataFrame:
     """Top-k rows per group by column order (ref ``groupby_topk.py:13-125``).
     row_number over partitioned window — single shuffle, streams at scale."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     keys = resolve_columns(df, by)
     order = F.col(column).asc() if ascending else F.col(column).desc()
     w = Window.partitionBy(*keys).orderBy(order)

@@ -41,6 +41,8 @@ def deterministic_sample(
     Per-row expression, no shuffle, no RNG — rerunning on a different
     partitioning/cluster yields byte-identical output.  ``dest`` keeps
     all rows and adds a boolean flag instead of filtering."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
     keep = _hash_bucket(F.col(column_name), salt) < F.lit(int(fraction * _MOD))
     if dest is not None:
         return df.withColumn(dest, keep)
@@ -58,6 +60,9 @@ def stratified_sample(
     """Per-stratum deterministic sampling (the reproducible analog of
     ``df.sampleBy``) — e.g. downsample web text to 10% but keep 100% of
     books.  ``fractions`` maps stratum value -> keep fraction."""
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"fractions must be in [0, 1]; bad: {bad or default_fraction}")
     bucket = _hash_bucket(F.col(key_column), salt)
     thresh = F.lit(int(default_fraction * _MOD))
     for value, frac in sorted(fractions.items()):
@@ -77,6 +82,8 @@ def split_train_holdout(
     """Stable train/holdout assignment: the same document lands on the
     same side across pipeline versions (critical for decontamination —
     a holdout doc must never drift into training data on a re-run)."""
+    if not 0.0 < holdout_fraction < 1.0:
+        raise ValueError("holdout_fraction must be in (0, 1)")
     return df.withColumn(
         dest, _hash_bucket(F.col(column_name), salt) < F.lit(int(holdout_fraction * _MOD))
     )

@@ -81,6 +81,8 @@ def cardinality_sketch(
     ≈ 1.04/sqrt(2^lg_k) (~1.6% at the default lgK=12; raise lg_k for
     tighter bounds at 2^lg_k bytes per sketch).
     """
+    if not 4 <= lg_k <= 21:
+        raise ValueError("lg_k must be in [4, 21] (DataSketches HLL range)")
     sk = F.hll_sketch_agg(F.col(column_name), F.lit(lg_k)).alias("__sk")
     grouped = df.groupBy(*(by or [])).agg(sk)
     out = grouped.withColumn(dest, F.hll_sketch_estimate(F.col("__sk")))

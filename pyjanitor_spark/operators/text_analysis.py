@@ -635,6 +635,8 @@ def assign_packs(
     — range partition + broadcast offsets, no single-task stage); the
     pack id joins back by order key, so wide rows shuffle exactly once.
     """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
     from pyjanitor_spark.utils.order import partitioned_cumsum
 
     if max_tokens < 1:

@@ -114,6 +114,8 @@ def bpe_train(
     Returns a small DataFrame ``(rank int, left string, right string)``
     — write it to parquet to reuse the tokenizer across jobs.
     """
+    if n_merges < 0 or min_frequency < 1 or word_limit < 1:
+        raise ValueError("need n_merges >= 0, min_frequency >= 1, word_limit >= 1")
     col = F.lower(F.col(column_name)) if lowercase else F.col(column_name)
     wc = (
         df.select(F.explode(tokens(F.trim(col))).alias("w"))

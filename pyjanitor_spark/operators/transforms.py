@@ -359,6 +359,8 @@ def bin_numeric(
 
     Explicit bin edges compile to a chained CASE WHEN (codegen); integer
     ``bins`` computes min/max in one agg action then equal-width edges."""
+    if isinstance(bins, int) and bins < 1:
+        raise ValueError("bins must be >= 1")
     col = F.col(from_column_name)
     if isinstance(bins, int):
         row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()

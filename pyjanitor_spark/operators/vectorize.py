@@ -72,6 +72,8 @@ def hashed_tfidf(
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
     col = F.col(column_name)
     if lowercase:
         col = F.lower(col)
@@ -159,6 +161,8 @@ def bm25_score(
     text column twice (or once, if the stats frame is cached/persisted
     by the caller).
     """
+    if k1 < 0 or not 0.0 <= b <= 1.0:
+        raise ValueError("need k1 >= 0 and 0 <= b <= 1 (BM25 ranges)")
     if lowercase:
         query = query.lower()
     if mode == "whitespace":

@@ -1366,3 +1366,27 @@ class TestParameterValidationSweep:
             pj.top_ngrams(docs, "text", n=0)
         with pytest.raises(ValueError, match=">= 1"):
             pj.top_collocations(docs, "text", k=0)
+
+    def test_sampling_and_misc_params(self, spark, docs):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            pj.deterministic_sample(docs, "doc_id", 1.5)
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            pj.stratified_sample(docs, "text", "doc_id", {"a": 2.0})
+        with pytest.raises(ValueError, match=r"\(0, 1\)"):
+            pj.split_train_holdout(docs, "doc_id", holdout_fraction=2.0)
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            pj.groupby_topk(docs, "text", "doc_id", 0)
+        with pytest.raises(ValueError, match="dim"):
+            pj.hashed_tfidf(docs, "text", "doc_id", dim=0)
+        with pytest.raises(ValueError, match="BM25"):
+            pj.bm25_score(docs, "text", "a", k1=-1.0)
+        with pytest.raises(ValueError, match=r"\[4, 21\]"):
+            pj.cardinality_sketch(docs, "text", lg_k=1)
+        with pytest.raises(ValueError, match="column_length"):
+            pj.limit_column_characters(docs, 0)
+        with pytest.raises(ValueError, match="bins"):
+            pj.bin_numeric(docs, "doc_id", "b", bins=0)
+        with pytest.raises(ValueError, match="max_tokens"):
+            pj.assign_packs(pj.token_count(docs, "text"), "n_tokens", 0, "doc_id")
+        with pytest.raises(ValueError, match="n_merges"):
+            pj.bpe_train(docs, "text", n_merges=-1)
