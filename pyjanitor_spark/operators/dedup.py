@@ -650,6 +650,8 @@ def contamination_score(
     the same exploded frame, joined on id.  Nothing quadratic, no
     driver-side membership set.
     """
+    if shingle_n < 1:
+        raise ValueError("shingle_n must be >= 1")
     bcol = benchmark_column or column_name
     doc_sh = df.select(
         F.col(id_col),

@@ -51,6 +51,8 @@ def flag_jumps(
     ``scale`` ∈ absolute|percentage (diff vs pct_change), ``direction``
     ∈ increasing|decreasing|any.  Pure ``lag`` windows ordered by the
     timestamp; ``by`` partitions the window (the scale path)."""
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0 (deltas compare on magnitude)")
     if scale not in ("absolute", "percentage"):
         raise ValueError(f"bad scale {scale!r}")
     if direction not in ("increasing", "decreasing", "any"):

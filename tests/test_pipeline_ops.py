@@ -1390,3 +1390,14 @@ class TestParameterValidationSweep:
             pj.assign_packs(pj.token_count(docs, "text"), "n_tokens", 0, "doc_id")
         with pytest.raises(ValueError, match="n_merges"):
             pj.bpe_train(docs, "text", n_merges=-1)
+
+    def test_timeseries_and_contamination_params(self, spark, docs):
+        import datetime as dt
+
+        ts = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], ["ts", "v"]
+        )
+        with pytest.raises(ValueError, match="threshold"):
+            pj.flag_jumps(ts, "ts", ["v"], scale="absolute", threshold=-0.5)
+        with pytest.raises(ValueError, match="shingle_n"):
+            pj.contamination_score(docs, docs, "doc_id", "text", shingle_n=0)
