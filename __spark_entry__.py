@@ -1126,6 +1126,20 @@ def q_heavy_hitters(spark, sf):
     return pj.heavy_hitters(d, "lang", 0.05)
 
 
+def q_mix_corpora(spark, sf):
+    # mixture rebalancing: feasible-total math + per-source hash sampling
+    d = _t(spark, sf, "documents")
+    return pj.mix_corpora(
+        d, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
+def q_take_token_budget(spark, sf):
+    # budget-capped prefix: running token total via partitioned_cumsum
+    d = _docs(spark, sf)
+    return pj.take_token_budget(d, "text", 5000, "doc_id").select("doc_id")
+
+
 def q_move_rows(spark, sf):
     # move(axis=0): first five rows (by event_id order) land after
     # position 99; the new order is observable via the positional index
@@ -1246,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle": q_shuffle,
         "remove_duplicated_spans": q_remove_duplicated_spans,
         "move_rows": q_move_rows,
+        "mix_corpora": q_mix_corpora,
+        "take_token_budget": q_take_token_budget,
         # ---- (d) r02-era driver rows, refreshed ----
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
@@ -1273,10 +1289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_column_isin": q_filter_isin,
         "case_when": q_case_when,
         "update_where": q_update_where,
-        "flag_nulls": q_flag_nulls,
-        "coalesce": q_coalesce,
         # ==== end of first-50 window ====
         # r02/r03 driver-green, unchanged code, replica-covered
+        "flag_nulls": q_flag_nulls,
+        "coalesce": q_coalesce,
         "fill_empty": q_fill_empty,
         "impute": q_impute_mean,
         "get_dupes": q_get_dupes,
@@ -2523,6 +2539,30 @@ def _pipeline_oracles() -> dict[str, str]:
         # compare sorts rows, so identity-select is a sound oracle.
         "shuffle": (
             "SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        # mixture math mirrored exactly: feasible total N = min(n_s/p_s),
+        # per-source threshold floor(min(1, p*N/n) * 1e6), same md5 bucket
+        "mix_corpora": (
+            "WITH avail AS (SELECT source, CAST(count(*) AS DOUBLE) AS n "
+            "FROM documents WHERE source IN ('src0','src1','src2') "
+            "GROUP BY source), "
+            "p AS (SELECT source, n, CASE source WHEN 'src0' THEN 0.5 "
+            "WHEN 'src1' THEN 0.3 ELSE 0.2 END AS prop FROM avail), "
+            "nt AS (SELECT min(n / prop) AS v FROM p), "
+            "fr AS (SELECT source, CAST(floor(least(1.0, (prop * nt.v) / n) "
+            "* 1000000) AS BIGINT) AS thr FROM p, nt), "
+            "t AS (SELECT doc_id, source, "
+            "md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) "
+            "SELECT t.doc_id, t.source FROM t JOIN fr USING (source) "
+            # NB: the `bucket` local is rebound to the LSH-plane macro
+            # further up; inline the md5-bucket macro explicitly here
+            f"WHERE {_hex8_int('t.h')} % 1000000 < fr.thr"
+        ),
+        "take_token_budget": (
+            "WITH t AS (SELECT doc_id, "
+            "len(string_split_regex(trim(text), '\\s+')) AS n FROM documents), "
+            "c AS (SELECT doc_id, sum(n) OVER (ORDER BY doc_id) AS cum FROM t) "
+            "SELECT doc_id FROM c WHERE cum <= 5000"
         ),
         "move_rows": (
             "WITH t AS (SELECT event_id, row_number() OVER (ORDER BY event_id) "

@@ -71,8 +71,10 @@ from pyjanitor_spark.operators.similarity import (
 )
 from pyjanitor_spark.operators.sampling import (
     deterministic_sample,
+    mix_corpora,
     split_train_holdout,
     stratified_sample,
+    take_token_budget,
 )
 from pyjanitor_spark.operators.text_analysis import (
     assign_packs,

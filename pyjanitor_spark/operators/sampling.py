@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_sample", "stratified_sample", "split_train_holdout"]
+__all__ = [
+    "deterministic_sample",
+    "stratified_sample",
+    "split_train_holdout",
+    "mix_corpora",
+    "take_token_budget",
+]
 
 _MOD = 1_000_000
 
@@ -87,3 +93,95 @@ def split_train_holdout(
     return df.withColumn(
         dest, _hash_bucket(F.col(column_name), salt) < F.lit(int(holdout_fraction * _MOD))
     )
+
+
+def mix_corpora(
+    df: DataFrame,
+    source_column: str,
+    key_column: str,
+    proportions: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a multi-source corpus to target mixture PROPORTIONS —
+    the training-data mixing step ("20% code, 30% books, 50% web"):
+    downsample each source deterministically so the OUTPUT proportions
+    match ``proportions``, keeping as much total data as feasible.
+
+    The binding source is the one whose available rows run out first at
+    the target mix: feasible total ``N = min_s(n_s / p_s)``; each source
+    then keeps ``f_s = p_s * N / n_s`` of its rows via the same
+    md5-bucket rule as :func:`deterministic_sample` (layout-stable,
+    engine-reproducible).  Sources absent from ``proportions`` are
+    DROPPED.  One bounded per-source count aggregate (len(proportions)
+    rows) plus a single filter pass — no shuffle of the data itself.
+
+    Proportions must be positive and sum to ~1 (tolerance 1e-6).
+    Expected realized mix error is the sampler's binomial noise,
+    O(1/sqrt(n_s * f_s)) per source.
+    """
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    if any(p <= 0 for p in proportions.values()):
+        raise ValueError("proportions must be positive (drop a source by omitting it)")
+    total = sum(proportions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"proportions must sum to 1, got {total}")
+    counts = {
+        r[source_column]: r["__n"]
+        for r in df.filter(
+            F.col(source_column).isin(list(proportions))
+        )
+        .groupBy(source_column)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()  # bounded: one row per source in `proportions`
+    }
+    missing = sorted(set(proportions) - set(counts))
+    if missing:
+        raise ValueError(f"sources not present in data: {missing}")
+    n_target = min(counts[s] / p for s, p in proportions.items())
+    fractions = {
+        s: min(1.0, (p * n_target) / counts[s]) for s, p in proportions.items()
+    }
+    return stratified_sample(
+        df, source_column, key_column, fractions, default_fraction=0.0, salt=salt
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    column_name: str,
+    budget: int,
+    order_by: str,
+    mode: str = "whitespace",
+    dest: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep rows, in ``order_by`` order, while the RUNNING token total
+    stays within ``budget`` — "give me the first 10B tokens of this
+    corpus" (epoch sizing, curriculum prefixes, budget-capped exports).
+
+    A row is kept iff the cumulative token count up to and including it
+    is <= ``budget``, so the kept set never exceeds the budget (the
+    boundary row that would cross it is dropped).  Running total rides
+    :func:`~pyjanitor_spark.utils.order.partitioned_cumsum` — range
+    repartition + per-partition partials + broadcast offsets, no
+    single-task stage.  ``dest`` keeps every row and adds the
+    cumulative-token column instead of filtering.
+    """
+    from pyjanitor_spark.operators.text_analysis import tokens
+    from pyjanitor_spark.utils.order import partitioned_cumsum
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if order_by not in df.columns:
+        raise KeyError(f"order column {order_by!r} not in DataFrame")
+    cum_col = dest or "__cum_tokens"
+    with_n = df.withColumn(
+        "__n_tok", F.size(tokens(F.col(column_name), mode))
+    )
+    cum = partitioned_cumsum(
+        with_n, "__n_tok", order_by, cum_col, num_partitions=num_partitions
+    ).drop("__n_tok")
+    if dest is not None:
+        return cum
+    return cum.filter(F.col(cum_col) <= F.lit(int(budget))).drop(cum_col)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import pyjanitor_spark as pj
@@ -344,3 +345,80 @@ class TestUrlNormalizeExactTrackingNames:
     def test_bare_tracking_name_no_value_stripped(self, spark):
         df = spark.createDataFrame([(1, "https://ex.com/p?gclid&x=1")], ["id", "url"])
         assert pj.url_normalize(df, "url").first()["url"] == "https://ex.com/p?x=1"
+
+
+class TestMixCorpora:
+    def _df(self, spark):
+        rows = []
+        for i in range(300):
+            rows.append((i, ["web", "books", "code"][i % 3]))
+        return spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def test_proportions_realized(self, spark):
+        df = self._df(spark)  # 100 rows per source
+        out = pj.mix_corpora(
+            df, "source", "doc_id", {"web": 0.6, "books": 0.4}
+        )
+        got = {r["source"]: 0 for r in out.collect()}
+        for r in out.collect():
+            got[r["source"]] += 1
+        # binding source is web (100/0.6=166 < 100/0.4=250): web keeps
+        # 100%, books keeps 0.4*166.66/100 = 2/3
+        assert got["web"] == 100
+        assert 50 <= got["books"] <= 80  # ~67 expected, binomial noise
+        assert "code" not in got  # omitted sources dropped
+
+    def test_layout_deterministic(self, spark):
+        df = self._df(spark)
+        a = {r["doc_id"] for r in pj.mix_corpora(
+            df.repartition(1), "source", "doc_id", {"web": 0.5, "books": 0.5}).collect()}
+        b = {r["doc_id"] for r in pj.mix_corpora(
+            df.repartition(7), "source", "doc_id", {"web": 0.5, "books": 0.5}).collect()}
+        assert a == b
+
+    def test_bad_proportions(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="sum to 1"):
+            pj.mix_corpora(df, "source", "doc_id", {"web": 0.5, "books": 0.4})
+        with pytest.raises(ValueError, match="positive"):
+            pj.mix_corpora(df, "source", "doc_id", {"web": 1.2, "books": -0.2})
+        with pytest.raises(ValueError, match="non-empty"):
+            pj.mix_corpora(df, "source", "doc_id", {})
+        with pytest.raises(ValueError, match="not present"):
+            pj.mix_corpora(df, "source", "doc_id", {"web": 0.5, "nope": 0.5})
+
+
+class TestTakeTokenBudget:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, " ".join(["tok"] * (10 * (i + 1)))) for i in range(5)],
+            ["doc_id", "text"],
+        )  # token counts 10,20,30,40,50; cumsums 10,30,60,100,150
+
+    def test_budget_boundary(self, spark):
+        df = self._df(spark)
+        kept = {r["doc_id"] for r in pj.take_token_budget(df, "text", 60, "doc_id").collect()}
+        assert kept == {0, 1, 2}  # cum 10,30,60 <= 60; 100 crosses
+        kept59 = {r["doc_id"] for r in pj.take_token_budget(df, "text", 59, "doc_id").collect()}
+        assert kept59 == {0, 1}
+        assert pj.take_token_budget(df, "text", 0, "doc_id").count() == 0
+
+    def test_dest_keeps_all_rows(self, spark):
+        df = self._df(spark)
+        out = {r["doc_id"]: r["cum"] for r in pj.take_token_budget(
+            df, "text", 60, "doc_id", dest="cum").collect()}
+        assert out == {0: 10, 1: 30, 2: 60, 3: 100, 4: 150}
+
+    def test_layout_deterministic(self, spark, documents):
+        a = sorted(r["doc_id"] for r in pj.take_token_budget(
+            documents.repartition(1), "text", 5000, "doc_id").collect())
+        b = sorted(r["doc_id"] for r in pj.take_token_budget(
+            documents.repartition(7), "text", 5000, "doc_id").collect())
+        assert a == b and 0 < len(a) < documents.count()
+
+    def test_bad_params(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="budget"):
+            pj.take_token_budget(df, "text", -1, "doc_id")
+        with pytest.raises(KeyError, match="nope"):
+            pj.take_token_budget(df, "text", 10, "nope")
