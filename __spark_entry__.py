@@ -784,10 +784,16 @@ def q_shuffle(spark, sf):
 
 
 def q_jitter(spark, sf):
-    # gaussian noise: rows-only check (randn stream is engine-specific)
-    li = _t(spark, sf, "lineitem")
-    out = pj.jitter(li, "l_quantity", "qty_j", scale=1.0, clip=(0.0, 60.0), random_state=7)
-    return out.select(*KEYS, "qty_j")
+    # keyed deterministic gaussian (Box-Muller over md5 uniforms):
+    # engine-reproducible, so the oracle recomputes identical noise.
+    # (The default randn path remains inherently stream-specific and is
+    # covered by distribution units instead.)
+    ev = _t(spark, sf, "events")
+    out = pj.jitter(
+        ev, "value", "v_j", scale=1.0, clip=(0.0, 100.0),
+        random_state=7, key_column="event_id",
+    )
+    return out.select("event_id", "v_j")
 
 
 def q_sort_column_value_order(spark, sf):
@@ -1258,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_indicator": q_conditional_join_indicator,
         "add_column_values": q_add_column_values,
         "shuffle": q_shuffle,
+        "jitter": q_jitter,
         "remove_duplicated_spans": q_remove_duplicated_spans,
         "move_rows": q_move_rows,
         "mix_corpora": q_mix_corpora,
@@ -1288,9 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_on": q_filter_on,
         "filter_column_isin": q_filter_isin,
         "case_when": q_case_when,
-        "update_where": q_update_where,
         # ==== end of first-50 window ====
         # r02/r03 driver-green, unchanged code, replica-covered
+        "update_where": q_update_where,
         "flag_nulls": q_flag_nulls,
         "coalesce": q_coalesce,
         "fill_empty": q_fill_empty,
@@ -1377,7 +1384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logit": q_logit,
         "add_columns": q_add_columns,
         "move_reorder": q_move_reorder,
-        "jitter": q_jitter,
     }
 
 
@@ -2539,6 +2545,24 @@ def _pipeline_oracles() -> dict[str, str]:
         # compare sorts rows, so identity-select is a sound oracle.
         "shuffle": (
             "SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        # keyed jitter: Box-Muller over two 8-hex windows of one md5,
+        # identical float op order to the Spark expression
+        "jitter": (
+            "WITH t AS (SELECT event_id, value, "
+            "md5('jit:7:' || CAST(event_id AS VARCHAR)) AS h FROM events) "
+            "SELECT event_id, greatest(0.0, least(100.0, value + "
+            f"(sqrt(-2.0 * ln(({_hex8_int('h')} + 0.5) / 4294967296)) * "
+            "cos(6.283185307179586 * "
+            "((strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 268435456 + "
+            "(strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 16777216 + "
+            "(strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 1048576 + "
+            "(strpos('0123456789abcdef', substr(h, 12, 1)) - 1) * 65536 + "
+            "(strpos('0123456789abcdef', substr(h, 13, 1)) - 1) * 4096 + "
+            "(strpos('0123456789abcdef', substr(h, 14, 1)) - 1) * 256 + "
+            "(strpos('0123456789abcdef', substr(h, 15, 1)) - 1) * 16 + "
+            "(strpos('0123456789abcdef', substr(h, 16, 1)) - 1)) "
+            "/ 4294967296)) * 1.0)) AS v_j FROM t"
         ),
         # mixture math mirrored exactly: feasible total N = min(n_s/p_s),
         # per-source threshold floor(min(1, p*N/n) * 1e6), same md5 bucket

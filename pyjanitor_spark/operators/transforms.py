@@ -467,9 +467,35 @@ def jitter(
     scale: float,
     clip: tuple[float, float] | None = None,
     random_state: int | None = None,
+    key_column: str | None = None,
 ) -> DataFrame:
-    """Add gaussian noise, optional clip (ref ``jitter.py:13-110``)."""
-    noise = F.randn(random_state) if random_state is not None else F.randn()
+    """Add gaussian noise, optional clip (ref ``jitter.py:13-110``).
+
+    Two noise sources:
+
+    * default — Spark ``randn`` (seedable but stream-order-dependent:
+      a repartition changes which row gets which draw);
+    * ``key_column=`` — DETERMINISTIC per-row Gaussian via Box-Muller
+      over two md5-derived uniforms of the salted key (salt =
+      ``random_state``).  The same row gets the same noise on any
+      cluster layout, in any engine — the reproducible form a 100 TB
+      re-run wants, and the one the correctness oracle can recompute
+      (same pattern as ``deterministic_sample``).
+    """
+    if key_column is not None:
+        # u1, u2 from two disjoint 8-hex windows of one md5; +0.5 keeps
+        # u1 strictly inside (0, 1) so ln(u1) is finite
+        salt = "" if random_state is None else str(random_state)
+        h = F.md5(
+            F.concat(F.lit(f"jit:{salt}:"), F.col(key_column).cast("string"))
+        )
+        mod = F.lit(16 ** 8)
+        u1 = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 0.5) / mod
+        u2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("double") / mod
+        two_pi = 2.0 * 3.141592653589793
+        noise = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(two_pi) * u2)
+    else:
+        noise = F.randn(random_state) if random_state is not None else F.randn()
     col = F.col(column_name) + noise * F.lit(float(scale))
     if clip is not None:
         col = F.greatest(F.lit(float(clip[0])), F.least(F.lit(float(clip[1])), col))

@@ -206,3 +206,41 @@ class TestHashColumnsTruncateValidation:
         df = spark.createDataFrame([(1, "a")], ["id", "name"])
         with pytest.raises(ValueError, match="xxhash64"):
             pj.hash_columns(df, "name", algo="xxhash64", truncate=8)
+
+
+class TestJitterKeyed:
+    def test_distribution_and_determinism(self, spark):
+        import math
+
+        df = spark.range(20000).select(
+            F.col("id").alias("k"), F.lit(10.0).alias("v")
+        )
+        out = pj.jitter(df, "v", "vj", scale=2.0, random_state=3, key_column="k")
+        vals = [r["vj"] - 10.0 for r in out.collect()]
+        n = len(vals)
+        mean = sum(vals) / n
+        std = math.sqrt(sum((x - mean) ** 2 for x in vals) / n)
+        assert abs(mean) < 0.05          # ~3 sigma of 2/sqrt(20000)
+        assert abs(std - 2.0) < 0.05
+        # layout-stable: same row -> same noise on any partitioning
+        a = {r["k"]: r["vj"] for r in out.collect()}
+        b = {r["k"]: r["vj"] for r in pj.jitter(
+            df.repartition(7), "v", "vj", scale=2.0,
+            random_state=3, key_column="k").collect()}
+        assert a == b
+
+    def test_clip_and_salt(self, spark):
+        df = spark.range(100).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+        clipped = pj.jitter(df, "v", "vj", scale=5.0, clip=(-1.0, 1.0),
+                            random_state=1, key_column="k")
+        assert all(-1.0 <= r["vj"] <= 1.0 for r in clipped.collect())
+        a = {r["k"]: r["vj"] for r in pj.jitter(
+            df, "v", "vj", scale=1.0, random_state=1, key_column="k").collect()}
+        c = {r["k"]: r["vj"] for r in pj.jitter(
+            df, "v", "vj", scale=1.0, random_state=2, key_column="k").collect()}
+        assert a != c  # salt changes the noise stream
+
+    def test_default_randn_path_unchanged(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("k"), F.lit(0.0).alias("v"))
+        out = pj.jitter(df, "v", "vj", scale=1.0, random_state=5)
+        assert out.count() == 1000
