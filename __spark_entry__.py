@@ -931,6 +931,26 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_windowed_agg(spark, sf):
+    # the streaming module's core agg on a BATCH frame (window() is a
+    # plain expression there); oracle = DuckDB time_bucket
+    _utc(spark)
+    from pyjanitor_spark.streaming.verbs import windowed_agg
+
+    e = _t(spark, sf, "events")
+    out = windowed_agg(
+        e, "ts", "1 hour",
+        aggs={"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+        by=["event_type"],
+    )
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_running_counter(spark, sf):
     # batch fallback of the applyInPandasWithState streaming counter
     _utc(spark)
@@ -1265,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_column_values": q_add_column_values,
         "shuffle": q_shuffle,
         "jitter": q_jitter,
+        "windowed_agg": q_windowed_agg,
         "remove_duplicated_spans": q_remove_duplicated_spans,
         "move_rows": q_move_rows,
         "mix_corpora": q_mix_corpora,
@@ -1294,8 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_string": q_filter_string,
         "filter_on": q_filter_on,
         "filter_column_isin": q_filter_isin,
-        "case_when": q_case_when,
         # ==== end of first-50 window ====
+        "case_when": q_case_when,
         # r02/r03 driver-green, unchanged code, replica-covered
         "update_where": q_update_where,
         "flag_nulls": q_flag_nulls,
@@ -1765,6 +1786,13 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM t) "
             "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
             "count(event_id) AS n_events FROM s GROUP BY user_id, sid"
+        ),
+        "windowed_agg": (
+            "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), "
+            "'%Y-%m-%d %H:%M:%S') AS win_start, event_type, "
+            "CAST(count(event_id) AS BIGINT) AS n_events, "
+            "sum(value) AS sum_value "
+            "FROM events GROUP BY 1, 2"
         ),
         "running_counter": (
             "SELECT user_id, count(*) AS n_events, "

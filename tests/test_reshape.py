@@ -336,3 +336,35 @@ def test_case_when_callable_conditions(spark):
     )
     got = {r["x"]: r["band"] for r in out.collect()}
     assert got == {1: "low", 5: "mid-5", 10: "high"}
+
+
+class TestPivotRoundtrip:
+    """pivot_wider(pivot_longer(df)) must reconstruct the original frame
+    when index keys are unique — the tidyr invariant."""
+
+    def test_longer_then_wider_reconstructs(self, spark):
+        import random
+
+        rng = random.Random(21)
+        rows = [
+            (i, round(rng.uniform(0, 9), 3), round(rng.uniform(0, 9), 3),
+             round(rng.uniform(0, 9), 3))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id int, m1 double, m2 double, m3 double")
+        long = pj.pivot_longer(df, index=["id"], names_to="m", values_to="v")
+        assert long.count() == 150
+        wide = pj.pivot_wider(long, index=["id"], names_from="m", values_from="v")
+        got = sorted(tuple(r) for r in wide.select("id", "m1", "m2", "m3").collect())
+        want = sorted(rows)
+        assert got == want
+
+    def test_wider_then_longer_reconstructs(self, spark):
+        rows = [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0), (2, "b", 4.0)]
+        df = spark.createDataFrame(rows, "id int, k string, v double")
+        wide = pj.pivot_wider(df, index=["id"], names_from="k", values_from="v")
+        long = pj.pivot_longer(
+            wide, index=["id"], names_to="k", values_to="v"
+        )
+        got = sorted(tuple(r) for r in long.collect())
+        assert got == sorted(rows)
