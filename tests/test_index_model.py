@@ -170,3 +170,78 @@ def test_partitioned_cumsum_pin_skipped_for_deterministic_plan(spark, tmp_path):
         acc += i % 3
         want[i] = acc
     assert got == want
+
+
+class TestQuantilesProperty:
+    @staticmethod
+    def _reference(values, qs):
+        # the documented contract: q-cut = smallest v with cnt_le(v)/n >= q
+        vals = sorted(v for v in values if v is not None)
+        n = len(vals)
+        out = []
+        for q in qs:
+            pick = None
+            seen = 0
+            i = 0
+            while i < n:
+                v = vals[i]
+                while i < n and vals[i] == v:
+                    i += 1
+                seen = i
+                if seen / n >= q:
+                    pick = v
+                    break
+            out.append(pick)
+        return out
+
+    def test_random_data_matches_contract(self, spark):
+        import random
+
+        rng = random.Random(31)
+        from pyjanitor_spark.operators.transforms import quantiles
+
+        for trial in range(3):
+            # duplicates on purpose: tie-safety is the point of the contract
+            values = [float(rng.randint(0, 30)) for _ in range(400)]
+            values += [None] * 20
+            df = spark.createDataFrame([(v,) for v in values], "v double")
+            qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+            row = quantiles(df, "v", qs).first()
+            got = [row[f"q_{i}"] for i in range(len(qs))]
+            assert got == self._reference(values, qs), trial
+
+
+def test_clean_name_idempotent_and_charset():
+    """clean_name is a fixed point under re-application (defaults AND
+    remove_special), never emits whitespace or uppercase ASCII, and the
+    remove_special form of an ASCII name stays in [a-z0-9_] — the
+    properties the whole name pipeline rests on."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyjanitor_spark.utils.strings import clean_name
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=1, max_size=40))
+    def prop(name):
+        once = clean_name(name)
+        assert clean_name(once) == once
+        # assert exactly the normalized separator set (space/tab/CR/LF,
+        # dash, dot) plus no uppercase; rarer controls (\f \v \x1c-\x1f)
+        # survive the reference pipeline too, so they aren't asserted
+        assert not re.search(r"[ \t\n\r.\-A-Z]", once), (name, once)
+        special = clean_name(name, remove_special=True)
+        assert clean_name(special, remove_special=True) == special
+
+    prop()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                   min_size=1, max_size=40))
+    def ascii_prop(name):
+        special = clean_name(name, remove_special=True)
+        assert re.fullmatch(r"[a-z0-9_]*", special), (name, special)
+
+    ascii_prop()
