@@ -640,17 +640,18 @@ def q_binary_metadata(spark, sf):
 
 def q_decode_features(spark, sf):
     # mapInPandas decode: PNG/WAV decode for real (stdlib codec /
-    # wave); these text payloads take the tagged kind='raw' fallback.
-    # Byte-level extraction isn't expressible in DuckDB SQL over UTF-8
-    # text -> rows-only here; value checks live in
-    # tests/test_multimodal_decode.py (generated PNG/WAV fixtures).
+    # wave); these text payloads take the tagged kind='raw' fallback,
+    # which the oracle mirrors byte-for-byte through
+    # hex(encode(text)) stripe means.  The PNG/WAV decode paths are
+    # value-checked in tests/test_multimodal_decode.py (generated
+    # fixtures) — binary media can't ride the parquet text column.
     d = _t(spark, sf, "documents")
     return pj.decode_features(pj.attach_binary(d, "text"))
 
 
 def q_frame_sample(spark, sf):
-    # vectorized mapInPandas frame demux -> rows-only (see above);
-    # value-equivalence to the serial reference is unit-tested
+    # vectorized mapInPandas frame demux; oracle samples the same bytes
+    # via hex(encode(text)) strided extraction
     d = _t(spark, sf, "documents")
     return pj.frame_sample(pj.attach_binary(d, "text"), every=64)
 
@@ -2111,6 +2112,29 @@ def _lsh_plane_sql(plane: int) -> str:
     )
 
 
+def _byte_at(pos: str) -> str:
+    """DuckDB: integer value of 1-BASED byte ``pos`` of a blob exposed
+    as its UPPERCASE hex string ``hx`` (hex pair at 2*pos-1, 2*pos)."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr(hx, 2 * ({pos}) - 1, 1)) - 1) * 16 + "
+        f"(strpos('0123456789ABCDEF', substr(hx, 2 * ({pos}), 1)) - 1))"
+    )
+
+
+def _stripe_mean(i: int) -> str:
+    """DuckDB: mean byte value of fake-decode stripe ``i`` (0-based) —
+    bytes [i*st, min((i+1)*st, n)) 1-based as generate_series, empty
+    stripes contribute 0 (same max(len,1) denominator as the Spark
+    side)."""
+    lo = f"{i} * st + 1"
+    hi = f"least(({i} + 1) * st, n)"
+    return (
+        f"(COALESCE(list_sum(list_transform(generate_series({lo}, {hi}), "
+        f"k -> {_byte_at('k')})), 0) * 1.0 / "
+        f"greatest({hi} - ({i} * st), 1))"
+    )
+
+
 def _hex8_int(h: str) -> str:
     """DuckDB: integer value of the first 8 hex nibbles of expression
     ``h`` (Spark equivalent: ``conv(substring(h,1,8),16,10)``)."""
@@ -2573,6 +2597,29 @@ def _pipeline_oracles() -> dict[str, str]:
         # compare sorts rows, so identity-select is a sound oracle.
         "shuffle": (
             "SELECT o_orderkey, o_totalprice FROM orders"
+        ),
+        # multimodal raw path over UTF-8 text payloads: DuckDB reads the
+        # same bytes through hex(encode(text)); stripe means / strided
+        # byte sampling mirror _fake_decode / frame_sample exactly
+        "decode_features": (
+            "WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, "
+            "octet_length(encode(text)) AS n FROM documents), "
+            "p AS (SELECT doc_id, hx, n, greatest(n // 4, 1) AS st FROM t) "
+            "SELECT doc_id, CAST(n AS INT) AS n_bytes, 'raw' AS kind, "
+            "CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height, "
+            "CAST(NULL AS INT) AS channels, "
+            f"CASE WHEN n = 0 THEN 0.0 ELSE ({_stripe_mean(0)} + "
+            f"{_stripe_mean(1)} + {_stripe_mean(2)} + {_stripe_mean(3)}) / 4 "
+            "END AS feat_mean, "
+            "CAST(4 AS INT) AS feat_dim FROM p"
+        ),
+        "frame_sample": (
+            "WITH t AS (SELECT doc_id, hex(encode(text)) AS hx, "
+            "octet_length(encode(text)) AS n FROM documents) "
+            "SELECT doc_id, CAST(j AS INT) AS frame_no, "
+            f"CAST({_byte_at('64 * j + 1')} AS INT) AS value "
+            "FROM t, unnest(generate_series(0, CAST(floor((n - 1) / 64.0) "
+            "AS BIGINT))) u(j) WHERE n > 0"
         ),
         # keyed jitter: Box-Muller over two 8-hex windows of one md5,
         # identical float op order to the Spark expression
