@@ -42,8 +42,13 @@ _AGGS = {
 # rejected inside windows, so nunique becomes size(collect_set) — which
 # also ignores nulls, matching pandas nunique.  (.over must attach to the
 # aggregate itself, size() wraps outside the window.)
+# approx_nunique: HyperLogLog++ (~2% default rse) — collect_set holds
+# every distinct value in the window state, which a high-cardinality
+# group blows up at corpus scale; the sketch is fixed-size.  Use it
+# whenever the distinct count per group can exceed ~1e5.
 _WINDOWED_AGGS = {
     "nunique": lambda c, w: F.size(F.collect_set(c).over(w)),
+    "approx_nunique": lambda c, w: F.approx_count_distinct(c).over(w),
 }
 
 

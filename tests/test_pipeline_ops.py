@@ -1401,3 +1401,23 @@ class TestParameterValidationSweep:
             pj.flag_jumps(ts, "ts", ["v"], scale="absolute", threshold=-0.5)
         with pytest.raises(ValueError, match="shingle_n"):
             pj.contamination_score(docs, docs, "doc_id", "text", shingle_n=0)
+
+
+def test_groupby_agg_approx_nunique(spark):
+    """approx_nunique: fixed-size HLL state instead of collect_set —
+    exact on tiny cardinalities, within documented rse on larger ones."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i % 4, f"v{rng.randint(0, 4999)}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    out = pj.groupby_agg(df, "k", "n_approx", "v", "approx_nunique")
+    exact = {r["k"]: r["n"] for r in pj.groupby_agg(
+        df, "k", "n", "v", "nunique").select("k", "n").distinct().collect()}
+    approx = {r["k"]: r["n_approx"] for r in out.select("k", "n_approx").distinct().collect()}
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= 0.1 * exact[k], (k, approx[k], exact[k])
+    # tiny cardinality is exact
+    small = spark.createDataFrame([(1, "a"), (1, "b"), (1, "a")], "k int, v string")
+    got = pj.groupby_agg(small, "k", "n", "v", "approx_nunique").first()["n"]
+    assert got == 2
