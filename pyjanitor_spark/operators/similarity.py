@@ -211,13 +211,21 @@ def semdedup(
         "__n",
         F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    a = base.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("id_1"),
+        F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
+    )
     if max_cluster_size is not None and check == "inline":
         # zero-extra-job guard: the window count hash-shuffles on the
         # cluster key — the very partitioning the pair join needs, so
         # the exchange is shared.  assert_true aborts the job at
         # execution when any cluster exceeds the cap; the filter keeps
         # the guard expression from being pruned (assert_true returns
-        # NULL, so isNull() keeps every row).
+        # NULL, so isNull() keeps every row).  Guarding ONE pair-join
+        # side is sufficient (the join always evaluates `a`) and keeps
+        # the window compute out of the b/centroid branches.
         w_sz = Window.partitionBy(cluster_col)
         guard = F.assert_true(
             F.count(F.lit(1)).over(w_sz) <= F.lit(int(max_cluster_size)),
@@ -232,15 +240,9 @@ def semdedup(
                 ),
             ),
         )
-        base = base.withColumn("__guard", guard).filter(
+        a = a.withColumn("__guard", guard).filter(
             F.col("__guard").isNull()
         ).drop("__guard")
-    a = base.select(
-        F.col(cluster_col),
-        F.col(id_col).alias("id_1"),
-        F.col("__v").alias("__v1"),
-        F.col("__n").alias("__n1"),
-    )
     b = base.select(
         F.col(cluster_col),
         F.col(id_col).alias("id_2"),
