@@ -1421,3 +1421,47 @@ def test_groupby_agg_approx_nunique(spark):
     small = spark.createDataFrame([(1, "a"), (1, "b"), (1, "a")], "k int, v string")
     got = pj.groupby_agg(small, "k", "n", "v", "approx_nunique").first()["n"]
     assert got == 2
+
+
+class TestEmptyInputSweep:
+    """Every core verb must handle an empty frame gracefully — empty
+    output (or its documented 1-row aggregate), never a crash."""
+
+    def test_empty_frames(self, spark):
+        from pyjanitor_spark.functions.math import apply_math, ecdf
+
+        docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+        nums = spark.createDataFrame([], "id long, v double, k string")
+        emb = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, label int"
+        )
+        empty_out = [
+            pj.dedupe_exact(docs, "text", "doc_id"),
+            pj.minhash_lsh_pairs(docs, "doc_id", "text"),
+            pj.simhash(docs, "text"),
+            pj.ngram_jaccard_pairs(docs, "doc_id", "text"),
+            pj.dup_span_fraction(docs, "doc_id", "text"),
+            pj.remove_duplicated_spans(docs, "doc_id", "text"),
+            pj.language_id(docs, "text"),
+            pj.top_ngrams(docs, "text"),
+            pj.bpe_train(docs, "text"),
+            pj.hashed_tfidf(docs, "text", "doc_id"),
+            pj.bm25_score(docs, "text", "q"),
+            pj.winsorize(nums, "v"),
+            pj.quantile_bin(nums, "v", "b", 3),
+            apply_math(nums, "v", ecdf, dest="e"),
+            pj.count_cumulative_unique(nums, "k", "c", order_by="id"),
+            pj.factorize_columns(nums, "k", order_by="id"),
+            pj.groupby_agg(nums, "k", "m", "v", "mean"),
+            pj.heavy_hitters(nums, "k", 0.1),
+            pj.semdedup(emb, "embedding", "vec_id", "label"),
+            pj.cosine_topk(emb, [1.0], "embedding", "vec_id"),
+            pj.take_token_budget(docs, "text", 100, "doc_id"),
+            pj.select_rows(nums, slice(0, 5)),
+            pj.move(nums, source=0, target=1, axis=0),
+        ]
+        for out in empty_out:
+            assert out.count() == 0
+        # documented 1-row aggregates on empty input
+        assert pj.quantiles(nums, "v", [0.5]).count() == 1
+        assert pj.cardinality_sketch(nums, "k").first()["distinct_est"] == 0
