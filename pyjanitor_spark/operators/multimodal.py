@@ -196,13 +196,26 @@ def decode_features(
     byte-stripe features with ``kind='raw'``."""
     import pandas as pd
 
+    _null_rec = {
+        "kind": None, "width": None, "height": None,
+        "channels": None, "feat_mean": None, "feat_dim": None,
+    }
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            recs = [_decode_payload(bytes(b), dim) for b in pdf[payload_col]]
+            # NULL payload -> all-NULL feature row (never a crash)
+            recs = [
+                _decode_payload(bytes(b), dim) if b is not None else _null_rec
+                for b in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None
+                         for b in pdf[payload_col]],
+                        dtype="Int32",
+                    ),
                     "kind": [r["kind"] for r in recs],
                     "width": pd.array(
                         [r["width"] for r in recs], dtype="Int32"
@@ -249,6 +262,10 @@ def resize_payload(
         for pdf in it:
             outs, origs = [], []
             for b in pdf[payload_col]:
+                if b is None:  # NULL payload passes through as NULL
+                    outs.append(None)
+                    origs.append(None)
+                    continue
                 data = np.frombuffer(bytes(b), dtype=np.uint8)
                 n = data.size
                 if n == 0:
@@ -261,7 +278,7 @@ def resize_payload(
                 {
                     "doc_id": pdf[id_col],
                     "payload": outs,
-                    "orig_bytes": pd.Series(origs, dtype="int32"),
+                    "orig_bytes": pd.array(origs, dtype="Int32"),
                 }
             )
 
@@ -296,8 +313,11 @@ def frame_sample(
         import numpy as np
 
         for pdf in it:
+            # NULL payload -> zero frames, same as an empty payload
             arrs = [
                 np.frombuffer(bytes(b), dtype=np.uint8)[::every]
+                if b is not None
+                else np.array([], dtype=np.uint8)
                 for b in pdf[payload_col]
             ]
             counts = np.array([a.size for a in arrs], dtype=np.int64)

@@ -186,3 +186,31 @@ class TestPngCodecProperty:
         d = decode_png(encode_png(w, h, ch, px))
         assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
         assert d["pixels"] == px
+
+
+class TestNullPayloads:
+    """NULL binary payloads flow through the mapInPandas verbs as NULL
+    metadata / zero frames — never a Python worker crash."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, None), (2, bytearray(b"real bytes here"))],
+            "doc_id long, payload binary",
+        )
+
+    def test_decode_features_null_row(self, spark):
+        rows = {r["doc_id"]: r for r in pj.decode_features(self._df(spark)).collect()}
+        assert rows[1]["kind"] is None and rows[1]["n_bytes"] is None
+        assert rows[1]["feat_mean"] is None
+        assert rows[2]["kind"] == "raw" and rows[2]["n_bytes"] == 15
+
+    def test_frame_sample_null_skipped(self, spark):
+        out = pj.frame_sample(self._df(spark), every=4)
+        ids = [r["doc_id"] for r in out.collect()]
+        assert set(ids) == {2} and len(ids) == 4  # ceil(15/4)
+
+    def test_resize_payload_null_passthrough(self, spark):
+        rows = {r["doc_id"]: r for r in pj.resize_payload(
+            self._df(spark), target_bytes=8).collect()}
+        assert rows[1]["payload"] is None and rows[1]["orig_bytes"] is None
+        assert len(rows[2]["payload"]) == 8 and rows[2]["orig_bytes"] == 15
