@@ -59,6 +59,7 @@ def groupby_agg(
     agg_column_name: str | list | tuple | None = None,
     agg: str | list | tuple | None = None,
     dropna: bool = True,
+    order_by: str | None = None,
 ) -> DataFrame:
     """Grouped aggregate broadcast back to every row (ref
     ``groupby_agg.py:19-107`` == groupby().transform(agg)).
@@ -74,9 +75,25 @@ def groupby_agg(
     * ``new_column_name={'out': ('src', 'agg'), ...}`` — dict spec;
     * equal-length lists for ``new_column_name`` / ``agg_column_name``
       / ``agg``, paired positionally.
+
+    ``order_by`` — sort the window by this column (whole-group frame
+    kept, so sum/avg/… are unaffected).  Required for DETERMINISTIC
+    ``first``/``last``: without it those aggregates return whatever row
+    the partition layout delivers first — layout-dependent output, the
+    exact nondeterminism pandas row order hides (the ``_row_order``
+    contract, ``utils/order.py``).
     """
     keys = resolve_columns(df, by)
-    w = Window.partitionBy(*keys)
+    if order_by is not None:
+        if order_by not in df.columns:
+            raise KeyError(f"order column {order_by!r} not in DataFrame")
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(order_by))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+    else:
+        w = Window.partitionBy(*keys)
     if isinstance(new_column_name, dict):
         specs = {n: (c, a) for n, (c, a) in new_column_name.items()}
     elif isinstance(new_column_name, (list, tuple)):

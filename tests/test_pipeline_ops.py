@@ -1465,3 +1465,32 @@ class TestEmptyInputSweep:
         # documented 1-row aggregates on empty input
         assert pj.quantiles(nums, "v", [0.5]).count() == 1
         assert pj.cardinality_sketch(nums, "k").first()["distinct_est"] == 0
+
+
+class TestGroupbyAggOrdered:
+    def test_first_last_deterministic_with_order(self, spark):
+        rows = [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+                (2, 5, "x"), (2, 1, "y")]
+        df = spark.createDataFrame(rows, "k int, o int, v string")
+        for parts in (1, 5):
+            out = pj.groupby_agg(
+                df.repartition(parts),
+                "k",
+                {"fst": ("v", "first"), "lst": ("v", "last")},
+                order_by="o",
+            )
+            got = {(r["k"], r["fst"], r["lst"]) for r in out.collect()}
+            assert got == {(1, "a", "c"), (2, "y", "x")}, parts
+
+    def test_order_does_not_change_sums(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, 2.0), (1, 2, 3.0), (2, 3, 4.0)], "k int, o int, v double"
+        )
+        a = {(r["k"], r["s"]) for r in pj.groupby_agg(df, "k", "s", "v", "sum").collect()}
+        b = {(r["k"], r["s"]) for r in pj.groupby_agg(df, "k", "s", "v", "sum", order_by="o").collect()}
+        assert a == b == {(1, 5.0), (2, 4.0)}
+
+    def test_bad_order_column(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+        with pytest.raises(KeyError, match="nope"):
+            pj.groupby_agg(df, "k", "s", "v", "sum", order_by="nope")
