@@ -216,3 +216,34 @@ def test_indicator_matches_brute_force(spark):
     # named indicator column
     named = pj.conditional_join(ldf, rdf, *conds, how="left", indicator="src")
     assert "src" in named.columns and "_merge" not in named.columns
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_keep_with_left_join_matches_brute_force(spark, keep):
+    """keep + how='left': matched left rows keep exactly one right row
+    (min/max by condition columns); unmatched left rows keep their
+    single null-right row."""
+    left, right = _frames(17)
+    for i, r in enumerate(right):
+        r["x"] = r["x"] * 100 + i
+    conds = [("a", "x", "<"), ("a", "y", ">")]
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, how="left", keep=keep)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    exp = []
+    for l in left:
+        matched = [
+            r for r in right
+            if OPS["<"](l["a"], r["x"]) and OPS[">"](l["a"], r["y"])
+        ]
+        if matched:
+            pick = (min if keep == "first" else max)(
+                matched, key=lambda r: (r["x"], r["y"])
+            )
+            exp.append((l["lid"], pick["rid"]))
+        else:
+            exp.append((l["lid"], None))
+    def key(p):
+        return (p[0], p[1] is None, p[1] or 0)
+    assert sorted(got, key=key) == sorted(exp, key=key)
