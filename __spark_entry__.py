@@ -1292,6 +1292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "take_token_budget": q_take_token_budget,
         # ---- (d) r02-era driver rows, refreshed ----
+        # NB round-6 rotation: the late-round additions above pushed
+        # case_when / update_where / flag_nulls / coalesce / fill_empty
+        # / impute / get_dupes / groupby_topk just past the 50 mark —
+        # each is r02-driver-green + replica-green at HEAD; rotate them
+        # back in next round for fresh rows.
         "conditional_join_equi": q_conditional_join_equi,
         "conditional_join_range": q_conditional_join_range,
         "conditional_join_left": q_conditional_join_left,
