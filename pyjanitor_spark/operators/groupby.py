@@ -38,16 +38,18 @@ _AGGS = {
     "nunique": F.countDistinct,  # grouped path only; see _WINDOWED_AGGS
 }
 
-# aggregates needing a custom windowed form: distinct aggregates are
-# rejected inside windows, so nunique becomes size(collect_set) — which
-# also ignores nulls, matching pandas nunique.  (.over must attach to the
-# aggregate itself, size() wraps outside the window.)
-# approx_nunique: HyperLogLog++ (~2% default rse) — collect_set holds
-# every distinct value in the window state, which a high-cardinality
-# group blows up at corpus scale; the sketch is fixed-size.  Use it
-# whenever the distinct count per group can exceed ~1e5.
+# aggregates needing a custom windowed form.  approx_nunique:
+# HyperLogLog++ (~2% default rse) — fixed-size sketch state, safe
+# inside a window at any cardinality.  Exact "nunique" deliberately
+# does NOT appear here: distinct aggregates are rejected inside
+# windows and the size(collect_set) workaround materializes every
+# distinct value in per-window state — unbounded memory that a
+# high-cardinality group blows up at corpus scale (measured 11.4s vs
+# ~2s at sf0.1).  Exact nunique instead takes the two-phase path in
+# ``groupby_agg``: groupBy(keys).countDistinct (map-side partial
+# aggregation, bounded state) joined back on the keys — two shuffles
+# of tiny data, AQE broadcasts the per-group side when small.
 _WINDOWED_AGGS = {
-    "nunique": lambda c, w: F.size(F.collect_set(c).over(w)),
     "approx_nunique": lambda c, w: F.approx_count_distinct(c).over(w),
 }
 
@@ -64,9 +66,16 @@ def groupby_agg(
     """Grouped aggregate broadcast back to every row (ref
     ``groupby_agg.py:19-107`` == groupby().transform(agg)).
 
-    Window aggregate over partitionBy(by): one shuffle, no join —
-    however many aggregates are requested, they share the ONE window.
-    Nulls form their own group natively (== dropna=False);
+    Plan: named whole-group aggregates compile to
+    ``groupBy(keys).agg(...)`` + join-back on the keys — only the
+    map-side PARTIAL aggregates shuffle (bounded state, skew-immune),
+    and AQE turns the join-back into a broadcast hash join whenever the
+    group count is small, so the wide rows never shuffle at all.  This
+    beats the window form (full shuffle + sort of every row, with as
+    few tasks as there are groups) at any scale.  The window path is
+    kept for the order-sensitive forms: ``order_by=`` (deterministic
+    first/last) and user callables, which by contract receive the
+    window.  Nulls form their own group natively (== dropna=False);
     ``dropna=True`` nulls out the result for null-keyed rows, matching
     pandas.
 
@@ -114,13 +123,86 @@ def groupby_agg(
         for k in keys:
             cond = F.col(k).isNull()
             null_key = cond if null_key is None else (null_key | cond)
-    new_cols = {}
+    # route each spec: grouped (groupBy + join-back) vs windowed.
+    # nunique is ALWAYS grouped (distinct aggregates are rejected in
+    # windows, and the size(collect_set) workaround holds every
+    # distinct value in per-window state — unbounded at corpus scale);
+    # other named aggs are grouped unless order_by was given (whole-
+    # group frames are order-insensitive, but the order_by contract
+    # promises a window for deterministic first/last); callables always
+    # get the window they were written against.
+    grouped_specs: dict[str, "F.Column"] = {}
+    window_specs: dict[str, tuple] = {}
     for name, (col, a) in specs.items():
+        if a == "nunique":
+            grouped_specs[name] = F.countDistinct(F.col(col))
+        elif callable(a) or order_by is not None:
+            window_specs[name] = (col, a)
+        elif a == "approx_nunique":
+            grouped_specs[name] = F.approx_count_distinct(F.col(col))
+        elif a in _AGGS:
+            grouped_specs[name] = _AGGS[a](F.col(col))
+        else:
+            raise KeyError(f"unsupported agg {a!r}")
+    new_cols = {}
+    for name, (col, a) in window_specs.items():
         expr = _agg_expr(a, col, w)
         if null_key is not None:
             expr = F.when(null_key, F.lit(None)).otherwise(expr)
         new_cols[name] = expr
-    return df.withColumns(new_cols)
+    out = df.withColumns(new_cols) if new_cols else df
+    if grouped_specs:
+        out = _join_grouped_aggs(out, df, keys, grouped_specs, dropna)
+    # restore the caller's column order (join-back appends at the end)
+    want = df.columns + [n for n in specs if n not in df.columns]
+    return out.select(*want)
+
+
+def _join_grouped_aggs(
+    out: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    grouped_specs: dict[str, "F.Column"],
+    dropna: bool,
+) -> DataFrame:
+    """Attach per-group aggregate values via groupBy + join-back.
+
+    The aggregates run with bounded state (map-side partial
+    aggregation, hash shuffle of partials only); the per-group result
+    is one row per group, so AQE turns the join-back into a broadcast
+    hash join whenever the key cardinality is small — the wide rows
+    never shuffle.  At high key cardinality both sides hash-shuffle on
+    the keys, which is what the window form costs anyway (minus its
+    sort).
+
+    ``dropna=True``: a plain equality join leaves null-keyed rows
+    unmatched → their values are NULL, matching pandas transform over
+    ``groupby(dropna=True)``.  ``dropna=False``: null keys form their
+    own group, so the join is null-safe.
+    """
+    # temp names: a spec may OVERWRITE an existing column, and the join
+    # must not create a duplicate name — withColumn below replaces
+    # in-place (or appends for new names)
+    tmp = {n: f"__ga_{i}" for i, n in enumerate(grouped_specs)}
+    aggs = [expr.alias(tmp[n]) for n, expr in grouped_specs.items()]
+    grouped = src.groupBy(*keys).agg(*aggs)
+    grouped = grouped.select(
+        *[F.col(k).alias(f"__gk_{i}") for i, k in enumerate(keys)],
+        *[F.col(t) for t in tmp.values()],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = (
+            out[k] == grouped[f"__gk_{i}"]
+            if dropna
+            else out[k].eqNullSafe(grouped[f"__gk_{i}"])
+        )
+        cond = c if cond is None else (cond & c)
+    joined = out.join(grouped, cond, "left")
+    joined = joined.withColumns({n: F.col(t) for n, t in tmp.items()})
+    return joined.drop(
+        *[f"__gk_{i}" for i in range(len(keys))], *tmp.values()
+    )
 
 
 def _agg_expr(agg, agg_column_name: str, w) -> "F.Column":

@@ -479,14 +479,24 @@ def test_groupby_agg_multi_forms(spark):
         pj.groupby_agg(df, "k", ["a", "b"], ["v"], ["min"])
 
 
-def test_groupby_agg_multi_single_shuffle(spark):
-    from pyjanitor_spark.plans import shuffle_count
+def test_groupby_agg_multi_plan_shape(spark):
+    """All named aggregates share ONE groupBy (a single partial-agg
+    shuffle) and ride back on a join — the wide rows themselves never
+    shuffle (no window sort).  Plan: <=2 exchanges (partials + at most
+    the join-back of the tiny per-group side), no Window/Sort node."""
+    from pyjanitor_spark.plans import executed_plan, shuffle_count
 
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     out = pj.groupby_agg(
         df, "k", {"mx": ("v", "max"), "mn": ("v", "min"), "s": ("v", "sum")}
     )
-    assert shuffle_count(out) == 1
+    assert shuffle_count(out) <= 2
+    plan = executed_plan(out)
+    assert "Window" not in plan
+
+    # order_by= keeps the window contract (deterministic first/last)
+    out2 = pj.groupby_agg(df, "k", "f", "v", "first", order_by="v")
+    assert "Window" in executed_plan(out2)
 
 
 class TestSimhashPairs:
