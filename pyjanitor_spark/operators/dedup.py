@@ -302,7 +302,24 @@ def simhash_pairs(
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "__sh")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+    xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
+    ham = F.bit_count(xor)
+    # a pair agreeing on SEVERAL chunks would surface once per matching
+    # band; keep only the row whose band is the pair's FIRST matching
+    # chunk (chunk j matches iff the xor's j-th chunk is zero — an
+    # expression over the two fingerprints already on the row), so each
+    # pair is emitted exactly once and no post-join distinct() has to
+    # re-shuffle the full pair stream
+    first_band = None
+    for j in range(bands):
+        chunk_zero = (
+            F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) == 0
+        )
+        first_band = (
+            F.when(chunk_zero, F.lit(j))
+            if first_band is None
+            else first_band.when(chunk_zero, F.lit(j))
+        )
     return (
         a.join(
             b,
@@ -312,13 +329,13 @@ def simhash_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
+        .filter(F.col("a.band") == first_band)
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
