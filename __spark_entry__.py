@@ -407,6 +407,35 @@ def q_conditional_join_outer(spark, sf):
     return out.select("r_regionkey", "n_nationkey", "n_regionkey")
 
 
+def q_conditional_join_right(spark, sf):
+    # how='right': all lineitem rows survive, orders columns null-padded
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = pj.conditional_join(
+        o, li,
+        ("o_orderkey", "l_orderkey", "=="),
+        ("o_totalprice", "l_extendedprice", "<"),
+        how="right",
+    )
+    return out.select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice"
+    )
+
+
+def q_conditional_join_range_open(spark, sf):
+    # ONE-SIDED pure range join (only an upper bound from the right):
+    # must take the bucketized path with the open side clamped to the
+    # left domain edge — previously a silent BroadcastNestedLoopJoin
+    p = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+    s = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 1200).select(
+        "s_suppkey", "s_acctbal"
+    )
+    out = pj.conditional_join(p, s, ("p_retailprice", "s_acctbal", "<"))
+    return out.select("p_partkey", "p_retailprice", "s_suppkey", "s_acctbal")
+
+
 def q_pivot_longer(spark, sf):
     li = _t(spark, sf, "lineitem").select(
         *KEYS, "l_quantity", "l_discount", "l_tax"
@@ -1301,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_range": q_conditional_join_range,
         "conditional_join_left": q_conditional_join_left,
         "conditional_join_outer": q_conditional_join_outer,
+        "conditional_join_right": q_conditional_join_right,
+        "conditional_join_range_open": q_conditional_join_range_open,
         "pivot_longer": q_pivot_longer,
         "complete": q_complete,
         "expand": q_expand,
@@ -1637,6 +1668,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_regionkey, n_nationkey, n_regionkey "
             "FROM region FULL OUTER JOIN nation ON r_regionkey = n_regionkey "
             "AND r_regionkey > n_nationkey"
+        ),
+        "conditional_join_right": (
+            "SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice "
+            "FROM orders RIGHT JOIN lineitem ON o_orderkey = l_orderkey "
+            "AND o_totalprice < l_extendedprice"
+        ),
+        "conditional_join_range_open": (
+            "SELECT p_partkey, p_retailprice, s_suppkey, s_acctbal "
+            "FROM part JOIN (SELECT s_suppkey, s_acctbal FROM supplier "
+            "WHERE s_acctbal < 1200) s ON p_retailprice < s_acctbal"
         ),
         "pivot_longer": (
             "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val "

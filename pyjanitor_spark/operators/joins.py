@@ -250,10 +250,24 @@ def _bucketized_join(
         else:  # x < r -> upper bound
             hi_expr = r if hi_expr is None else F.least(hi_expr, r)
     rng = _left_range(left, lcol)
-    if rng is None or not (lo_expr is not None and hi_expr is not None):
-        # unbounded on one side: bucketization can't bound the span
+    if rng is None:
+        # left point column all-NULL: no row can satisfy a range
+        # predicate, so the plain join is a no-match (or null-padded
+        # outer) plan over zero pairs — nested loop is moot
         return left.join(rgt, on=pred, how="full" if how == "outer" else how)
     mn, mx = rng
+    # ONE-SIDED conditions (only a lower or only an upper bound from the
+    # right) still bucketize: the open side clamps to the left domain
+    # edge already fetched above, so the admissible interval is bounded
+    # exactly like the two-sided case.  Without this the plan silently
+    # fell back to a BroadcastNestedLoopJoin — O(n*m) at scale for a
+    # query as plain as (x > cutoff).  The pair OUTPUT of an unselective
+    # one-sided range join is inherently quadratic; bucketization keeps
+    # the COMPUTE proportional to output + ~256 replicated right rows.
+    if lo_expr is None:
+        lo_expr = F.lit(mn)
+    if hi_expr is None:
+        hi_expr = F.lit(mx)
     span = mx - mn
     w = width or (span / 256.0 if span > 0 else 1.0)
     lb = left.withColumn("__cj_bkt", F.floor(F.col(lcol).cast("double") / F.lit(w)))

@@ -68,6 +68,18 @@ def test_single_op_le(df1, df2):
     assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
 
 
+def test_one_sided_range_bucketized_plan(df1, df2):
+    """A pure one-sided range join (only an upper OR lower bound) must
+    take the bucketized equi-join path — the open side clamps to the
+    left domain edge — never a silent BroadcastNestedLoopJoin."""
+    for op in ("<", ">="):
+        got = pj.conditional_join(df1, df2, ("value_1", "value_2A", op))
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        exp = brute(df1, df2, [("value_1", "value_2A", op)])
+        assert rows(got.select("value_1", "value_2A", "value_2B")) == rows(exp)
+
+
 def test_not_equal(df1, df2):
     conds = [("value_1", "value_2A", "!=")]
     got = pj.conditional_join(df1, df2, *conds)
