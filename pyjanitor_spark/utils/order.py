@@ -31,34 +31,36 @@ ORDER_COL = "_row_order"
 
 __all__ = ["ORDER_COL", "ensure_order_column", "positional_index", "partitioned_cumsum"]
 
-# expression markers whose presence makes re-computation of a plan yield
-# different rows/layout between the two branch reads below.  Checked
-# lowercase against the ANALYZED logical plan: "sample" catches both
-# TableSample and df.sample; monotonically_increasing_id is only
-# nondeterministic when the upstream layout is (so treat it as a taint);
-# "shuffle(" is the array-shuffle SQL function.  False positives (e.g.
-# a column literally named "sample_rate") only cost the pin — safe side.
-_NONDET_MARKERS = (
-    "rand(",
-    "randn(",
-    "uuid(",
-    "shuffle(",
-    "sample",
-    "monotonically_increasing_id",
-)
-
-
 def _plan_is_deterministic(df: DataFrame) -> bool:
-    """True when re-executing ``df``'s plan provably yields the same rows
-    in the same partition layout: deterministic scans, filters, joins and
-    hash/range shuffles of those.  Range-exchange boundary sampling uses
-    fixed per-partition seeds, so even the repartitionByRange below is
-    replay-stable over a deterministic input."""
+    """True only for provably replay-stable plans: every expression in
+    every node of the ANALYZED logical tree reports
+    ``Expression.deterministic`` (walked via the JVM tree, so
+    nondeterministic Python UDFs marked ``.asNondeterministic()``,
+    ``rand``/``uuid``/``monotonically_increasing_id``, etc. are all
+    covered — no string matching), AND the physical plan contains no
+    Exchange.  The exchange restriction is load-bearing even with all
+    expressions deterministic: the two branch reads below are
+    separately column-pruned subtrees, so exchange reuse is not
+    guaranteed, and AQE may coalesce each branch's re-executed shuffle
+    into a different partition count (pruned byte sizes differ) —
+    diverging ``__pid`` assignments between the branches.  Anything
+    unprovable (py4j failure, unexpected tree shape) returns False —
+    the pin is the safe side."""
     try:
-        s = df._jdf.queryExecution().analyzed().toString().lower()
+        qe = df._jdf.queryExecution()
+        stack = [qe.analyzed()]
+        while stack:
+            node = stack.pop()
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return "Exchange" not in qe.executedPlan().toString()
     except Exception:
         return False
-    return not any(m in s for m in _NONDET_MARKERS)
 
 
 def positional_index(df: DataFrame, name: str) -> DataFrame:
@@ -73,10 +75,11 @@ def positional_index(df: DataFrame, name: str) -> DataFrame:
     offsets aggregate and the joined branch must read the SAME partition
     layout, and without materialization a nondeterministic upstream (or
     an AQE re-plan between the two executions) could hand each branch
-    different ``__pid``/``__mid`` assignments.  A deterministic plan
-    (file scan + deterministic expressions/shuffles) replays identically
-    on both branches, so the pin — and its extra materialization — is
-    skipped.  (Non-durable checkpoint: on executor loss the job retries
+    different ``__pid``/``__mid`` assignments.  Only a provably
+    replay-stable plan — all expressions deterministic AND no exchange
+    (``_plan_is_deterministic``; AQE may re-coalesce a re-executed
+    shuffle differently per branch) — skips the pin and its extra
+    materialization.  (Non-durable checkpoint: on executor loss the job retries
     from the action — acceptable; use a durable ``checkpoint_dir``
     pattern as in ``near_dup_clusters`` when running under
     preemption.)"""
@@ -126,15 +129,27 @@ def partitioned_cumsum(
     if num_partitions is not None and num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
     order = F.col(order_col).asc()
-    d = (
-        df.repartitionByRange(num_partitions, order)
-        if num_partitions is not None
-        else df.repartitionByRange(order)
-    )
+    # ALWAYS pass an explicit partition count: repartitionByRange with
+    # only columns is a REPARTITION_BY_COL shuffle that AQE may
+    # coalesce, and the two branch reads below are separately pruned
+    # subtrees whose re-executed exchanges could coalesce to DIFFERENT
+    # partition counts — diverging __pid between the offsets aggregate
+    # and the join-back.  An explicit count is never AQE-coalesced.
+    if num_partitions is None:
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            num_partitions = 200
+    d = df.repartitionByRange(num_partitions, order)
     d = d.withColumn("__pid", F.spark_partition_id())
     if not _plan_is_deterministic(df):
-        # nondeterministic upstream: pin the layout so the offsets agg
-        # and the joined branch read the SAME partition assignment
+        # nondeterministic or shuffled upstream: pin the layout so the
+        # offsets agg and the joined branch read the SAME partition
+        # assignment (deterministic exchange-free inputs replay
+        # bit-identically through the fixed-count, fixed-seed range
+        # exchange on both branches)
         d = d.localCheckpoint(eager=False)
     sizes = d.groupBy("__pid").agg(
         F.coalesce(F.sum(value_col), F.lit(0)).alias("__psum")
