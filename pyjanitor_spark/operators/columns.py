@@ -242,14 +242,18 @@ def move(
 
     srcs = sorted({fix(s) for s in srcs})
     if target is None:
-        t = 0 if position == "before" else n - 1
+        # frame-edge move: there is no anchor ROW, so the block may
+        # freely contain the edge position (e.g. move rows [0, 5] to
+        # the front → [0, 5, 1, 2, ...]); the sort key is simply
+        # before-everything / after-everything
+        tkey = -0.5 if position == "before" else float(n) - 0.5
     else:
         t = fix(target)
-    if t in srcs:
-        raise ValueError("target position cannot be inside the moved block")
+        if t in srcs:
+            raise ValueError("target position cannot be inside the moved block")
+        tkey = float(t) - 0.5 if position == "before" else float(t) + 0.5
     d = positional_index(df, "__mvp")
     p = F.col("__mvp")
-    tkey = float(t) - 0.5 if position == "before" else float(t) + 0.5
     key = F.when(p.isin(srcs), F.lit(tkey)).otherwise(p.cast("double"))
     # secondary key p keeps the moved block's internal order AND the
     # target row's relative position vs the block (t sorts after t-0.5,

@@ -639,8 +639,6 @@ def assign_packs(
         raise ValueError("max_tokens must be >= 1")
     from pyjanitor_spark.utils.order import partitioned_cumsum
 
-    if max_tokens < 1:
-        raise ValueError("max_tokens must be >= 1")
     narrow = df.select(
         F.col(order_by), F.size(tokens(F.col(column_name), mode)).alias("__ntok")
     )

@@ -72,8 +72,6 @@ def hashed_tfidf(
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
-    if dim < 1:
-        raise ValueError("dim must be >= 1")
     col = F.col(column_name)
     if lowercase:
         col = F.lower(col)

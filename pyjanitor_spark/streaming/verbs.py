@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -333,7 +332,16 @@ def streaming_dedupe_near(
         kept = dedupe_near(
             batch, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n
         )
-        try:
+        # probe the store path EXPLICITLY: only a missing path means
+        # "first batch, no store yet".  Catching AnalysisException here
+        # would also swallow corrupt parquet, schema drift (missing
+        # 'batch' column) and transient storage failures — those must
+        # FAIL the batch so the checkpoint retries it; swallowing them
+        # would silently skip dedup-against-store and admit
+        # near-duplicates permanently.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(sig_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             # exclude THIS batch id: a replayed batch (crash after the
             # signature write, before the offset commit) must not probe
             # against its own first attempt's signatures — it would
@@ -344,12 +352,7 @@ def streaming_dedupe_near(
                 .filter(F.col("batch") != batch_id)
                 .select(id_col, "band", "key")
             )
-        except AnalysisException:
-            # Only the missing-path case means "first batch, no store
-            # yet".  Any other error (corrupt parquet, transient storage
-            # failure, schema drift) must FAIL the batch so the
-            # checkpoint retries it — swallowing it would silently skip
-            # dedup-against-store and admit near-duplicates permanently.
+        else:
             sigs = None
         if sigs is not None:
             kept = dedupe_against(

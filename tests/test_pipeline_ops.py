@@ -1335,6 +1335,17 @@ class TestMoveRows:
         with pytest.raises(ValueError, match="inside the moved block"):
             pj.move(self._df(spark), source=[1, 2], target=2, axis=0)
 
+    def test_edge_move_block_containing_edge(self, spark):
+        # target=None is a frame-edge move with no anchor row: a block
+        # that already contains the edge position must not raise —
+        # [0,1] to front is a no-op, [0,3] to front pulls 3 up
+        out = pj.move(self._df(spark), source=[0, 1], axis=0)
+        assert self._order(out) == [2, 4, 6, 8]
+        out = pj.move(self._df(spark), source=[0, 3], axis=0)
+        assert self._order(out) == [2, 8, 4, 6]
+        out = pj.move(self._df(spark), source=[0, 3], position="after", axis=0)
+        assert self._order(out) == [4, 6, 2, 8]
+
     def test_column_move_unchanged(self, spark):
         out = pj.move(self._df(spark), "b", target="a", position="before")
         assert out.columns == ["b", "a"]
