@@ -342,7 +342,15 @@ def sort_naturally(
     Sort key built JVM-side: zero-pad every digit run to 20 chars so
     lexicographic order == natural order.  No UDF.  ``dest`` keeps the
     computed key as a column (row order itself can't be verified by an
-    unordered compare; the key can)."""
+    unordered compare; the key can).
+
+    CONTRACT — digit runs are compared numerically up to 20 digits
+    (covers every value up to 10^20 − 1, i.e. beyond int64); a run
+    LONGER than 20 digits keeps its excess digits un-padded, so two
+    runs both exceeding 20 digits compare lexicographically rather than
+    numerically (natsort would compare their full numeric values).
+    Inputs with >20-digit integer runs embedded in strings are outside
+    this verb's supported domain."""
     key = F.regexp_replace(
         F.col(column_name).cast("string"), r"(\d+)", r"00000000000000000000$1"
     )

@@ -1515,3 +1515,56 @@ class TestGroupbyAggOrdered:
         df = spark.createDataFrame([(1, 1.0)], "k int, v double")
         with pytest.raises(KeyError, match="nope"):
             pj.groupby_agg(df, "k", "s", "v", "sum", order_by="nope")
+
+
+class TestSortNaturally:
+    """Property: digit runs up to 20 digits compare numerically — the
+    documented contract (longer runs are outside the supported
+    domain)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["", "x", "ab", "v-"]),
+                st.integers(min_value=0, max_value=10**20 - 1),
+                st.sampled_from(["", "z", ".7rc"]),
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_numeric_runs_sort_numerically(self, spark, parts):
+        import re
+
+        strings = [f"{a}{n}{b}" for a, n, b in parts]
+        df = spark.createDataFrame([(s,) for s in strings], "s string")
+        got = [r["s"] for r in pj.sort_naturally(df, "s").collect()]
+
+        def natkey(s):
+            return [
+                # numbers sort before text (natsort convention; also
+                # the verb's padded-key behavior: '0' < 'x')
+                (0, int(p)) if p.isdigit() else (1, p)
+                for p in re.split(r"(\d+)", s)
+                if p != ""
+            ]
+
+        # compare multisets of keys in order: the verb's order must be
+        # non-decreasing under the natural key
+        keys = [natkey(s) for s in got]
+        assert keys == sorted(keys), (strings, got)
+
+    def test_20_digit_boundary_exact(self, spark):
+        big = 10**20 - 1  # largest in-contract run
+        vals = [f"a{big}", "a1", f"a{10**19}", "a999"]
+        df = spark.createDataFrame([(s,) for s in vals], "s string")
+        got = [r["s"] for r in pj.sort_naturally(df, "s").collect()]
+        assert got == ["a1", "a999", f"a{10**19}", f"a{big}"]
+
+    def test_descending_and_dest(self, spark):
+        df = spark.createDataFrame([("x2",), ("x10",)], "s string")
+        out = pj.sort_naturally(df, "s", ascending=False, dest="k")
+        rows = out.collect()
+        assert [r["s"] for r in rows] == ["x10", "x2"]
+        assert rows[0]["k"] > rows[1]["k"]
