@@ -290,24 +290,24 @@ def semdedup(
     grp = pairs.groupBy(cluster_col).applyInPandas(
         _components, f"__sid {id_t}, __grp {id_t}"
     )
-    # unpaired rows are singleton groups (their own id)
-    groups = (
-        df.select(id_col)
-        .join(grp.withColumnRenamed("__sid", id_col), id_col, "left")
-        .withColumn("__grp", F.coalesce(F.col("__grp"), F.col(id_col)))
-    )
     cents = centroids(df, vec_col, cluster_col)
+    # centrality carries EVERY id (base x broadcast centroids), so the
+    # group labels attach directly to it — unpaired rows coalesce to
+    # singleton groups (their own id); no separate df.select(id) branch
+    # and one less join than joining groups and centrality separately
     centrality = base.join(F.broadcast(cents), cluster_col).select(
         F.col(id_col),
         cosine_sim(F.col("__v"), F.col("centroid").cast("array<double>")).alias(
             "__cent"
         ),
     )
+    groups = centrality.join(
+        grp.withColumnRenamed("__sid", id_col), id_col, "left"
+    ).withColumn("__grp", F.coalesce(F.col("__grp"), F.col(id_col)))
     order = F.col("__cent").asc() if keep == "far" else F.col("__cent").desc()
     w = Window.partitionBy("__grp").orderBy(order, F.col(id_col).asc())
     kept = (
-        groups.join(centrality, id_col)
-        .withColumn("__rn", F.row_number().over(w))
+        groups.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col)
     )
