@@ -1280,58 +1280,89 @@ def q_conditional_join_indicator(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
-    # entries in insertion order.  Round 5 window = (a) verbs whose PLANS
-    # were rewritten after their last driver row (ecdf / ccu /
-    # pivot_wider / groupby_agg / conditional_join keep / min_max_scale —
-    # VERDICT r4 task 1), (b) verbs changed THIS round (kmeans_assign
-    # broadcast-centroid path, semdedup guard, url_normalize exact-name
-    # tracking, heavy_hitters broadcast removal, hash_columns validation,
-    # multimodal decode), (c) the four NEW queries (factorize_appearance,
-    # groupby_agg_multi, conditional_join keep_last / indicator), (d)
-    # r02-era rows to refresh.  Everything rotated out is r03/r04
-    # driver-green with unchanged code and stays replica-covered.
+    # entries in insertion order.  Round-6 window: (a) the 19 stale
+    # entries from VERDICT r5 (sort_naturally first — never
+    # driver-attested), (b) every verb changed this round, (c) r03-era
+    # rows to refresh.  Rotated-out entries are r04/r05 driver-green
+    # with unchanged code and stay replica-covered.
     return {
-        # ---- (a) rewritten after last driver row ----
+        # ==== round-6 first-50 driver window ====
+        # (a) the 19 stale entries (VERDICT r5 task 1): sort_naturally
+        # has never had a green driver row; the other 18 are r02/r03-
+        # era rows with unchanged, replica-green code
+        "sort_naturally": q_sort_naturally,
+        "case_when": q_case_when,
+        "update_where": q_update_where,
+        "flag_nulls": q_flag_nulls,
+        "coalesce": q_coalesce,
+        "fill_empty": q_fill_empty,
+        "impute": q_impute_mean,
+        "get_dupes": q_get_dupes,
+        "groupby_topk": q_groupby_topk,
+        "take_first": q_take_first,
+        "dropnotnull": q_dropnotnull,
+        "concatenate_columns": q_concatenate_columns,
+        "deconcatenate_column": q_deconcatenate_column,
+        "change_type": q_change_type,
+        "convert_excel_date": q_convert_excel_date,
+        "convert_unix_date": q_convert_unix_date,
+        "truncate_datetime": q_truncate_datetime,
+        "bin_numeric": q_bin_numeric,
+        "round_to_fraction": q_round_to_fraction,
+        # (b) verbs whose code changed this round: groupby_agg grouped
+        # re-plan (nunique two-phase), simhash_pairs first-band emit,
+        # semdedup centrality join restructure, the conditional_join
+        # family (one-sided bucketization + 2 NEW gated variants:
+        # right, range_open), and every verb riding utils/order.py's
+        # new replay-stability check or columns.move's edge fix
+        "groupby_agg": q_groupby_agg,
+        "groupby_agg_multi": q_groupby_agg_multi,
+        "groupby_agg_nunique": q_groupby_agg_nunique,
+        "simhash_pairs": q_simhash_pairs,
+        "semdedup": q_semdedup,
+        "conditional_join_right": q_conditional_join_right,
+        "conditional_join_range_open": q_conditional_join_range_open,
+        "conditional_join_equi": q_conditional_join_equi,
+        "conditional_join_range": q_conditional_join_range,
+        "conditional_join_left": q_conditional_join_left,
+        "conditional_join_outer": q_conditional_join_outer,
+        "conditional_join_keep_first": q_conditional_join_keep_first,
+        "conditional_join_keep_last": q_conditional_join_keep_last,
+        "conditional_join_indicator": q_conditional_join_indicator,
         "ecdf": q_ecdf,
         "count_cumulative_unique": q_count_cumulative_unique,
+        "move_rows": q_move_rows,
+        "add_column_values": q_add_column_values,
+        "factorize_appearance": q_factorize_appearance,
+        "assign_packs": q_assign_packs,
+        "take_token_budget": q_take_token_budget,
+        "shuffle": q_shuffle,
+        "hashed_tfidf": q_hashed_tfidf,
+        # (c) r03-era rows to refresh
+        "convert_matlab_date": q_convert_matlab_date,
+        "remove_empty": q_remove_empty,
+        "limit_column_characters": q_limit_column_characters,
+        "label_encode": q_label_encode,
+        "encode_categorical": q_encode_categorical,
+        "convert_units": q_convert_units,
+        "inflate_currency": q_inflate_currency,
+        "data_description": q_data_description,
+        # ==== end of first-50 window ====
+        # everything below is r04/r05 driver-green with unchanged code
+        # and stays replica-covered (tools/check_correctness.py)
         "min_max_scale": q_min_max_scale,
         "pivot_wider": q_pivot_wider,
-        "groupby_agg": q_groupby_agg,
-        "conditional_join_keep_first": q_conditional_join_keep_first,
-        # ---- (b) changed this round ----
         "factorize_columns": q_factorize_columns,
         "kmeans_assign": q_kmeans_assign,
-        "semdedup": q_semdedup,
         "url_normalize": q_url_normalize,
         "heavy_hitters": q_heavy_hitters,
         "hash_columns": q_hash_columns,
         "decode_features": q_decode_features,
         "frame_sample": q_frame_sample,
-        # ---- (c) new this round ----
-        "factorize_appearance": q_factorize_appearance,
-        "groupby_agg_multi": q_groupby_agg_multi,
-        "conditional_join_keep_last": q_conditional_join_keep_last,
-        "conditional_join_indicator": q_conditional_join_indicator,
-        "add_column_values": q_add_column_values,
-        "shuffle": q_shuffle,
         "jitter": q_jitter,
         "windowed_agg": q_windowed_agg,
         "remove_duplicated_spans": q_remove_duplicated_spans,
-        "move_rows": q_move_rows,
         "mix_corpora": q_mix_corpora,
-        "take_token_budget": q_take_token_budget,
-        # ---- (d) r02-era driver rows, refreshed ----
-        # NB round-6 rotation: the late-round additions above pushed
-        # case_when / update_where / flag_nulls / coalesce / fill_empty
-        # / impute / get_dupes / groupby_topk just past the 50 mark —
-        # each is r02-driver-green + replica-green at HEAD; rotate them
-        # back in next round for fresh rows.
-        "conditional_join_equi": q_conditional_join_equi,
-        "conditional_join_range": q_conditional_join_range,
-        "conditional_join_left": q_conditional_join_left,
-        "conditional_join_outer": q_conditional_join_outer,
-        "conditional_join_right": q_conditional_join_right,
-        "conditional_join_range_open": q_conditional_join_range_open,
         "pivot_longer": q_pivot_longer,
         "complete": q_complete,
         "expand": q_expand,
@@ -1352,39 +1383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_string": q_filter_string,
         "filter_on": q_filter_on,
         "filter_column_isin": q_filter_isin,
-        # ==== end of first-50 window ====
-        "case_when": q_case_when,
-        # r02/r03 driver-green, unchanged code, replica-covered
-        "update_where": q_update_where,
-        "flag_nulls": q_flag_nulls,
-        "coalesce": q_coalesce,
-        "fill_empty": q_fill_empty,
-        "impute": q_impute_mean,
-        "get_dupes": q_get_dupes,
-        "groupby_topk": q_groupby_topk,
-        "take_first": q_take_first,
-        "dropnotnull": q_dropnotnull,
-        "concatenate_columns": q_concatenate_columns,
-        "deconcatenate_column": q_deconcatenate_column,
-        "change_type": q_change_type,
-        "convert_excel_date": q_convert_excel_date,
-        "convert_unix_date": q_convert_unix_date,
-        "truncate_datetime": q_truncate_datetime,
-        "bin_numeric": q_bin_numeric,
-        "round_to_fraction": q_round_to_fraction,
-        "sort_naturally": q_sort_naturally,
         "sort_column_value_order": q_sort_column_value_order,
-        "convert_matlab_date": q_convert_matlab_date,
-        "remove_empty": q_remove_empty,
-        "limit_column_characters": q_limit_column_characters,
-        "label_encode": q_label_encode,
-        "encode_categorical": q_encode_categorical,
-        "convert_units": q_convert_units,
-        "inflate_currency": q_inflate_currency,
         "flag_jumps": q_flag_jumps,
-        "data_description": q_data_description,
         "pivot_longer_spec": q_pivot_longer_spec,
-        # r04 driver-green pipeline ops, unchanged code
         "fill_direction": q_fill_direction,
         "dedupe_exact": q_dedupe_exact,
         "fingerprint": q_fingerprint,
@@ -1412,11 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normal_cdf": q_normal_cdf,
         "probit": q_probit,
         "quantile_bin": q_quantile_bin,
-        "hashed_tfidf": q_hashed_tfidf,
         "running_counter": q_running_counter,
         "expand_grid": q_expand_grid,
         "cartesian_product": q_cartesian_product,
-        "assign_packs": q_assign_packs,
         "bm25_score": q_bm25_score,
         "top_domains": q_top_domains,
         "xlsx_table": q_xlsx_table,
@@ -1424,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smiles_descriptors": q_smiles_descriptors,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_encode": q_bpe_encode,
-        "simhash_pairs": q_simhash_pairs,
         "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
         "dedupe_near": q_dedupe_near,
@@ -1434,7 +1432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "stratified_sample": q_stratified_sample,
         "split_train_holdout": q_split_train_holdout,
-        "groupby_agg_nunique": q_groupby_agg_nunique,
         "bloom_dedupe_against": q_bloom_dedupe_against,
         "top_ngrams": q_top_ngrams,
         "process_text_fallback": q_process_text_fallback,
