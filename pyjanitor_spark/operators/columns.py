@@ -341,12 +341,14 @@ def row_to_names(
     rows = [row_numbers] if isinstance(row_numbers, int) else list(row_numbers)
     k = max(rows) + 1
     head = df.orderBy(F.col(ocol)).limit(k).collect()
-    data_cols = [c for c in df.columns if c != ocol or not added]
+    # the order column is the pandas-index stand-in, and pandas does not
+    # promote the index into a name — only DATA columns rename
+    data_cols = [c for c in df.columns if c != ocol]
     picked = [head[r] for r in rows]
     if len(picked) == 1:
-        names = [str(picked[0][c]) for c in df.columns]
+        names = [str(picked[0][c]) for c in data_cols]
     else:
-        names = ["_".join(str(p[c]) for p in picked) for c in df.columns]
+        names = ["_".join(str(p[c]) for p in picked) for c in data_cols]
     out = df
     if remove_rows:
         # drop the promoted rows: they are the rows with order-rank in `rows`
@@ -355,10 +357,10 @@ def row_to_names(
     if remove_rows_above:
         cutoff = head[max(rows)][ocol]
         out = out.filter(F.col(ocol) > cutoff)
-    mapping = dict(zip(df.columns, make_unique(names)))
+    mapping = dict(zip(data_cols, make_unique(names)))
     out = out.withColumnsRenamed({o: n for o, n in mapping.items() if o != n})
     if added:
-        out = out.drop(mapping.get(ocol, ocol))
+        out = out.drop(ocol)
     return out
 
 

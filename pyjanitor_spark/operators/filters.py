@@ -34,10 +34,50 @@ def filter_string(
     column_name: str,
     search_string: str,
     complement: bool = False,
+    case: bool = True,
+    flags: int = 0,
+    na: Any = None,
+    regex: bool = True,
 ) -> DataFrame:
-    """Keep rows where the column matches the regex (ref
-    ``filter.py:21-105``: pandas ``str.contains`` == unanchored search)."""
-    pred = F.col(column_name).rlike(search_string)
+    """Keep rows where the column matches (ref ``filter.py:21-105``:
+    pandas ``str.contains`` == unanchored search, with its full
+    keyword surface).
+
+    ``regex=False`` is a literal substring test; ``case=False``
+    case-folds; ``flags`` accepts ``re.IGNORECASE|re.DOTALL|
+    re.MULTILINE|re.VERBOSE`` (compiled into inline ``(?...)`` groups —
+    JVM regex understands the same letters); ``na`` substitutes the
+    match result for NULL values (pandas default propagates NaN, which
+    a filter drops on BOTH complement settings — same here)."""
+    import re as _re
+
+    if regex:
+        inline = ""
+        known = {
+            _re.IGNORECASE: "i",
+            _re.DOTALL: "s",
+            _re.MULTILINE: "m",
+            _re.VERBOSE: "x",
+        }
+        rest = flags
+        for f, letter in known.items():
+            if flags & f:
+                inline += letter
+                rest &= ~f
+        if rest:
+            raise ValueError(f"unsupported regex flags: {rest}")
+        if not case:
+            inline += "i"
+        pat = f"(?{inline}){search_string}" if inline else search_string
+        pred = F.col(column_name).rlike(pat)
+    else:
+        col = F.col(column_name)
+        lit = F.lit(search_string)
+        if not case:
+            col, lit = F.lower(col), F.lower(lit)
+        pred = col.contains(lit)
+    if na is not None:
+        pred = F.when(F.col(column_name).isNull(), F.lit(bool(na))).otherwise(pred)
     return df.filter(~pred if complement else pred)
 
 
@@ -120,9 +160,12 @@ def get_dupes(df: DataFrame, column_names: Any | None = None) -> DataFrame:
     )
 
 
-def remove_empty(df: DataFrame, *, rows: bool = True, columns: bool = False) -> DataFrame:
+def remove_empty(df: DataFrame, *, rows: bool = True, columns: bool = True) -> DataFrame:
     """Drop all-null rows and/or all-null columns (ref
-    ``remove_empty.py:8-47``).  Column removal needs one agg action."""
+    ``remove_empty.py:8-47`` — the reference always drops BOTH, so both
+    default on).  Column removal needs one bounded agg action (a
+    per-column count, narrow scan); pass ``columns=False`` to skip that
+    scan when the schema is known dense."""
     out = df
     if rows:
         out = out.na.drop(how="all")

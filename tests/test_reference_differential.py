@@ -1,0 +1,348 @@
+"""Differential tests: the REFERENCE pyjanitor executes live (pandas,
+from its own read-only checkout — see ``reference_janitor.py``) on the
+same inputs as this package's Spark verbs, and full results are
+compared as multisets.  This is the reference's own test strategy
+turned on itself: instead of re-deriving expected values, the
+reference IS the expected value.
+
+Comparison contract: column names must match exactly; rows compare
+sorted by every column (Spark output is unordered); floats at 1e-9
+relative tolerance; pandas NaN == Spark NULL.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+import pyjanitor_spark as pj
+from tests.reference_janitor import load_reference
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(
+    ref is None, reason="reference janitor not importable in this environment"
+)
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if pd.api.types.is_scalar(v) and pd.isna(v):
+        return None
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def _rows(pdf: pd.DataFrame):
+    cols = sorted(pdf.columns)
+    out = []
+    for t in pdf[cols].itertuples(index=False):
+        out.append(tuple(_norm(v) for v in t))
+    return sorted(out, key=repr)
+
+
+def compare(spark, pandas_expected: pd.DataFrame, spark_out):
+    got = spark_out.toPandas()
+    assert sorted(got.columns) == sorted(pandas_expected.columns), (
+        got.columns,
+        pandas_expected.columns,
+    )
+    a, b = _rows(got), _rows(pandas_expected)
+    assert len(a) == len(b), (len(a), len(b))
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12), (ra, rb)
+            else:
+                assert x == y, (ra, rb)
+
+
+def _sdf(spark, pdf: pd.DataFrame, schema=None):
+    # pandas NaN must land as Spark NULL (createDataFrame keeps float
+    # NaN, which is non-null to coalesce/countDistinct/isNull); NaN-free
+    # frames convert directly (the object detour breaks int inference)
+    if pdf.isna().any().any():
+        pdf = pdf.astype(object).where(pd.notna(pdf), None)
+    if schema is None:
+        return spark.createDataFrame(pdf)
+    return spark.createDataFrame(pdf, schema)
+
+
+def test_clean_names(spark):
+    pdf = pd.DataFrame({"Aloha Ole": [1], "Bell  Chart%": [2], "Animals@#$%^": [3]})
+    exp = pdf.clean_names()
+    compare(spark, exp, pj.clean_names(_sdf(spark, pdf)))
+
+
+def test_clean_names_case_and_underscores(spark):
+    pdf = pd.DataFrame({"CamelCase Col": [1], "__lead": [2]})
+    exp = pdf.clean_names(case_type="snake", strip_underscores=True)
+    compare(
+        spark,
+        exp,
+        pj.clean_names(_sdf(spark, pdf), case_type="snake", strip_underscores=True),
+    )
+
+
+def test_coalesce(spark):
+    pdf = pd.DataFrame(
+        {"a": [None, 2.0, None], "b": [1.0, None, None], "c": [9.0, 9.0, 9.0]}
+    )
+    exp = pdf.coalesce("a", "b", "c", target_column_name="out")
+    compare(
+        spark,
+        exp,
+        pj.coalesce(_sdf(spark, pdf), ["a", "b", "c"], target_column_name="out"),
+    )
+
+
+def test_fill_empty(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, "x", None]})
+    exp = pdf.fill_empty(column_names="a", value=0.0).fill_empty(
+        column_names="b", value="?"
+    )
+    out = pj.fill_empty(
+        pj.fill_empty(_sdf(spark, pdf), "a", 0.0), "b", "?"
+    )
+    compare(spark, exp, out)
+
+
+def test_concatenate_columns(spark):
+    pdf = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    exp = pdf.concatenate_columns(["a", "b"], "joined", sep="-")
+    compare(
+        spark,
+        exp,
+        pj.concatenate_columns(_sdf(spark, pdf), ["a", "b"], "joined", sep="-"),
+    )
+
+
+def test_deconcatenate_column(spark):
+    pdf = pd.DataFrame({"k": ["a-1", "b-2"]})
+    exp = pdf.deconcatenate_column(
+        "k", sep="-", new_column_names=["l", "r"], preserve_position=False
+    )
+    out = pj.deconcatenate_column(
+        _sdf(spark, pdf), "k", sep="-", new_column_names=["l", "r"]
+    )
+    compare(spark, exp, out)
+
+
+def test_remove_empty(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, None], "b": [None, None, None], "c": ["x", None, None]}
+    )
+    exp = pdf.remove_empty()
+    out = pj.remove_empty(_sdf(spark, pdf, "a double, b double, c string"))
+    compare(spark, exp, out)
+
+
+def test_get_dupes(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2, 3, 3, 3], "b": ["x", "x", "y", "z", "z", "w"]})
+    exp = pdf.get_dupes()
+    compare(spark, exp, pj.get_dupes(_sdf(spark, pdf)))
+
+
+def test_filter_string(spark):
+    pdf = pd.DataFrame({"s": ["apple", "banana", "cherry", "APPLE"], "v": [1, 2, 3, 4]})
+    exp = pdf.filter_string("s", "app", complement=False)
+    compare(spark, exp, pj.filter_string(_sdf(spark, pdf), "s", "app"))
+    exp2 = pdf.filter_string("s", "app", case=False, complement=True)
+    compare(
+        spark,
+        exp2,
+        pj.filter_string(_sdf(spark, pdf), "s", "app", case=False, complement=True),
+    )
+
+
+def test_filter_on(spark):
+    pdf = pd.DataFrame({"a": [1, 5, 10], "b": ["x", "y", "z"]})
+    exp = pdf.filter_on("a >= 5", complement=False)
+    compare(spark, exp, pj.filter_on(_sdf(spark, pdf), "a >= 5"))
+
+
+def test_update_where(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": [5.0, 6.0, 7.0, 8.0]})
+    exp = pdf.update_where((pdf.a > 2), target_column_name="b", target_val=0.0)
+    out = pj.update_where(_sdf(spark, pdf), "a > 2", "b", 0.0)
+    compare(spark, exp, out)
+
+
+def test_limit_column_characters(spark):
+    pdf = pd.DataFrame({"really_long_name": [1], "really_long_hat": [2], "ok": [3]})
+    exp = pdf.limit_column_characters(7, col_separator="_")
+    compare(spark, exp, pj.limit_column_characters(_sdf(spark, pdf), 7, "_"))
+
+
+def test_row_to_names(spark):
+    pdf = pd.DataFrame({"a": ["x", "1", "2"], "b": ["y", "3", "4"]})
+    exp = pdf.row_to_names(0, remove_rows=True).reset_index(drop=True)
+    # Spark frames have no row order: supply the positional order column
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    out = pj.row_to_names(sdf, 0, remove_rows=True).drop("_row_order")
+    compare(spark, exp, out)
+
+
+def test_expand_column(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "tags": ["a|b", "b|c"]})
+    exp = pdf.expand_column("tags", sep="|", concat=True)
+    exp.columns = [str(c) for c in exp.columns]
+    compare(spark, exp, pj.expand_column(_sdf(spark, pdf), "tags", sep="|"))
+
+
+def test_find_replace(spark):
+    pdf = pd.DataFrame({"s": ["cat", "dog", "cat"], "v": [1, 2, 3]})
+    exp = pdf.find_replace(match="exact", s={"cat": "feline"})
+    compare(
+        spark, exp, pj.find_replace(_sdf(spark, pdf), match="exact", s={"cat": "feline"})
+    )
+
+
+def test_currency_column_to_numeric(spark):
+    pdf = pd.DataFrame({"money": ["$1,000.50", "2,500", "-$10", ""]})
+    exp = pdf.currency_column_to_numeric("money")
+    compare(spark, exp, pj.currency_column_to_numeric(_sdf(spark, pdf), "money"))
+
+
+def test_convert_excel_date(spark):
+    pdf = pd.DataFrame({"d": [39690, 40000, 41000]})
+    exp = pdf.convert_excel_date("d")
+    got = pj.convert_excel_date(_sdf(spark, pdf), "d").toPandas()
+    assert list(got.columns) == list(exp.columns)
+    assert sorted(got["d"].astype(str)) == sorted(exp["d"].astype(str))
+
+
+def test_convert_unix_date(spark):
+    pdf = pd.DataFrame({"d": [1_600_000_000, 1_650_000_000]})
+    exp = pdf.convert_unix_date("d")
+    got = pj.convert_unix_date(_sdf(spark, pdf), "d").toPandas()
+    assert sorted(got["d"].astype(str)) == sorted(exp["d"].astype(str))
+
+
+def test_bin_numeric(spark):
+    pdf = pd.DataFrame({"v": [1.0, 5.0, 9.0, 14.0, 20.0]})
+    # float edges so pandas Interval str() renders identically to our
+    # JVM-built "(0.0, 5.0]" labels
+    exp = pdf.bin_numeric(
+        from_column_name="v", to_column_name="bin", bins=[0.0, 5.0, 10.0, 15.0, 20.0]
+    )
+    exp["bin"] = exp["bin"].astype(str)
+    out = pj.bin_numeric(
+        _sdf(spark, pdf), "v", "bin", bins=[0.0, 5.0, 10.0, 15.0, 20.0]
+    )
+    compare(spark, exp, out)
+
+
+def test_round_to_fraction(spark):
+    pdf = pd.DataFrame({"v": [1.1, 2.26, 3.51]})
+    exp = pdf.round_to_fraction("v", denominator=4)
+    compare(spark, exp, pj.round_to_fraction(_sdf(spark, pdf), "v", 4))
+
+
+def test_min_max_scale(spark):
+    pdf = pd.DataFrame({"v": [1.0, 3.0, 5.0, 9.0]})
+    exp = pdf.min_max_scale(column_name="v")
+    compare(spark, exp, pj.min_max_scale(_sdf(spark, pdf), column_name="v"))
+
+
+def test_groupby_agg_transform(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b"], "v": [1, 2, 3, 4, 10]})
+    exp = pdf.groupby_agg(
+        by="k", new_column_name="avg_v", agg_column_name="v", agg="mean"
+    )
+    compare(spark, exp, pj.groupby_agg(_sdf(spark, pdf), "k", "avg_v", "v", "mean"))
+
+
+def test_groupby_agg_nunique_differential(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "v": [1, 1, 2, 5, None]}
+    )
+    exp = pdf.groupby_agg(
+        by="k", new_column_name="n", agg_column_name="v", agg="nunique"
+    )
+    compare(spark, exp, pj.groupby_agg(_sdf(spark, pdf), "k", "n", "v", "nunique"))
+
+
+def test_conditional_join_inner(spark):
+    left = pd.DataFrame({"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]})
+    right = pd.DataFrame({"c": [2, 3, 9], "d": ["x", "y", "z"]})
+    exp = left.conditional_join(right, ("a", "c", ">"))
+    out = pj.conditional_join(_sdf(spark, left), _sdf(spark, right), ("a", "c", ">"))
+    compare(spark, exp, out)
+
+
+def test_conditional_join_mixed(spark):
+    left = pd.DataFrame({"k": [1, 1, 2, 2], "a": [5, 15, 25, 35]})
+    right = pd.DataFrame({"k2": [1, 2, 2], "lo": [0, 20, 30]})
+    exp = left.conditional_join(right, ("k", "k2", "=="), ("a", "lo", ">="))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("k", "k2", "=="), ("a", "lo", ">=")
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_names_sep(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "x_a": [1.0, 2.0], "x_b": [3.0, 4.0], "y_a": [5.0, 6.0]}
+    )
+    exp = pdf.pivot_longer(index="id", names_to=("var", "grp"), names_sep="_")
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to=("var", "grp"), names_sep="_"
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dot_value(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "ht_1": [1.1, 2.1], "ht_2": [1.2, 2.2], "wt_1": [9.0, 8.0],
+         "wt_2": [7.0, 6.0]}
+    )
+    exp = pdf.pivot_longer(
+        index="id", names_to=(".value", "time"), names_sep="_"
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to=(".value", "time"), names_sep="_"
+    )
+    compare(spark, exp, out)
+
+
+def test_complete(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b"], "item": [1, 2, 2], "v": [10.0, 20.0, 30.0]}
+    )
+    exp = pdf.complete("g", "item")
+    compare(spark, exp, pj.complete(_sdf(spark, pdf), "g", "item"))
+
+
+def test_flag_nulls(spark):
+    pdf = pd.DataFrame({"a": [1.0, None], "b": [None, "x"]})
+    exp = pdf.flag_nulls(column_name="null_flag")
+    compare(spark, exp, pj.flag_nulls(_sdf(spark, pdf), column_name="null_flag"))
+
+
+def test_dropnotnull(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": ["x", "y", "z"]})
+    exp = pdf.dropnotnull("a")
+    compare(spark, exp, pj.dropnotnull(_sdf(spark, pdf), "a"))
+
+
+def test_factorize_columns(spark):
+    pdf = pd.DataFrame({"s": ["b", "a", "b", "c"]})
+    # our default IS deterministic sorted order; the reference reaches
+    # it via pd.factorize(sort=True)
+    exp = pdf.factorize_columns(column_names="s", sort=True)
+    compare(spark, exp, pj.factorize_columns(_sdf(spark, pdf), column_names="s"))
+
+
+def test_jitter_moments(spark):
+    # jitter is random on both engines: compare moments, not values
+    pdf = pd.DataFrame({"v": [10.0] * 2000})
+    exp = pdf.jitter("v", "j", scale=1.0, random_state=7)
+    out = pj.jitter(_sdf(spark, pdf), "v", "j", scale=1.0, random_state=7).toPandas()
+    assert abs(out["j"].mean() - exp["j"].mean()) < 0.15
+    assert abs(out["j"].std() - exp["j"].std()) < 0.15
