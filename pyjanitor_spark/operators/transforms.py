@@ -582,9 +582,14 @@ def factorize_columns(
     return out
 
 
-def label_encode(df: DataFrame, column_names: Any) -> DataFrame:
-    """Deprecated alias of factorize_columns (ref ``label_encode.py``)."""
-    return factorize_columns(df, column_names, suffix="_enc")
+def label_encode(
+    df: DataFrame, column_names: Any, order_by: str | None = None
+) -> DataFrame:
+    """Deprecated alias of factorize_columns (ref ``label_encode.py``).
+    The reference's codes follow FIRST APPEARANCE; pass ``order_by``
+    (the ``_row_order`` contract) to reproduce that — without it codes
+    are deterministic sorted-order (the documented divergence)."""
+    return factorize_columns(df, column_names, suffix="_enc", order_by=order_by)
 
 
 def encode_categorical(df: DataFrame, column_names: Any = None, **kwargs: Any) -> DataFrame:

@@ -346,3 +346,188 @@ def test_jitter_moments(spark):
     out = pj.jitter(_sdf(spark, pdf), "v", "j", scale=1.0, random_state=7).toPandas()
     assert abs(out["j"].mean() - exp["j"].mean()) < 0.15
     assert abs(out["j"].std() - exp["j"].std()) < 0.15
+
+
+# ---- batch 2: ordered verbs, reshape, group-by, selection ----
+
+
+def test_case_when(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": ["w", "x", "y", "z"]})
+    sdf = _sdf(spark, pdf)
+    exp = pdf.case_when(
+        pdf.a < 2, "small", pdf.a < 4, "mid", "big", column_name="size"
+    )
+    out = pj.case_when(
+        sdf, "a < 2", "small", "a < 4", "mid",
+        default="big", column_name="size",
+    )
+    compare(spark, exp, out)
+
+
+def test_impute_value_and_statistic(spark):
+    pdf = pd.DataFrame({"v": [1.0, None, 3.0, None], "g": ["a", "a", "b", "b"]})
+    exp = pdf.impute("v", value=0.0)
+    compare(spark, exp, pj.impute(_sdf(spark, pdf), "v", value=0.0))
+    exp2 = pd.DataFrame({"v": [1.0, None, 3.0]}).impute(
+        "v", statistic_column_name="mean"
+    )
+    out2 = pj.impute(
+        _sdf(spark, pd.DataFrame({"v": [1.0, None, 3.0]})),
+        "v",
+        statistic_column_name="mean",
+    )
+    compare(spark, exp2, out2)
+
+
+def test_groupby_topk(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "v": [3, 1, 2, 9, 8], "x": list("pqrst")}
+    )
+    exp = pdf.groupby_topk(by="g", column="v", k=2, ascending=True)
+    compare(
+        spark, exp, pj.groupby_topk(_sdf(spark, pdf), "g", "v", 2, ascending=True)
+    )
+
+
+def test_take_first(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [2, 1, 5], "x": ["p", "q", "r"]})
+    exp = pdf.take_first(subset="g", by="v", ascending=True)
+    compare(spark, exp, pj.take_first(_sdf(spark, pdf), "g", "v", ascending=True))
+
+
+def test_sort_column_value_order(spark):
+    pdf = pd.DataFrame({"s": ["hi", "lo", "mid", "lo"], "v": [1, 2, 3, 4]})
+    order = {"lo": 0, "mid": 1, "hi": 2}
+    exp = pdf.sort_column_value_order("s", order)
+    got = pj.sort_column_value_order(_sdf(spark, pdf), "s", order).toPandas()
+    # row SET must match and the s-sequence must follow the rank order
+    assert sorted(got["v"]) == sorted(exp["v"])
+    assert [order[s] for s in got["s"]] == sorted(order[s] for s in pdf["s"])
+
+
+def test_truncate_datetime(spark):
+    pdf = pd.DataFrame(
+        {"t": pd.to_datetime(["2021-03-14 15:09:26", "2020-12-31 23:59:59"])}
+    )
+    exp = pdf.truncate_datetime_dataframe("month")
+    got = pj.truncate_datetime_dataframe(_sdf(spark, pdf), "month").toPandas()
+    assert sorted(got["t"].astype(str)) == sorted(exp["t"].astype(str))
+
+
+def test_convert_matlab_date(spark):
+    pdf = pd.DataFrame({"d": [737125.0, 738000.5]})
+    exp = pdf.convert_matlab_date("d")
+    got = pj.convert_matlab_date(_sdf(spark, pdf), "d").toPandas()
+    # compare to second precision (reference keeps float microseconds)
+    a = sorted(got["d"].astype("datetime64[s]").astype(str))
+    b = sorted(exp["d"].astype("datetime64[s]").astype(str))
+    assert a == b, (a, b)
+
+
+def test_transform_column(spark):
+    pdf = pd.DataFrame({"v": [1.0, 4.0, 9.0]})
+    sdf = _sdf(spark, pdf)
+    exp = pdf.transform_column("v", lambda x: x**0.5, dest_column_name="r")
+    # expression fast path; the reference's elementwise scalar callable
+    # is the Arrow pandas_udf fallback, covered by unit tests
+    out = pj.transform_column(
+        sdf, "v", lambda c: c**0.5, dest_column_name="r", elementwise=False
+    )
+    compare(spark, exp, out)
+
+
+def test_label_encode(spark):
+    pdf = pd.DataFrame({"s": ["b", "a", "b", "c"]})
+    # the reference's codes follow first appearance -> supply the order
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    exp = pdf.label_encode("s")
+    out = pj.label_encode(sdf, "s", order_by="_row_order").drop("_row_order")
+    compare(spark, exp, out)
+
+
+def test_add_columns(spark):
+    pdf = pd.DataFrame({"a": [1, 2]})
+    exp = pdf.add_columns(b=10, c="x")
+    compare(spark, exp, pj.add_columns(_sdf(spark, pdf), b=10, c="x"))
+
+
+def test_expand_grid(spark):
+    others = {"a": [1, 2], "b": ["x", "y", "z"]}
+    exp = ref.expand_grid(others=others)
+    exp.columns = ["_".join(map(str, c)) if isinstance(c, tuple) else str(c)
+                   for c in exp.columns]
+    out = pj.expand_grid(spark, others=others)
+    got = out.toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, exp.values.tolist())
+    )
+
+
+def test_fill_direction(spark):
+    pdf = pd.DataFrame({"v": [None, 1.0, None, 3.0, None]})
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    exp = pdf.fill_direction(v="down")
+    out = pj.fill_direction(sdf, {"v": "down"}, order_by="_row_order").drop(
+        "_row_order"
+    )
+    compare(spark, exp, out)
+
+
+def test_count_cumulative_unique_differential(spark):
+    pdf = pd.DataFrame({"s": ["a", "b", "a", "c", "b", "d"]})
+    exp = pdf.count_cumulative_unique("s", "n")
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    out = pj.count_cumulative_unique(sdf, "s", "n", order_by="_row_order").drop(
+        "_row_order"
+    )
+    compare(spark, exp, out)
+
+
+def test_shuffle_multiset(spark):
+    pdf = pd.DataFrame({"v": [1, 2, 3, 4, 5]})
+    exp = pdf.shuffle(random_state=3)
+    got = pj.shuffle(_sdf(spark, pdf), random_state=3).toPandas()
+    assert sorted(got["v"]) == sorted(exp["v"])  # permutation identity
+
+
+def test_process_text(spark):
+    pdf = pd.DataFrame({"s": ["Hello World", "Spark SQL"]})
+    exp = pdf.process_text("s", string_function="lower")
+    compare(spark, exp, pj.process_text(_sdf(spark, pdf), "s", "lower"))
+    exp2 = pdf.process_text("s", string_function="replace", pat="o", repl="0")
+    compare(
+        spark,
+        exp2,
+        pj.process_text(_sdf(spark, pdf), "s", "replace", pat="o", repl="0"),
+    )
+
+
+def test_move_rows_differential(spark):
+    pdf = pd.DataFrame({"v": [10, 20, 30, 40]})
+    exp = pdf.move(source=0, target=3, position="before", axis=0)
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    got = pj.move(sdf, source=0, target=3, position="before", axis=0).toPandas()
+    assert got["v"].tolist() == exp["v"].tolist()
+
+
+def test_select_columns(spark):
+    pdf = pd.DataFrame({"a_x": [1], "a_y": [2], "b_x": [3]})
+    exp = pdf.select_columns("a_*")
+    compare(spark, exp, pj.select_columns(_sdf(spark, pdf), "a_*"))
+    exp2 = pdf.select_columns("*_x", invert=True)
+    compare(spark, exp2, pj.select_columns(_sdf(spark, pdf), "*_x", invert=True))
+
+
+def test_pivot_wider(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "name": ["a", "b", "a", "b"],
+            "val": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    exp = pdf.pivot_wider(index="id", names_from="name", values_from="val")
+    out = pj.pivot_wider(
+        _sdf(spark, pdf), index="id", names_from="name", values_from="val"
+    )
+    compare(spark, exp, out)
