@@ -697,7 +697,7 @@ def q_flag_jumps(spark, sf):
     out = pj.flag_jumps(
         ev, ts_column="event_id", columns="value", by=["user_id"], threshold=5.0
     )
-    return out.select("event_id", "value_jump")
+    return out.select("event_id", "value_jump_flag")
 
 
 def q_exp(spark, sf):
@@ -2558,7 +2558,7 @@ def _pipeline_oracles() -> dict[str, str]:
             "WITH t AS (SELECT event_id, value, lag(value) OVER "
             "(PARTITION BY user_id ORDER BY event_id) AS prev FROM events) "
             "SELECT event_id, CASE WHEN prev IS NULL THEN 0 "
-            "WHEN abs(value - prev) > 5.0 THEN 1 ELSE 0 END AS value_jump "
+            "WHEN abs(value - prev) > 5.0 THEN 1 ELSE 0 END AS value_jump_flag "
             "FROM t"
         ),
         "data_description": " UNION ALL ".join(

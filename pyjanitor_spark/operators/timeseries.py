@@ -43,7 +43,7 @@ def flag_jumps(
     direction: str = "any",
     threshold: float = 0.0,
     by: Any | None = None,
-    suffix: str = "_jump",
+    suffix: str = "_jump_flag",
 ) -> DataFrame:
     """Flag rows where the delta vs the previous row exceeds a threshold
     (ref ``flag_jumps`` engine ``timeseries.py:167-399``).

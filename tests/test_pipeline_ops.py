@@ -198,7 +198,7 @@ def test_flag_jumps(spark):
         ["ts", "v"],
     )
     out = pj.flag_jumps(df, "ts", ["v"], scale="absolute", threshold=1.0)
-    got = {r["ts"].hour: r["v_jump"] for r in out.collect()}
+    got = {r["ts"].hour: r["v_jump_flag"] for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 0}
 
 

@@ -531,3 +531,137 @@ def test_pivot_wider(spark):
         _sdf(spark, pdf), index="id", names_from="name", values_from="val"
     )
     compare(spark, exp, out)
+
+
+# ---- batch 3: join how-variants, reshape patterns, timeseries, math ----
+
+
+def test_conditional_join_left_right_outer(spark):
+    left = pd.DataFrame({"a": [1, 2, 3, 8], "b": [10, 20, 30, 40]})
+    right = pd.DataFrame({"c": [2, 3, 9], "d": ["x", "y", "z"]})
+    for how in ("left", "right", "outer"):
+        exp = left.conditional_join(right, ("a", "c", "<"), how=how)
+        out = pj.conditional_join(
+            _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"), how=how
+        )
+        compare(spark, exp, out)
+
+
+def test_conditional_join_indicator(spark):
+    left = pd.DataFrame({"a": [1, 5], "b": [10, 20]})
+    right = pd.DataFrame({"c": [2, 3]})
+    exp = left.conditional_join(right, ("a", "c", "<"), how="outer", indicator=True)
+    exp["_merge"] = exp["_merge"].astype(str)
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"),
+        how="outer", indicator=True,
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_df_columns(spark):
+    left = pd.DataFrame({"a": [1, 2], "b": [10, 20], "junk": ["p", "q"]})
+    right = pd.DataFrame({"c": [0, 1], "d": ["x", "y"]})
+    exp = left.conditional_join(
+        right, ("a", "c", ">"), df_columns=["a", "b"], right_columns=["d"]
+    )
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", ">"),
+        df_columns=["a", "b"], right_columns=["d"],
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_names_pattern(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "new_sp_m014": [3, 4], "new_rel_f65": [5, 6]}
+    )
+    exp = pdf.pivot_longer(
+        index="id",
+        names_to=("diagnosis", "gender", "age"),
+        names_pattern=r"new_?(.+)_(.)(.+)",
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf),
+        index="id",
+        names_to=("diagnosis", "gender", "age"),
+        names_pattern=r"new_?(.+)_(.)(.+)",
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_single_name(spark):
+    pdf = pd.DataFrame({"id": [1], "x": [2.0], "y": [3.0]})
+    exp = pdf.pivot_longer(index="id", names_to="var", values_to="val")
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to="var", values_to="val"
+    )
+    compare(spark, exp, out)
+
+
+def test_coalesce_default_value(spark):
+    pdf = pd.DataFrame({"a": [None, 2.0], "b": [None, None]})
+    sdf = _sdf(spark, pdf, "a double, b double")
+    exp = pdf.coalesce("a", "b", target_column_name="out", default_value=-1.0)
+    out = pj.coalesce(sdf, ["a", "b"], target_column_name="out", default_value=-1.0)
+    compare(spark, exp, out)
+
+
+def test_get_dupes_subset(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "z"]})
+    exp = pdf.get_dupes("a")
+    compare(spark, exp, pj.get_dupes(_sdf(spark, pdf), "a"))
+
+
+def test_timeseries_flag_jumps(spark):
+    try:
+        import janitor.timeseries  # noqa: F401  (registers the methods)
+    except Exception:
+        pytest.skip("reference timeseries module not importable")
+    ts = pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2021-01-01 00:00", "2021-01-01 01:00", "2021-01-01 05:00"]
+            ),
+            "v": [1.0, 2.0, 10.0],
+        }
+    )
+    exp = ts.set_index("t").flag_jumps(
+        scale="absolute", direction="any", threshold=2
+    )
+    out = pj.flag_jumps(
+        _sdf(spark, ts), ts_column="t", columns=["v"],
+        scale="absolute", direction="any", threshold=2,
+    )
+    got = out.toPandas()
+    assert sorted(got["v_jump_flag"].astype(int)) == sorted(
+        exp["v_jump_flag"].astype(int)
+    )
+
+
+def test_math_z_score(spark):
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 3.0, 10.0]})
+    exp_series = pdf["v"].z_score()
+    exp = pd.DataFrame({"v": pdf["v"], "z": exp_series})
+    from pyjanitor_spark import functions as pjm
+
+    out = pjm.apply_math(_sdf(spark, pdf), "v", pjm.z_score, dest="z")
+    compare(spark, exp, out)
+
+
+def test_math_ecdf(spark):
+    pdf = pd.DataFrame({"v": [3.0, 1.0, 2.0, 2.0]})
+    x, y = pdf["v"].ecdf()
+    exp = pd.DataFrame({"v": x, "q": y}).drop_duplicates(subset="v", keep="last")
+    from pyjanitor_spark import functions as pjm
+
+    got = (
+        pjm.apply_math(_sdf(spark, pdf), "v", pjm.ecdf, dest="q")
+        .toPandas()
+        .drop_duplicates(subset="v")
+        .sort_values("v")
+    )
+    exp = exp.sort_values("v")
+    assert got["v"].tolist() == exp["v"].tolist()
+    for a, b in zip(got["q"], exp["q"]):
+        assert math.isclose(a, b, rel_tol=1e-9), (a, b)
