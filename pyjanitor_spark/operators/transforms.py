@@ -302,32 +302,36 @@ def currency_column_to_numeric(
     return out
 
 
-def convert_excel_date(df: DataFrame, column_name: str) -> DataFrame:
+def convert_excel_date(df: DataFrame, column_name: Any) -> DataFrame:
     """Excel serial -> date, origin 1899-12-30 (ref
-    ``convert_date.py:12-58``)."""
-    return df.withColumn(
-        column_name,
-        F.timestamp_seconds(
-            F.unix_timestamp(F.lit("1899-12-30 00:00:00"))
-            + (F.col(column_name).cast("double") * 86400).cast("long")
-        ),
+    ``convert_date.py:12-58``).  Accepts one column or a list like the
+    reference's ``column_names``."""
+    expr = lambda c: F.timestamp_seconds(  # noqa: E731
+        F.unix_timestamp(F.lit("1899-12-30 00:00:00"))
+        + (F.col(c).cast("double") * 86400).cast("long")
     )
+    return df.withColumns({c: expr(c) for c in resolve_columns(df, column_name)})
 
 
-def convert_matlab_date(df: DataFrame, column_name: str) -> DataFrame:
+def convert_matlab_date(df: DataFrame, column_name: Any) -> DataFrame:
     """MATLAB datenum -> timestamp: days since year 0; epoch offset
-    719529 days = 1970-01-01 (ref ``convert_date.py:60-103``)."""
-    return df.withColumn(
-        column_name,
-        F.timestamp_seconds(
-            ((F.col(column_name).cast("double") - F.lit(719529.0)) * 86400).cast("long")
-        ),
+    719529 days = 1970-01-01 (ref ``convert_date.py:60-103``).
+    Accepts one column or a list like the reference."""
+    expr = lambda c: F.timestamp_seconds(  # noqa: E731
+        ((F.col(c).cast("double") - F.lit(719529.0)) * 86400).cast("long")
     )
+    return df.withColumns({c: expr(c) for c in resolve_columns(df, column_name)})
 
 
-def convert_unix_date(df: DataFrame, column_name: str) -> DataFrame:
-    """Epoch seconds -> timestamp (ref ``convert_date.py:113-153``)."""
-    return df.withColumn(column_name, F.timestamp_seconds(F.col(column_name).cast("long")))
+def convert_unix_date(df: DataFrame, column_name: Any) -> DataFrame:
+    """Epoch seconds -> timestamp (ref ``convert_date.py:113-153``).
+    Accepts one column or a list like the reference."""
+    return df.withColumns(
+        {
+            c: F.timestamp_seconds(F.col(c).cast("long"))
+            for c in resolve_columns(df, column_name)
+        }
+    )
 
 
 def to_datetime(df: DataFrame, column_name: str, format: str | None = None) -> DataFrame:

@@ -16,6 +16,7 @@ import math
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 import pyjanitor_spark as pj
 from tests.reference_janitor import load_reference
@@ -665,3 +666,108 @@ def test_math_ecdf(spark):
     assert got["v"].tolist() == exp["v"].tolist()
     for a, b in zip(got["q"], exp["q"]):
         assert math.isclose(a, b, rel_tol=1e-9), (a, b)
+
+
+# ---- batch 4: asof vs pandas merge_asof, misc parity ----
+
+
+def test_asof_join_vs_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 40),
+            "t": np.sort(rng.uniform(0, 100, 40)),
+            "lid": range(40),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 25),
+            "t": np.sort(rng.uniform(0, 100, 25)),
+            "price": rng.uniform(1, 9, 25).round(3),
+        }
+    )
+    for direction in ("backward", "forward", "nearest"):
+        exp = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="g",
+            direction=direction,
+            suffixes=("", "_right"),
+        )
+        out = pj.asof_join(
+            _sdf(spark, left), _sdf(spark, right), on="t", by="g",
+            direction=direction,
+        ).toPandas()
+        # our output carries the matched right `on` value; pandas doesn't
+        a = exp.sort_values("lid")["price"].tolist()
+        b = out.sort_values("lid")["price"].tolist()
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            ok = (pd.isna(x) and pd.isna(y)) or (
+                not pd.isna(x) and not pd.isna(y) and abs(x - y) < 1e-9
+            )
+            assert ok, (direction, x, y)
+
+
+def test_asof_join_tolerance_vs_pandas(spark):
+    left = pd.DataFrame({"t": [1.0, 5.0, 20.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"t": [0.5, 4.0, 10.0], "v": [10.0, 20.0, 30.0]})
+    exp = pd.merge_asof(
+        left, right, on="t", direction="backward", tolerance=2.0,
+        suffixes=("", "_right"),
+    )
+    out = pj.asof_join(
+        _sdf(spark, left), _sdf(spark, right), on="t", direction="backward",
+        tolerance=2.0,
+    ).toPandas()
+    a = exp.sort_values("lid")["v"].tolist()
+    b = out.sort_values("lid")["v"].tolist()
+    for x, y in zip(a, b):
+        assert (pd.isna(x) and pd.isna(y)) or x == y, (a, b)
+
+
+def test_also_then(spark):
+    pdf = pd.DataFrame({"a": [1, 2]})
+    seen = []
+    exp = pdf.also(lambda d: seen.append(len(d))).then(lambda d: d.assign(b=1))
+    out = pj.then(
+        pj.also(_sdf(spark, pdf), lambda d: seen.append(d.columns)),
+        lambda d: d.withColumn("b", F.lit(1)),
+    )
+    compare(spark, exp, out)
+    assert len(seen) == 2
+
+
+def test_groupby_agg_dropna_false(spark):
+    pdf = pd.DataFrame({"k": ["a", None, "a", None], "v": [1, 2, 3, 4]})
+    exp = pdf.groupby_agg(
+        by="k", new_column_name="s", agg_column_name="v", agg="sum", dropna=False
+    )
+    out = pj.groupby_agg(
+        _sdf(spark, pdf), "k", "s", "v", "sum", dropna=False
+    )
+    compare(spark, exp, out)
+
+
+def test_deconcatenate_preserve_position(spark):
+    pdf = pd.DataFrame({"k": ["a-1", "b-2"], "z": [9, 8]})
+    exp = pdf.deconcatenate_column(
+        "k", sep="-", new_column_names=["l", "r"], preserve_position=True
+    )
+    out = pj.deconcatenate_column(
+        _sdf(spark, pdf), "k", sep="-", new_column_names=["l", "r"],
+        preserve_position=True,
+    )
+    compare(spark, exp, out)
+
+
+def test_convert_excel_date_multi(spark):
+    pdf = pd.DataFrame({"d1": [40000, 41000], "d2": [39000, 39500]})
+    exp = pdf.convert_excel_date(["d1", "d2"])
+    got = pj.convert_excel_date(_sdf(spark, pdf), ["d1", "d2"]).toPandas()
+    for c in ("d1", "d2"):
+        assert sorted(got[c].astype(str)) == sorted(exp[c].astype(str)), c
