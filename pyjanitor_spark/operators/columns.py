@@ -330,9 +330,12 @@ def row_to_names(
     row_numbers: int | list[int] = 0,
     remove_rows: bool = False,
     remove_rows_above: bool = False,
+    reset_index: bool = False,
     order_by: str | None = None,
 ) -> DataFrame:
     """Promote row(s) to column names (ref ``row_to_names.py:16-96``).
+    ``reset_index`` is accepted for API parity and is a no-op — Spark
+    frames carry no index (the ``_row_order`` contract).
 
     Needs an order column ("row k" is positional).  One bounded driver
     action collects just the designated row(s) (LIMIT k+1 under the order
@@ -364,8 +367,11 @@ def row_to_names(
     return out
 
 
-def collapse_levels(df: DataFrame, sep: str = "_", glue: str | None = None) -> DataFrame:
+def collapse_levels(
+    df: DataFrame, sep: str = "_", glue: str | None = None, axis: str = "columns"
+) -> DataFrame:
     """Flatten 'MultiIndex' columns (ref ``collapse_levels.py:11-155``).
+    Only ``axis='columns'`` exists on Spark (no row MultiIndex).
 
     MultiIndex columns map to ``StructType`` columns in our model
     (SURVEY.md §1.4), so this flattens every struct column into one

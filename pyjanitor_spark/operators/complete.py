@@ -108,6 +108,7 @@ def cartesian_product(*dfs: DataFrame) -> DataFrame:
 def complete(
     df: DataFrame,
     *specs: Any,
+    sort: bool = False,
     by: Any | None = None,
     fill_value: Any | dict | None = None,
     explicit: bool = True,
@@ -118,7 +119,9 @@ def complete(
     grid = expand(specs[, by]) LEFT-joined by the original frame.
     ``fill_value`` fills the value columns; ``explicit=False`` fills ONLY
     newly-created rows (presence indicator from the join, mirroring the
-    reference's merge ``indicator`` trick)."""
+    reference's merge ``indicator`` trick); ``sort=True`` orders the
+    output by the completed key columns (one range exchange — the
+    reference's ``sort=`` flag)."""
     grid = expand(df, *specs, by=by)
     keys = grid.columns
     # presence indicator BEFORE the join (any non-key column could be null
@@ -143,6 +146,8 @@ def complete(
                     F.col("__present").isNull() & F.col(c).isNull(), F.lit(v)
                 ).otherwise(F.col(c))
         out = out.withColumns(updates)
+    if sort:
+        out = out.orderBy(*[F.col(k) for k in keys])
     return out.drop("__present")
 
 

@@ -250,14 +250,20 @@ def groupby_topk(
     by: Any,
     column: str,
     k: int,
+    dropna: bool = True,
     ascending: bool = True,
     ignore_index: bool = True,
 ) -> DataFrame:
     """Top-k rows per group by column order (ref ``groupby_topk.py:13-125``).
-    row_number over partitioned window — single shuffle, streams at scale."""
+    row_number over partitioned window — single shuffle, streams at scale.
+    ``dropna=True`` (pandas groupby default) excludes null-keyed groups;
+    ``False`` ranks the null group like any other."""
     if k < 1:
         raise ValueError("k must be >= 1")
     keys = resolve_columns(df, by)
+    if dropna:
+        for kcol in keys:
+            df = df.filter(F.col(kcol).isNotNull())
     order = F.col(column).asc() if ascending else F.col(column).desc()
     w = Window.partitionBy(*keys).orderBy(order)
     return (
@@ -328,13 +334,21 @@ def count_cumulative_unique(
     return out.drop(ocol)
 
 
-def shuffle(df: DataFrame, random_state: int | None = None) -> DataFrame:
-    """Random row permutation (ref ``shuffle.py:10-55``)."""
+def shuffle(
+    df: DataFrame, random_state: int | None = None, reset_index: bool = True
+) -> DataFrame:
+    """Random row permutation (ref ``shuffle.py:10-55``).
+    ``reset_index`` is accepted for API parity and is a no-op — Spark
+    frames carry no index (the ``_row_order`` contract)."""
     return df.orderBy(F.rand(random_state) if random_state is not None else F.rand())
 
 
 def sort_naturally(
-    df: DataFrame, column_name: str, ascending: bool = True, dest: str | None = None
+    df: DataFrame,
+    column_name: str,
+    ascending: bool = True,
+    dest: str | None = None,
+    **natsorted_kwargs: Any,
 ) -> DataFrame:
     """Natural sort on a string column (ref ``sort_naturally.py:11-87``):
     digit runs compare numerically ("x2" < "x10").
@@ -350,7 +364,13 @@ def sort_naturally(
     runs both exceeding 20 digits compare lexicographically rather than
     numerically (natsort would compare their full numeric values).
     Inputs with >20-digit integer runs embedded in strings are outside
-    this verb's supported domain."""
+    this verb's supported domain.  ``natsorted_kwargs`` (the
+    reference's natsort ``alg=`` flags) are not supported — passing any
+    raises."""
+    if natsorted_kwargs:
+        raise NotImplementedError(
+            f"natsort algorithm flags are not supported: {sorted(natsorted_kwargs)}"
+        )
     key = F.regexp_replace(
         F.col(column_name).cast("string"), r"(\d+)", r"00000000000000000000$1"
     )

@@ -83,13 +83,19 @@ def impute(
 
 def fill_direction(
     df: DataFrame,
-    directions: dict[str, str],
+    directions: dict[str, str] | None = None,
     order_by: str | None = None,
     by: Any | None = None,
+    **kwargs: str,
 ) -> DataFrame:
     """Per-column ffill ('down'), bfill ('up'), 'updown', 'downup' (ref
     ``fill.py:25-127``).  Requires an order column; optional ``by`` makes
-    the window partition-parallel (the scale path)."""
+    the window partition-parallel (the scale path).  Directions may be
+    passed as a dict or as keyword pairs like the reference
+    (``fill_direction(v='down')``)."""
+    directions = {**(directions or {}), **kwargs}
+    if not directions:
+        raise ValueError("provide at least one column: direction pair")
     df, ocol, added = ensure_order_column(df, order_by)
     part = resolve_columns(df, by) if by is not None else []
     base_down = Window.partitionBy(*part).orderBy(F.col(ocol)).rowsBetween(

@@ -255,16 +255,18 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
 
 def change_type(
     df: DataFrame,
-    column_names: Any,
+    column_name: Any,
     dtype: str,
     ignore_exception: bool | str = False,
 ) -> DataFrame:
-    """astype on column(s) (ref ``change_type.py:19-113``).
+    """astype on column(s) (ref ``change_type.py:19-113`` — the
+    reference's ``column_name`` accepts a single label or a list, so
+    does this).
 
     ``ignore_exception='fillna'`` == try_cast (bad values -> null);
     ``'keep_values'`` keeps originals where the cast fails (string
     supertype)."""
-    cols = resolve_columns(df, column_names)
+    cols = resolve_columns(df, column_name)
     updates = {}
     for c in cols:
         if ignore_exception == "fillna":
@@ -281,12 +283,29 @@ def change_type(
 def currency_column_to_numeric(
     df: DataFrame,
     column_name: str,
+    cleaning_style: str | None = None,
     cast_non_numeric: dict | None = None,
     fill_all_non_numeric: float | None = None,
     remove_non_numeric: bool = False,
 ) -> DataFrame:
     """Strip currency garbage -> double (ref
-    ``currency_column_to_numeric.py:12-197``)."""
+    ``currency_column_to_numeric.py:12-197``).
+
+    ``cleaning_style='accounting'``: commas removed, values wrapped in
+    parentheses become negatives (the reference's accounting style)."""
+    if cleaning_style not in (None, "accounting"):
+        raise ValueError(
+            "`cleaning_style` is expected to be one of ('accounting', None). "
+            f"Got {cleaning_style!r} instead."
+        )
+    if cleaning_style == "accounting":
+        raw = F.trim(F.col(column_name).cast("string"))
+        no_comma = F.regexp_replace(raw, ",", "")
+        inner = F.regexp_extract(no_comma, r"^\((.*)\)$", 1)
+        signed = F.when(
+            no_comma.rlike(r"^\(.*\)$"), F.concat(F.lit("-"), inner)
+        ).otherwise(no_comma)
+        return df.withColumn(column_name, signed.try_cast("double"))
     raw = F.col(column_name).cast("string")
     cleaned = F.regexp_replace(raw, r"[^0-9.\-eE+]", "")
     num = cleaned.try_cast("double")
@@ -358,15 +377,23 @@ def bin_numeric(
     to_column_name: str,
     bins: int | list[float],
     labels: list[str] | None = None,
+    right: bool = True,
+    include_lowest: bool = False,
 ) -> DataFrame:
-    """``pd.cut`` into labeled bins (ref ``bin_numeric.py:19-79``).
+    """``pd.cut`` into labeled bins (ref ``bin_numeric.py:19-79``, which
+    forwards ``right``/``include_lowest`` to ``pd.cut``).
 
     Explicit bin edges compile to a chained CASE WHEN (codegen); integer
-    ``bins`` computes min/max in one agg action then equal-width edges."""
+    ``bins`` computes min/max in one agg action then equal-width edges —
+    the integer form always admits the column minimum, matching
+    ``pd.cut``'s 0.1% range padding on computed bins.  ``right=True``
+    bins are ``(lo, hi]`` (first bin ``[lo, hi]`` iff ``include_lowest``
+    or integer bins); ``right=False`` bins are ``[lo, hi)``."""
     if isinstance(bins, int) and bins < 1:
         raise ValueError("bins must be >= 1")
     col = F.col(from_column_name)
-    if isinstance(bins, int):
+    int_bins = isinstance(bins, int)
+    if int_bins:
         row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
         lo, hi = float(row["mn"]), float(row["mx"])
         width = (hi - lo) / bins or 1.0
@@ -378,10 +405,17 @@ def bin_numeric(
     expr = None
     for i in range(len(edges) - 1):
         lo_e, hi_e = edges[i], edges[i + 1]
-        lab = labels[i] if labels else f"({lo_e}, {hi_e}]"
-        cond = (col > F.lit(lo_e)) & (col <= F.lit(hi_e))
-        if i == 0:  # pandas cut includes the left edge of the first bin
-            cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
+        if right:
+            lab = labels[i] if labels else f"({lo_e}, {hi_e}]"
+            cond = (col > F.lit(lo_e)) & (col <= F.lit(hi_e))
+            if i == 0 and (include_lowest or int_bins):
+                cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
+        else:
+            lab = labels[i] if labels else f"[{lo_e}, {hi_e})"
+            cond = (col >= F.lit(lo_e)) & (col < F.lit(hi_e))
+            if i == len(edges) - 2 and int_bins:
+                # computed bins must admit the column maximum
+                cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
         expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
     return df.withColumn(to_column_name, expr)
 
@@ -755,11 +789,21 @@ def add_column(df: DataFrame, column_name: str, value: Any, fill_remaining: bool
     return df.withColumn(column_name, F.lit(value))
 
 
-def add_columns(df: DataFrame, **kwargs: Any) -> DataFrame:
-    """Append several scalar/expression columns (ref ``add_columns.py:146-200``)."""
-    return df.withColumns(
-        {k: (v if isinstance(v, Column) else F.lit(v)) for k, v in kwargs.items()}
-    )
+def add_columns(
+    df: DataFrame, fill_remaining: bool = False, **kwargs: Any
+) -> DataFrame:
+    """Append several scalar/expression/iterable columns (ref
+    ``add_columns.py:146-200``).  Iterable values route through
+    :func:`add_column` (zip-with-order; ``fill_remaining=True``
+    cycles short sequences like the reference)."""
+    out = df
+    scalars = {}
+    for k, v in kwargs.items():
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            out = add_column(out, k, v, fill_remaining=fill_remaining)
+        else:
+            scalars[k] = v if isinstance(v, Column) else F.lit(v)
+    return out.withColumns(scalars) if scalars else out
 
 
 def winsorize(
