@@ -1278,18 +1278,160 @@ def q_conditional_join_indicator(spark, sf):
     )
 
 
+# ---- round-7 long-tail gates (VERDICT r6 task 2) ----
+
+def q_row_to_names(spark, sf):
+    # promote rows 0+1 (by the explicit n_nationkey order) to the column
+    # name, then drop them; the order column is the pandas-index stand-in
+    # and keeps its own name
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    out = pj.row_to_names(
+        n, row_numbers=[0, 1], remove_rows=True, order_by="n_nationkey"
+    )
+    return out.select("n_nationkey", "NATION_0_NATION_1")
+
+
+def q_drop_duplicate_columns(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("val"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    out = pj.drop_duplicate_columns(li, "val", nth_index=1)
+    return out.select("l_orderkey", "l_linenumber", "val")
+
+
+def q_to_datetime(spark, sf):
+    _utc(spark)
+    li = _t(spark, sf, "lineitem").select(
+        *KEYS, F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_s")
+    )
+    out = pj.to_datetime(li, "ship_s", format="yyyy-MM-dd")
+    return out.select(
+        *KEYS, F.date_format("ship_s", "yyyy-MM-dd HH:mm:ss").alias("parsed_s")
+    )
+
+
+def q_sort_timestamps_monotonically(spark, sf):
+    _utc(spark)
+    ev = _t(spark, sf, "events").select("ts")
+    out = pj.sort_timestamps_monotonically(
+        ev, "ts", direction="decreasing", strict=True
+    )
+    return out.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s")
+    )
+
+
+def q_get_join_indices(spark, sf):
+    # positional indices are defined by each frame's current row order, so
+    # pin both orders with an explicit total sort first
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey").orderBy(
+        "c_custkey"
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey").orderBy("n_nationkey")
+    out = pj.get_join_indices(c, n, [("c_nationkey", "n_nationkey", "==")])
+    return out.select(
+        F.col("left_index").cast("long").alias("left_index"),
+        F.col("right_index").cast("long").alias("right_index"),
+    )
+
+
+def q_read_csvs(spark, sf):
+    # round-trip: split nation into two CSV shards (written under the
+    # repo's cache dir — the only writable location), read them back as
+    # ONE frame through read_csvs' glob + schema-check path
+    import hashlib
+
+    from pyjanitor_spark.sources import read_csvs
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/csv_fixture/{tag}"
+    os.makedirs(d, exist_ok=True)
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.filter(F.col("n_nationkey") < 12).toPandas().to_csv(
+        f"{d}/nation_a.csv", index=False
+    )
+    nat.filter(F.col("n_nationkey") >= 12).toPandas().to_csv(
+        f"{d}/nation_b.csv", index=False
+    )
+    out = read_csvs(spark, f"{d}/nation_*.csv")
+    return out.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
-    # entries in insertion order.  Round-6 window: (a) the 19 stale
-    # entries from VERDICT r5 (sort_naturally first — never
-    # driver-attested), (b) every verb changed this round, (c) r03-era
-    # rows to refresh.  Rotated-out entries are r04/r05 driver-green
-    # with unchanged code and stay replica-covered.
+    # entries in insertion order.  Round-7 window: (a) the 6 NEW long-tail
+    # gates (VERDICT r6 task 2 — first-ever driver rows), (b) every verb
+    # riding code changed this round (utils/order.py's analyzed-tree
+    # determinism probe feeds partitioned_cumsum/positional_index; the
+    # math whole-column trio's bare forms now refuse) plus the r6 bench
+    # regressions to re-time, (c) the ~30 oldest attestations (r4-era).
+    # Rotated-out entries are r05/r06 driver-green with unchanged code
+    # and stay replica-covered (tools/check_correctness.py).
     return {
-        # ==== round-6 first-50 driver window ====
-        # (a) the 19 stale entries (VERDICT r5 task 1): sort_naturally
-        # has never had a green driver row; the other 18 are r02/r03-
-        # era rows with unchanged, replica-green code
+        # ==== round-7 first-50 driver window ====
+        # (a) new gates — never driver-attested
+        "row_to_names": q_row_to_names,
+        "drop_duplicate_columns": q_drop_duplicate_columns,
+        "to_datetime": q_to_datetime,
+        "sort_timestamps_monotonically": q_sort_timestamps_monotonically,
+        "get_join_indices": q_get_join_indices,
+        "read_csvs": q_read_csvs,
+        # (b) order.py probe riders + math trio + r6 regression re-times
+        "ecdf": q_ecdf,
+        "z_score": q_z_score,
+        "softmax": q_softmax,
+        "count_cumulative_unique": q_count_cumulative_unique,
+        "quantile_bin": q_quantile_bin,
+        "winsorize": q_winsorize,
+        "robust_scale": q_robust_scale,
+        "take_token_budget": q_take_token_budget,
+        "assign_packs": q_assign_packs,
+        "move_rows": q_move_rows,
+        "factorize_appearance": q_factorize_appearance,
+        "shuffle": q_shuffle,
+        "get_dupes": q_get_dupes,
+        "take_first": q_take_first,
+        # (c) r4-era stale attestations to refresh
+        "xlsx_table": q_xlsx_table,
+        "xlsx_cells": q_xlsx_cells,
+        "fill_direction": q_fill_direction,
+        "flag_jumps": q_flag_jumps,
+        "exp": q_exp,
+        "logit": q_logit,
+        "normal_cdf": q_normal_cdf,
+        "probit": q_probit,
+        "dedupe_exact": q_dedupe_exact,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "lsh_bucket_topk": q_lsh_bucket_topk,
+        "ivf_topk": q_ivf_topk,
+        "asof_join": q_asof_join,
+        "dup_span_fraction": q_dup_span_fraction,
+        "normalize_text": q_normalize_text,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "binary_metadata": q_binary_metadata,
+        "resize_payload": q_resize_payload,
+        "dedupe_near_best": q_dedupe_near_best,
+        "contamination": q_contamination,
+        "chunk_text": q_chunk_text,
+        "expand_grid": q_expand_grid,
+        "cartesian_product": q_cartesian_product,
+        # ==== end of first-50 window ====
+        # everything below is r05/r06 driver-green with unchanged code
+        # and stays replica-covered (tools/check_correctness.py)
         "sort_naturally": q_sort_naturally,
         "case_when": q_case_when,
         "update_where": q_update_where,
@@ -1297,9 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coalesce": q_coalesce,
         "fill_empty": q_fill_empty,
         "impute": q_impute_mean,
-        "get_dupes": q_get_dupes,
         "groupby_topk": q_groupby_topk,
-        "take_first": q_take_first,
         "dropnotnull": q_dropnotnull,
         "concatenate_columns": q_concatenate_columns,
         "deconcatenate_column": q_deconcatenate_column,
@@ -1309,12 +1449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_datetime": q_truncate_datetime,
         "bin_numeric": q_bin_numeric,
         "round_to_fraction": q_round_to_fraction,
-        # (b) verbs whose code changed this round: groupby_agg grouped
-        # re-plan (nunique two-phase), simhash_pairs first-band emit,
-        # semdedup centrality join restructure, the conditional_join
-        # family (one-sided bucketization + 2 NEW gated variants:
-        # right, range_open), and every verb riding utils/order.py's
-        # new replay-stability check or columns.move's edge fix
         "groupby_agg": q_groupby_agg,
         "groupby_agg_multi": q_groupby_agg_multi,
         "groupby_agg_nunique": q_groupby_agg_nunique,
@@ -1329,16 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_keep_first": q_conditional_join_keep_first,
         "conditional_join_keep_last": q_conditional_join_keep_last,
         "conditional_join_indicator": q_conditional_join_indicator,
-        "ecdf": q_ecdf,
-        "count_cumulative_unique": q_count_cumulative_unique,
-        "move_rows": q_move_rows,
         "add_column_values": q_add_column_values,
-        "factorize_appearance": q_factorize_appearance,
-        "assign_packs": q_assign_packs,
-        "take_token_budget": q_take_token_budget,
-        "shuffle": q_shuffle,
         "hashed_tfidf": q_hashed_tfidf,
-        # (c) r03-era rows to refresh
         "convert_matlab_date": q_convert_matlab_date,
         "remove_empty": q_remove_empty,
         "limit_column_characters": q_limit_column_characters,
@@ -1347,9 +1473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_units": q_convert_units,
         "inflate_currency": q_inflate_currency,
         "data_description": q_data_description,
-        # ==== end of first-50 window ====
-        # everything below is r04/r05 driver-green with unchanged code
-        # and stays replica-covered (tools/check_correctness.py)
         "min_max_scale": q_min_max_scale,
         "pivot_wider": q_pivot_wider,
         "factorize_columns": q_factorize_columns,
@@ -1367,10 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "expand": q_expand,
         "fill_missing_timestamps": q_fill_missing_timestamps,
-        "z_score": q_z_score,
         "sigmoid": q_sigmoid,
         "log": q_log,
-        "softmax": q_softmax,
         "process_text": q_process_text,
         "find_replace": q_find_replace,
         "column_ops": q_column_ops,
@@ -1384,42 +1505,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_on": q_filter_on,
         "filter_column_isin": q_filter_isin,
         "sort_column_value_order": q_sort_column_value_order,
-        "flag_jumps": q_flag_jumps,
         "pivot_longer_spec": q_pivot_longer_spec,
-        "fill_direction": q_fill_direction,
-        "dedupe_exact": q_dedupe_exact,
-        "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
-        "minhash_lsh_pairs": q_minhash_lsh,
-        "ngram_jaccard_pairs": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "lsh_bucket_topk": q_lsh_bucket_topk,
-        "ivf_topk": q_ivf_topk,
-        "asof_join": q_asof_join,
-        "dup_span_fraction": q_dup_span_fraction,
-        "normalize_text": q_normalize_text,
-        "winsorize": q_winsorize,
-        "robust_scale": q_robust_scale,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "language_id": q_language_id,
-        "binary_metadata": q_binary_metadata,
-        "resize_payload": q_resize_payload,
-        "dedupe_near_best": q_dedupe_near_best,
-        "contamination": q_contamination,
-        "chunk_text": q_chunk_text,
         "sessionize": q_sessionize,
-        "normal_cdf": q_normal_cdf,
-        "probit": q_probit,
-        "quantile_bin": q_quantile_bin,
         "running_counter": q_running_counter,
-        "expand_grid": q_expand_grid,
-        "cartesian_product": q_cartesian_product,
         "bm25_score": q_bm25_score,
         "top_domains": q_top_domains,
-        "xlsx_table": q_xlsx_table,
-        "xlsx_cells": q_xlsx_cells,
         "smiles_descriptors": q_smiles_descriptors,
         "ngram_lm_score": q_ngram_lm_score,
         "bpe_encode": q_bpe_encode,
@@ -1435,8 +1525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedupe_against": q_bloom_dedupe_against,
         "top_ngrams": q_top_ngrams,
         "process_text_fallback": q_process_text_fallback,
-        "exp": q_exp,
-        "logit": q_logit,
         "add_columns": q_add_columns,
         "move_reorder": q_move_reorder,
     }
@@ -1444,6 +1532,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-7 long-tail gates ----
+        "row_to_names": (
+            'SELECT n_nationkey, n_name AS "NATION_0_NATION_1" FROM nation '
+            "WHERE n_nationkey >= 2"
+        ),
+        "drop_duplicate_columns": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice AS val FROM lineitem"
+        ),
+        "to_datetime": (
+            "SELECT l_orderkey, l_linenumber, "
+            "strftime(strptime(strftime(l_shipdate, '%Y-%m-%d'), '%Y-%m-%d'), "
+            "'%Y-%m-%d %H:%M:%S') AS parsed_s FROM lineitem"
+        ),
+        "sort_timestamps_monotonically": (
+            # strict=True drops duplicate timestamps; ts is the only column
+            # so the surviving set is DISTINCT ts (row order washes out in
+            # the driver's sorted hash)
+            "SELECT DISTINCT strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s FROM events"
+        ),
+        "get_join_indices": (
+            "WITH l AS (SELECT c_nationkey, row_number() OVER (ORDER BY c_custkey) - 1 "
+            "AS left_index FROM customer), "
+            "r AS (SELECT n_nationkey, row_number() OVER (ORDER BY n_nationkey) - 1 "
+            "AS right_index FROM nation) "
+            "SELECT left_index, right_index FROM l JOIN r "
+            "ON l.c_nationkey = r.n_nationkey"
+        ),
+        "read_csvs": (
+            # the Spark side round-trips nation through two CSV shards; the
+            # content equals the source table
+            "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
+            "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
+        ),
         "groupby_agg": (
             "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_returnflag"
         ),

@@ -1,17 +1,18 @@
 """Series math transforms (ref ``janitor/math.py``, 377 LoC).
 
-Each reference Series method becomes a Column-expression function usable
-in ``select``/``withColumn``; the frame-level convenience wrapper
-``apply_math(df, col, fn)`` mirrors the method-chaining form.  Global
-statistics (softmax, z_score, ecdf) use unpartitioned window aggregates —
-Spark computes ``avg/stddev/sum over ()`` with a two-stage partial
-aggregate, NOT a single-task sort, so they scale; only ``ecdf``'s
-``cume_dist`` needs a total order (documented).
+Each pointwise reference Series method becomes a Column-expression
+function usable in ``select``/``withColumn``; the frame-level wrapper
+``apply_math(df, col, fn)`` mirrors the method-chaining form.  The three
+whole-column statistics (``softmax``, ``z_score``, ``ecdf``) exist only
+through ``apply_math`` — their bare Column forms raise, because the only
+Column encoding is a single-task empty-partition/global window, and no
+verb in this package may silently plan one.  ``apply_math`` computes
+them with broadcast-joined aggregates / a distinct-value prefix sum.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -37,14 +38,17 @@ def sigmoid(col: Column) -> Column:
 
 def softmax(col: Column) -> Column:
     """exp(x)/sum(exp(x)) over the whole column (ref ``math.py:118-150``).
-    Max-subtracted for numerical stability.
 
-    NB: an empty-partition window funnels ALL rows through one task —
-    fine on a laptop-sized frame, wrong at scale.  ``apply_math(df, c,
-    softmax)`` takes the scalable path (broadcast-joined aggregates)."""
-    w = Window.partitionBy()
-    shifted = F.exp(col - F.max(col).over(w))
-    return shifted / F.sum(shifted).over(w)
+    The only Column-expression encoding of a whole-column statistic is
+    an empty-partition window, which funnels ALL rows through one task —
+    a silent scale-killer, so the bare form REFUSES.  Use
+    ``apply_math(df, c, softmax)``: max-subtracted broadcast-joined
+    aggregates, fully parallel."""
+    raise ValueError(
+        "softmax is a whole-column statistic; the Column form would plan a "
+        "single-task global window. Use apply_math(df, column, softmax) — "
+        "it computes the same result via broadcast-joined aggregates."
+    )
 
 
 def logit(col: Column, error: str = "warn") -> Column:
@@ -116,16 +120,27 @@ def probit(col: Column, error: str = "warn") -> Column:
 
 def z_score(col: Column) -> Column:
     """(x - mean)/std over the whole column (ref ``math.py:284-326``).
-    Single-task global window — see ``apply_math`` for the scalable
-    frame-level form."""
-    w = Window.partitionBy()
-    return (col - F.avg(col).over(w)) / F.stddev(col).over(w)
+    Whole-column statistic — the bare Column form refuses (it would be
+    a single-task empty-partition window); use
+    ``apply_math(df, column, z_score)`` (broadcast-joined aggregates)."""
+    raise ValueError(
+        "z_score is a whole-column statistic; the Column form would plan a "
+        "single-task global window. Use apply_math(df, column, z_score) — "
+        "it computes the same result via a broadcast-joined aggregate."
+    )
 
 
 def ecdf(col: Column) -> Column:
     """Empirical CDF: fraction of values <= x (ref ``math.py:330-377``).
-    ``cume_dist`` over a total order — single-task final window."""
-    return F.cume_dist().over(Window.orderBy(col))
+    Whole-column statistic — the bare Column form refuses (``cume_dist``
+    over a total order is a single-task window); use
+    ``apply_math(df, column, ecdf)``: distinct-value prefix sum via
+    ``partitioned_cumsum``, no single-task stage."""
+    raise ValueError(
+        "ecdf is a whole-column statistic; the Column form would plan a "
+        "single-task cume_dist window. Use apply_math(df, column, ecdf) — "
+        "it computes the same result via a distinct-value prefix sum."
+    )
 
 
 def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> DataFrame:

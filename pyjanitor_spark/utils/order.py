@@ -31,26 +31,54 @@ ORDER_COL = "_row_order"
 
 __all__ = ["ORDER_COL", "ensure_order_column", "positional_index", "partitioned_cumsum"]
 
+# Analyzed-plan node names that can NEVER have an Exchange inserted
+# beneath their physical translation: leaf scans plus narrow (partition-
+# preserving) operators.  Everything else — Aggregate, Join (broadcast
+# included: BroadcastExchange also diverges between separately re-executed
+# branch reads), Window, Sort, Repartition, Deduplicate, limits — is
+# absent, so it fails closed to the pin exactly like the previous
+# physical-plan "no Exchange" check did.
+_SAFE_NODES = frozenset({
+    "Project", "Filter", "Generate", "Union", "SubqueryAlias", "View",
+    "LogicalRelation", "Relation", "LogicalRDD", "LocalRelation",
+    "DataSourceV2Relation", "DataSourceV2ScanRelation", "Range", "Sample",
+})
+
+
 def _plan_is_deterministic(df: DataFrame) -> bool:
-    """True only for provably replay-stable plans: every expression in
-    every node of the ANALYZED logical tree reports
-    ``Expression.deterministic`` (walked via the JVM tree, so
-    nondeterministic Python UDFs marked ``.asNondeterministic()``,
-    ``rand``/``uuid``/``monotonically_increasing_id``, etc. are all
-    covered — no string matching), AND the physical plan contains no
-    Exchange.  The exchange restriction is load-bearing even with all
-    expressions deterministic: the two branch reads below are
-    separately column-pruned subtrees, so exchange reuse is not
-    guaranteed, and AQE may coalesce each branch's re-executed shuffle
-    into a different partition count (pruned byte sizes differ) —
-    diverging ``__pid`` assignments between the branches.  Anything
-    unprovable (py4j failure, unexpected tree shape) returns False —
-    the pin is the safe side."""
+    """True only for provably replay-stable plans, decided entirely on
+    the ANALYZED logical tree (one walk, no optimizer or physical
+    planning — the previous implementation forced ``executedPlan()``
+    per call, driver latency the round-6 bench attributed ~0.1-0.2s
+    regressions to):
+
+    * every node's name is in ``_SAFE_NODES`` — leaf scans and narrow
+      operators only.  Narrow-only analyzed trees translate to
+      exchange-free physical plans (no node introduces a distribution
+      requirement), which is load-bearing even with all expressions
+      deterministic: the two branch reads in the callers below are
+      separately column-pruned subtrees, so exchange reuse is not
+      guaranteed, and AQE may coalesce each branch's re-executed
+      shuffle into a different partition count (pruned byte sizes
+      differ) — diverging ``__pid`` assignments between the branches.
+      The node check runs first and short-circuits, so the common
+      pin-needed inputs (anything with an Aggregate/Join/Window on
+      top) cost two py4j calls, not a planner run.
+    * every expression in every node reports
+      ``Expression.deterministic`` (walked via the JVM tree, so
+      nondeterministic Python UDFs marked ``.asNondeterministic()``,
+      ``rand``/``uuid``/``monotonically_increasing_id``, etc. are all
+      covered — no string matching).
+
+    Anything unprovable (py4j failure, unseen node name) returns
+    False — the pin is the safe side."""
     try:
         qe = df._jdf.queryExecution()
         stack = [qe.analyzed()]
         while stack:
             node = stack.pop()
+            if node.nodeName() not in _SAFE_NODES:
+                return False
             exprs = node.expressions()
             for i in range(exprs.size()):
                 if not exprs.apply(i).deterministic():
@@ -58,12 +86,14 @@ def _plan_is_deterministic(df: DataFrame) -> bool:
             ch = node.children()
             for i in range(ch.size()):
                 stack.append(ch.apply(i))
-        return "Exchange" not in qe.executedPlan().toString()
+        return True
     except Exception:
         return False
 
 
-def positional_index(df: DataFrame, name: str) -> DataFrame:
+def positional_index(
+    df: DataFrame, name: str, deterministic: bool | None = None
+) -> DataFrame:
     """0-based positional row index in the frame's current order,
     computed scalably: per-partition ``row_number`` plus a broadcast of
     cumulative partition offsets (one tiny agg of #partitions rows) —
@@ -82,13 +112,19 @@ def positional_index(df: DataFrame, name: str) -> DataFrame:
     materialization.  (Non-durable checkpoint: on executor loss the job retries
     from the action — acceptable; use a durable ``checkpoint_dir``
     pattern as in ``near_dup_clusters`` when running under
-    preemption.)"""
+    preemption.)
+
+    ``deterministic``: a caller that has already probed (or pinned) the
+    SAME plan may pass the known verdict to skip the re-probe; ``None``
+    probes here."""
     from pyspark.sql import Window
 
     d = df.withColumn("__pid", F.spark_partition_id()).withColumn(
         "__mid", F.monotonically_increasing_id()
     )
-    if not _plan_is_deterministic(df):
+    if deterministic is None:
+        deterministic = _plan_is_deterministic(df)
+    if not deterministic:
         d = d.localCheckpoint(eager=False)
     sizes = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -109,6 +145,7 @@ def partitioned_cumsum(
     order_col: str,
     dest: str,
     num_partitions: int | None = None,
+    deterministic: bool | None = None,
 ) -> DataFrame:
     """Running total of ``value_col`` over the total order of
     ``order_col`` with NO single-task stage.
@@ -144,7 +181,9 @@ def partitioned_cumsum(
             num_partitions = 200
     d = df.repartitionByRange(num_partitions, order)
     d = d.withColumn("__pid", F.spark_partition_id())
-    if not _plan_is_deterministic(df):
+    if deterministic is None:
+        deterministic = _plan_is_deterministic(df)
+    if not deterministic:
         # nondeterministic or shuffled upstream: pin the layout so the
         # offsets agg and the joined branch read the SAME partition
         # assignment (deterministic exchange-free inputs replay

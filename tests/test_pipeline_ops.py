@@ -374,13 +374,19 @@ def test_ecdf_scalable_matches_window_form(spark):
         (r["x"], r["e"])
         for r in pjm.apply_math(df.repartition(5), "x", pjm.ecdf, dest="e").collect()
     )
-    b = sorted(
-        (r["x"], r["e"])
-        for r in df.withColumn("e", pjm.ecdf(F.col("x"))).collect()
-    )
+    # cume_dist ground truth: fraction of values <= x over the 8 rows
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    b = sorted((float(v), sum(1 for u in vals if u <= v) / 8.0) for v in vals)
     assert a == b
     # exact tie semantics: both 1.0s get cume fraction 2/8
     assert dict(a)[1.0] == 0.25
+    # the bare Column forms refuse — the only Column encoding is a
+    # single-task global window, banned package-wide
+    import pytest as _pytest
+
+    for fn in (pjm.ecdf, pjm.z_score, pjm.softmax):
+        with _pytest.raises(ValueError, match="single-task"):
+            fn(F.col("x"))
 
 
 def test_bloom_dedupe_against_matches_anti_join(spark):
@@ -1568,3 +1574,20 @@ class TestSortNaturally:
         rows = out.collect()
         assert [r["s"] for r in rows] == ["x10", "x2"]
         assert rows[0]["k"] > rows[1]["k"]
+
+
+def test_drop_duplicate_columns_positional(spark):
+    # df[i] resolves by NAME in PySpark (AMBIGUOUS_REFERENCE on dup
+    # names) — the verb must select truly positionally
+    df = spark.createDataFrame([(1, 10.0, 99.0)], "k int, v double, w double").select(
+        "k", F.col("v").alias("val"), F.col("w").alias("val")
+    )
+    kept0 = pj.drop_duplicate_columns(df, "val", nth_index=0)
+    kept1 = pj.drop_duplicate_columns(df, "val", nth_index=1)
+    assert kept0.columns == ["k", "val"] and kept1.columns == ["k", "val"]
+    assert kept0.first()["val"] == 10.0
+    assert kept1.first()["val"] == 99.0
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        pj.drop_duplicate_columns(df, "nope")
