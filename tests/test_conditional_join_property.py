@@ -85,7 +85,7 @@ def _row_key(row):
 
 
 @pytest.mark.parametrize("seed", [7, 42])
-@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
 @pytest.mark.parametrize("conds", SHAPES, ids=["range", "single", "mixed", "ne"])
 def test_conditional_join_matches_brute_force(spark, seed, how, conds):
     left, right = _frames(seed)
@@ -247,3 +247,43 @@ def test_keep_with_left_join_matches_brute_force(spark, keep):
     def key(p):
         return (p[0], p[1] is None, p[1] or 0)
     assert sorted(got, key=key) == sorted(exp, key=key)
+
+
+@pytest.mark.parametrize("how", ["right", "outer"])
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_keep_with_right_and_outer_joins_matches_brute_force(spark, keep, how):
+    """keep + how='right'/'outer': each matched LEFT row keeps its one
+    min/max right match (so matched-but-never-picked right rows drop
+    out), every unmatched right row survives as a null-left row, and
+    outer additionally keeps unmatched left rows as null-right rows."""
+    left, right = _frames(23)
+    for i, r in enumerate(right):
+        r["x"] = r["x"] * 100 + i  # unique order key: brute pick is exact
+    conds = [("a", "x", "<"), ("a", "y", ">")]
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, how=how, keep=keep)
+    got = sorted(
+        ((r["lid"], r["rid"]) for r in out.collect()),
+        key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0),
+    )
+    exp = []
+    matched_rids = set()
+    for l in left:
+        matched = [
+            r for r in right
+            if OPS["<"](l["a"], r["x"]) and OPS[">"](l["a"], r["y"])
+        ]
+        matched_rids.update(r["rid"] for r in matched)
+        if matched:
+            pick = (min if keep == "first" else max)(
+                matched, key=lambda r: (r["x"], r["y"])
+            )
+            exp.append((l["lid"], pick["rid"]))
+        elif how == "outer":
+            exp.append((l["lid"], None))
+    for r in right:
+        if r["rid"] not in matched_rids:
+            exp.append((None, r["rid"]))
+    exp.sort(key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0))
+    assert got == exp
