@@ -205,7 +205,13 @@ def case_when(
     (the reference's ``df.eval`` strings map to ``F.expr``), or callables
     taking the DataFrame and returning a boolean Column (ref
     ``case_when.py:112-119`` applies callables to the frame); values may
-    likewise be callables returning a Column."""
+    likewise be callables returning a Column.
+
+    An odd trailing argument is the default (the reference's legacy
+    positional form, ``case_when.py:96-105``); it is only read when the
+    ``default=`` keyword is unset."""
+    if len(args) % 2 == 1 and len(args) >= 3 and default is None:
+        *args, default = args
     if len(args) < 2 or len(args) % 2 != 0:
         raise ValueError("provide (condition, value) pairs")
     expr = None

@@ -119,11 +119,15 @@ def conditional_join(
         # pure non-equi join: Catalyst would plan a nested loop — default
         # to the scalable bucketized rewrite
         use_bucket = not eq_conds
+    # keep + right/outer rebuilds the right-null completion from the
+    # POST-keep matches (reference: _keep_output runs on the matched
+    # index arrays before the null completion), so it needs right ids
+    keep_right_rebuild = keep != "all" and how in ("right", "outer", "full")
     need_ids = keep != "all" or bool(indicator) or (use_bucket and how != "inner")
     left = df.withColumn(_L_ID, F.monotonically_increasing_id()) if need_ids else df
     rgt = (
         right.withColumn(_R_ID, F.monotonically_increasing_id())
-        if (bool(indicator) or (use_bucket and how != "inner"))
+        if (bool(indicator) or keep_right_rebuild or (use_bucket and how != "inner"))
         else right
     )
 
@@ -143,10 +147,17 @@ def conditional_join(
         c = _build_condition(left[lc], rgt[rname(rc)], op)
         pred = c if pred is None else (pred & c)
 
+    # keep + right/outer: join WITHOUT the right-null completion ('inner',
+    # or 'left' so outer keeps its unmatched-left rows — those are
+    # unaffected by keep), pick per left row, then append a null-left row
+    # for every right row absent from the kept picks (reference
+    # semantics: keep='last' can orphan right rows that only matched as
+    # non-picked candidates, and they must resurface as right_only rows)
+    join_how = ("left" if how in ("outer", "full") else "inner") if keep_right_rebuild else how
     if use_bucket and not eq:
-        joined = _bucketized_join(left, rgt, rname, noneq, pred, how, bucket_width)
+        joined = _bucketized_join(left, rgt, rname, noneq, pred, join_how, bucket_width)
     else:
-        joined = left.join(rgt, on=pred, how="full" if how == "outer" else how)
+        joined = left.join(rgt, on=pred, how="full" if join_how == "outer" else join_how)
 
     if keep != "all":
         # order by the right condition columns, then a SINGLE md5 of the
@@ -169,16 +180,15 @@ def conditional_join(
             else [c.desc_nulls_last() for c in order_cols]
         )
         w = Window.partitionBy(_L_ID).orderBy(*order)
-        keep_row = F.col("__cj_rn") == 1
-        if how in ("right", "outer", "full"):
-            # unmatched right rows share the NULL _L_ID partition; keep
-            # them all instead of collapsing them to one arbitrary row
-            keep_row = keep_row | F.col(_L_ID).isNull()
         joined = (
             joined.withColumn("__cj_rn", F.row_number().over(w))
-            .filter(keep_row)
+            .filter(F.col("__cj_rn") == 1)
             .drop("__cj_rn")
         )
+        if keep_right_rebuild:
+            kept_rids = joined.select(_R_ID).where(F.col(_R_ID).isNotNull())
+            missing_right = rgt.join(kept_rids, on=_R_ID, how="left_anti")
+            joined = joined.unionByName(missing_right, allowMissingColumns=True)
 
     if indicator:
         name = indicator if isinstance(indicator, str) else "_merge"

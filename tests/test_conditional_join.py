@@ -213,7 +213,10 @@ def test_keep_last_tie_deterministic(spark):
 
 @pytest.mark.parametrize("how", ["right", "outer"])
 def test_keep_preserves_unmatched_right_rows(spark, how):
-    # rows of right with no left match must all survive keep='first'
+    # reference semantics (_keep_output runs BEFORE the null completion):
+    # every right row absent from the kept picks resurfaces as a
+    # null-left row — including m2, which matched k=1 but lost the
+    # keep='first' pick to m1
     left = spark.createDataFrame([(1,), (2,)], ["k"])
     right = spark.createDataFrame(
         [(1, "m1"), (1, "m2"), (5, "u1"), (6, "u2"), (7, "u3")], ["k", "payload"]
@@ -222,7 +225,7 @@ def test_keep_preserves_unmatched_right_rows(spark, how):
         left, right, ("k", "k", "=="), how=how, keep="first"
     ).collect()
     unmatched = sorted(r["payload"] for r in out if r["k"] is None)
-    assert unmatched == ["u1", "u2", "u3"]
+    assert unmatched == ["m2", "u1", "u2", "u3"]
     matched = [r["payload"] for r in out if r["k"] == 1]
     assert matched == ["m1"]
 

@@ -252,10 +252,12 @@ def test_keep_with_left_join_matches_brute_force(spark, keep):
 @pytest.mark.parametrize("how", ["right", "outer"])
 @pytest.mark.parametrize("keep", ["first", "last"])
 def test_keep_with_right_and_outer_joins_matches_brute_force(spark, keep, how):
-    """keep + how='right'/'outer': each matched LEFT row keeps its one
-    min/max right match (so matched-but-never-picked right rows drop
-    out), every unmatched right row survives as a null-left row, and
-    outer additionally keeps unmatched left rows as null-right rows."""
+    """keep + how='right'/'outer' (reference semantics — the null
+    completion runs AFTER keep): each matched LEFT row keeps its one
+    min/max right match, and every right row absent from the kept picks
+    — including rows that only matched as non-picked candidates —
+    surfaces as a null-left row; outer additionally keeps unmatched
+    left rows as null-right rows."""
     left, right = _frames(23)
     for i, r in enumerate(right):
         r["x"] = r["x"] * 100 + i  # unique order key: brute pick is exact
@@ -268,22 +270,22 @@ def test_keep_with_right_and_outer_joins_matches_brute_force(spark, keep, how):
         key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0),
     )
     exp = []
-    matched_rids = set()
+    picked_rids = set()
     for l in left:
         matched = [
             r for r in right
             if OPS["<"](l["a"], r["x"]) and OPS[">"](l["a"], r["y"])
         ]
-        matched_rids.update(r["rid"] for r in matched)
         if matched:
             pick = (min if keep == "first" else max)(
                 matched, key=lambda r: (r["x"], r["y"])
             )
+            picked_rids.add(pick["rid"])
             exp.append((l["lid"], pick["rid"]))
         elif how == "outer":
             exp.append((l["lid"], None))
     for r in right:
-        if r["rid"] not in matched_rids:
+        if r["rid"] not in picked_rids:
             exp.append((None, r["rid"]))
     exp.sort(key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0))
     assert got == exp

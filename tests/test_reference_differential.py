@@ -771,3 +771,405 @@ def test_convert_excel_date_multi(spark):
     got = pj.convert_excel_date(_sdf(spark, pdf), ["d1", "d2"]).toPandas()
     for c in ("d1", "d2"):
         assert sorted(got[c].astype(str)) == sorted(exp[c].astype(str)), c
+
+
+# ---- batch 5: conditional_join keep matrix, pivot_wider expand,
+# ---- complete explicit=False, long-tail verb parity ----
+#
+# keep alignment note: the reference's keep='first'/'last' picks the
+# min/max right INDEX per left row (utils.py:687-697); this package
+# picks by right CONDITION-column order (layout-stable — positions are
+# undefined in a distributed frame).  The frames below sort the right
+# side ascending by its condition columns with unique values, so index
+# order == condition order and both picks coincide exactly.
+
+
+def _cj_keep_frames():
+    left = pd.DataFrame({"a": [1, 3, 5, 7, 9], "lid": [0, 1, 2, 3, 4]})
+    right = pd.DataFrame({"c": [0, 2, 4, 6, 8], "d": ["p", "q", "r", "s", "t"]})
+    return left, right
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_conditional_join_keep_how_matrix(spark, keep, how):
+    left, right = _cj_keep_frames()
+    exp = left.conditional_join(right, ("a", "c", "<"), how=how, keep=keep)
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"), how=how, keep=keep
+    )
+    compare(spark, exp, out)
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_conditional_join_keep_two_conditions(spark, keep):
+    left = pd.DataFrame({"a": [2, 5, 8], "lid": [0, 1, 2]})
+    # ascending by (lo, hi): index order == condition-column order
+    right = pd.DataFrame({"lo": [0, 1, 4, 7], "hi": [3, 6, 9, 12]})
+    exp = left.conditional_join(
+        right, ("a", "lo", ">"), ("a", "hi", "<"), keep=keep
+    )
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "lo", ">"), ("a", "hi", "<"),
+        keep=keep,
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_keep_with_indicator(spark):
+    left, right = _cj_keep_frames()
+    exp = left.conditional_join(
+        right, ("a", "c", "<"), how="left", keep="first", indicator=True
+    )
+    exp["_merge"] = exp["_merge"].astype(str)
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"),
+        how="left", keep="first", indicator=True,
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_keep_ne(spark):
+    left = pd.DataFrame({"a": [0, 4], "lid": [0, 1]})
+    right = pd.DataFrame({"c": [0, 4, 8]})
+    exp = left.conditional_join(right, ("a", "c", "!="), keep="last")
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "!="), keep="last"
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_wider_names_expand(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2],
+            "name": pd.Categorical(
+                ["a", "b", "a"], categories=["a", "b", "c"]
+            ),
+            "val": [1.0, 2.0, 3.0],
+        }
+    )
+    exp = pdf.pivot_wider(
+        index="id", names_from="name", values_from="val", names_expand=True
+    )
+    out = pj.pivot_wider(
+        _sdf(spark, pdf.assign(name=pdf["name"].astype(str))),
+        index="id", names_from="name", values_from="val",
+        names_expand={"name": ["a", "b", "c"]},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_wider_index_expand(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": pd.Categorical([1, 1, 3], categories=[1, 2, 3]),
+            "name": ["a", "b", "a"],
+            "val": [1.0, 2.0, 3.0],
+        }
+    )
+    exp = pdf.pivot_wider(
+        index="id", names_from="name", values_from="val", index_expand=True
+    )
+    exp["id"] = exp["id"].astype(int)
+    out = pj.pivot_wider(
+        _sdf(spark, pdf.assign(id=pdf["id"].astype(int))),
+        index="id", names_from="name", values_from="val",
+        index_expand={"id": [1, 2, 3]},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_wider_multi_values_from(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "name": ["a", "b", "a", "b"],
+            "x": [1.0, 2.0, 3.0, 4.0],
+            "y": [9.0, 8.0, 7.0, 6.0],
+        }
+    )
+    exp = pdf.pivot_wider(index="id", names_from="name", values_from=["x", "y"])
+    out = pj.pivot_wider(
+        _sdf(spark, pdf), index="id", names_from="name", values_from=["x", "y"]
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_wider_names_glue(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "name": ["a", "a"], "val": [1.0, 2.0]}
+    )
+    exp = pdf.pivot_wider(
+        index="id", names_from="name", values_from="val",
+        names_glue="{name}_val",
+    )
+    out = pj.pivot_wider(
+        _sdf(spark, pdf), index="id", names_from="name", values_from="val",
+        names_glue="{name}_val",
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_explicit_false(spark):
+    # explicit=False fills ONLY the newly-exposed rows; pre-existing
+    # nulls stay null (reference complete.py merge-indicator trick)
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b"],
+            "item": [1, 2, 1],
+            "v": [10.0, None, 30.0],
+        }
+    )
+    exp = pdf.complete("g", "item", fill_value={"v": 0.0}, explicit=False)
+    out = pj.complete(
+        _sdf(spark, pdf), "g", "item", fill_value={"v": 0.0}, explicit=False
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_fill_value_explicit_true(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b"], "item": [1, 2, 1], "v": [10.0, None, 30.0]}
+    )
+    exp = pdf.complete("g", "item", fill_value={"v": 0.0})
+    out = pj.complete(_sdf(spark, pdf), "g", "item", fill_value={"v": 0.0})
+    compare(spark, exp, out)
+
+
+def test_complete_by_group(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b"],
+            "yr": [2020, 2021, 2020, 2022],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    exp = pdf.complete("yr", by="g")
+    out = pj.complete(_sdf(spark, pdf), "yr", by="g")
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_names_transform(spark):
+    pdf = pd.DataFrame({"id": [1], "wk1": [5.0], "wk2": [6.0]})
+    exp = pdf.pivot_longer(
+        index="id", names_to="week", names_pattern=r"wk(\d)",
+        names_transform={"week": int},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to="week", names_pattern=r"wk(\d)",
+        names_transform={"week": "int"},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_list_pattern(spark):
+    pdf = pd.DataFrame(
+        {"id": [1], "x_lo": [1.0], "x_hi": [2.0], "y_lo": [3.0], "y_hi": [4.0]}
+    )
+    exp = pdf.pivot_longer(
+        index="id", names_to=["xs", "ys"], names_pattern=["^x", "^y"]
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to=["xs", "ys"],
+        names_pattern=["^x", "^y"],
+    )
+    compare(spark, exp, out)
+
+
+def test_reorder_columns(spark):
+    pdf = pd.DataFrame({"a": [1], "b": [2], "c": [3]})
+    exp = pdf.reorder_columns(["c", "a"])
+    out = pj.reorder_columns(_sdf(spark, pdf), ["c", "a"])
+    got = out.toPandas()
+    assert list(got.columns) == list(exp.columns)
+    compare(spark, exp, out)
+
+
+def test_move_column(spark):
+    pdf = pd.DataFrame({"a": [1], "b": [2], "c": [3]})
+    exp = pdf.move(source="c", target="a", position="before", axis=1)
+    out = pj.move(_sdf(spark, pdf), source="c", target="a", position="before")
+    got = out.toPandas()
+    assert list(got.columns) == list(exp.columns)
+    compare(spark, exp, out)
+
+
+def test_rename_columns_mapping(spark):
+    pdf = pd.DataFrame({"a": [1], "b": [2]})
+    exp = pdf.rename_columns({"a": "x", "b": "y"})
+    out = pj.rename_columns(_sdf(spark, pdf), {"a": "x", "b": "y"})
+    compare(spark, exp, out)
+
+
+def test_drop_constant_columns_differential(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 1], "b": [1, 2, 3], "c": ["z", "z", "z"]})
+    exp = pdf.drop_constant_columns()
+    out = pj.drop_constant_columns(_sdf(spark, pdf))
+    compare(spark, exp, out)
+
+
+def test_change_type_differential(spark):
+    pdf = pd.DataFrame({"a": ["1", "2"], "b": [1.7, 2.2]})
+    exp = pdf.change_type("a", int).change_type("b", str)
+    out = pj.change_type(pj.change_type(_sdf(spark, pdf), "a", "int"), "b", "string")
+    got = out.toPandas()
+    assert sorted(got["a"]) == sorted(exp["a"])
+    assert sorted(got["b"]) == sorted(exp["b"])
+
+
+def test_remove_columns_differential(spark):
+    pdf = pd.DataFrame({"a": [1], "b": [2], "c": [3]})
+    exp = pdf.remove_columns(["b"])
+    out = pj.remove_columns(_sdf(spark, pdf), ["b"])
+    compare(spark, exp, out)
+
+
+def test_filter_date_differential(spark):
+    pdf = pd.DataFrame(
+        {
+            "d": pd.to_datetime(
+                ["2020-01-15", "2020-06-15", "2021-01-15", "2021-06-15"]
+            ),
+            "v": [1, 2, 3, 4],
+        }
+    )
+    exp = pdf.filter_date("d", start_date="2020-03-01", end_date="2021-03-01")
+    out = pj.filter_date(
+        _sdf(spark, pdf), "d", start_date="2020-03-01", end_date="2021-03-01"
+    )
+    got = sorted(out.toPandas()["v"])
+    assert got == sorted(exp["v"])
+
+
+def test_filter_date_years_months(spark):
+    pdf = pd.DataFrame(
+        {
+            "d": pd.to_datetime(
+                ["2020-01-15", "2020-06-15", "2021-01-15", "2021-06-15"]
+            ),
+            "v": [1, 2, 3, 4],
+        }
+    )
+    exp = pdf.filter_date("d", years=[2021], months=[1])
+    out = pj.filter_date(_sdf(spark, pdf), "d", years=[2021], months=[1])
+    assert sorted(out.toPandas()["v"]) == sorted(exp["v"])
+
+
+def test_filter_column_isin_differential(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3]})
+    exp = pdf.filter_column_isin("k", ["a", "c"])
+    out = pj.filter_column_isin(_sdf(spark, pdf), "k", ["a", "c"])
+    compare(spark, exp, out)
+
+
+def test_case_when_three_branches(spark):
+    pdf = pd.DataFrame({"v": [1, 5, 9, 13]})
+    exp = pdf.case_when(
+        pdf.v < 4, "low",
+        pdf.v < 8, "mid",
+        pdf.v < 12, "high",
+        "top",
+        column_name="band",
+    )
+    sdf = _sdf(spark, pdf)
+    out = pj.case_when(
+        sdf,
+        F.col("v") < 4, "low",
+        F.col("v") < 8, "mid",
+        F.col("v") < 12, "high",
+        "top",
+        column_name="band",
+    )
+    compare(spark, exp, out)
+
+
+def test_math_log_exp(spark):
+    pdf = pd.DataFrame({"v": [-1.0, 0.5, 2.0, 10.0]})
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        exp_log = pdf["v"].log(error="ignore")
+    exp_exp = pdf["v"].exp()
+    from pyjanitor_spark.functions import math as pjm
+
+    sdf = _sdf(spark, pdf)
+    got = (
+        sdf.select(
+            "v",
+            pjm.log(F.col("v")).alias("ln"),
+            pjm.exp(F.col("v")).alias("ex"),
+        )
+        .toPandas()
+        .sort_values("v")
+    )
+    ref_frame = pd.DataFrame(
+        {"v": pdf["v"], "ln": exp_log, "ex": exp_exp}
+    ).sort_values("v")
+    for c in ("ln", "ex"):
+        a, b = got[c].to_numpy(), ref_frame[c].to_numpy()
+        for x, y in zip(a, b):
+            if pd.isna(y):
+                assert x is None or pd.isna(x)
+            else:
+                assert math.isclose(x, y, rel_tol=1e-9), c
+
+
+def test_row_to_names_multirow(spark):
+    # multiple promoted rows give the reference MultiIndex columns; the
+    # flat-Spark stand-in is the "_"-joined name (SURVEY §1.4, same
+    # convention as collapse_levels)
+    pdf = pd.DataFrame({"x": ["p", "q", "r", "s"], "y": ["1", "2", "3", "4"]})
+    exp = pdf.row_to_names([0, 1], remove_rows=True)
+    exp.columns = ["_".join(map(str, c)) for c in exp.columns]
+    sdf = _sdf(spark, pdf.reset_index(names="_row_order"))
+    out = pj.row_to_names(
+        sdf, row_numbers=[0, 1], remove_rows=True, order_by="_row_order"
+    ).drop("_row_order")
+    compare(spark, exp, out)
+
+
+def test_groupby_topk_ascending(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "v": [3, 1, 2, 9, 7]}
+    )
+    exp = pdf.groupby_topk(by="g", column="v", k=2, ascending=True)
+    out = pj.groupby_topk(_sdf(spark, pdf), by="g", column="v", k=2, ascending=True)
+    compare(spark, exp.reset_index(drop=True), out)
+
+
+def test_impute_statistic_modes(spark):
+    pdf = pd.DataFrame({"v": [1.0, None, 3.0, 3.0]})
+    for stat in ("median", "mode", "minimum", "maximum"):
+        exp = pdf.copy().impute("v", statistic_column_name=stat)
+        out = pj.impute(_sdf(spark, pdf), "v", statistic_column_name=stat)
+        compare(spark, exp, out)
+
+
+def test_fill_missing_timestamps_differential(spark):
+    ts = pd.to_datetime(
+        ["2021-01-01 00:00", "2021-01-01 02:00", "2021-01-01 05:00"]
+    )
+    pdf = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 3.0]})
+    import janitor.timeseries  # noqa: F401  (registers the method)
+
+    exp = (
+        pdf.set_index("ts")
+        .pipe(
+            lambda d: __import__("janitor").timeseries.fill_missing_timestamps(
+                d, frequency="1h"
+            )
+        )
+        .reset_index()
+        .rename(columns={"index": "ts"})
+    )
+    out = pj.fill_missing_timestamps(_sdf(spark, pdf), "1 hour", column_name="ts")
+    got = out.toPandas().sort_values("ts").reset_index(drop=True)
+    exp = exp.sort_values("ts").reset_index(drop=True)
+    assert list(got["ts"].astype(str)) == list(exp["ts"].astype(str))
+    a = got["v"].to_numpy()
+    b = exp["v"].to_numpy()
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert (pd.isna(x) and pd.isna(y)) or x == y
