@@ -41,9 +41,17 @@ _R_ID = "__cj_right_id"
 
 def _build_condition(lcol: Column, rcol: Column, op: str) -> Column:
     if op == "==":
-        return lcol == rcol
+        # reference parity (pandas merge): null KEYS match null keys —
+        # pd.merge pairs NaN with NaN, so the reference's equi
+        # conditions are null-safe.  eqNullSafe still plans as a hash
+        # join on the key.
+        return lcol.eqNullSafe(rcol)
     if op == "!=":
-        return lcol != rcol
+        # reference parity (pandas `!=`): a null compares UNEQUAL to
+        # everything, including another null — so null rows match every
+        # row under `!=`.  Spark's `!=` yields NULL (no match) there;
+        # spell out the three-way truth table instead.
+        return lcol.isNull() | rcol.isNull() | (lcol != rcol)
     if op == ">":
         return lcol > rcol
     if op == ">=":

@@ -51,11 +51,23 @@ def _as_expr(function: Any, col: Column, elementwise: bool, return_type: str = N
     """Column-expression fast path, pandas_udf fallback."""
     if isinstance(function, Column):
         return function
-    probe = function(col) if not elementwise else None
     if not elementwise:
+        probe = function(col)
         if isinstance(probe, Column):
             return probe
         raise TypeError("series-wise function must return a Column")
+    # even under elementwise=True, a callable that maps Column -> Column
+    # (F.sqrt, lambda c: c * 2, ...) IS the expression — use it directly
+    # so Spark-native callables ride codegen instead of an Arrow UDF.
+    # Genuine scalar callables can't slip through: applied to a Column
+    # they raise (PySpark forbids bool conversion; type errors) or
+    # return a non-Column, both of which fall back.
+    try:
+        probe = function(col)
+        if isinstance(probe, Column):
+            return probe
+    except Exception:
+        pass
     # elementwise python callable -> vectorized pandas_udf (Arrow batches)
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf

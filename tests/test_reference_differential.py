@@ -1173,3 +1173,114 @@ def test_fill_missing_timestamps_differential(spark):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         assert (pd.isna(x) and pd.isna(y)) or x == y
+
+
+# ---- batch 6: null semantics, selection patterns, text methods ----
+
+
+def test_conditional_join_null_range_ops(spark):
+    # nulls never satisfy </>=; both engines drop them from inner output
+    left = pd.DataFrame({"a": [1.0, None, 3.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"c": [2.0, None], "rid": [0, 1]})
+    for op in ("<", ">="):
+        exp = left.conditional_join(right, ("a", "c", op))
+        out = pj.conditional_join(
+            _sdf(spark, left), _sdf(spark, right), ("a", "c", op)
+        )
+        compare(spark, exp, out)
+
+
+def test_conditional_join_null_ne(spark):
+    # pandas `!=`: null is unequal to EVERYTHING, including null — all
+    # 3x2 pairs qualify except the equal non-null ones
+    left = pd.DataFrame({"a": [1.0, None, 3.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"c": [2.0, None], "rid": [0, 1]})
+    exp = left.conditional_join(right, ("a", "c", "!="))
+    out = pj.conditional_join(_sdf(spark, left), _sdf(spark, right), ("a", "c", "!="))
+    compare(spark, exp, out)
+
+
+def test_conditional_join_null_left_completion(spark):
+    # null left rows are unmatched under '<' and must null-complete
+    left = pd.DataFrame({"a": [1.0, None, 3.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"c": [2.0, None], "rid": [0, 1]})
+    exp = left.conditional_join(right, ("a", "c", "<"), how="left")
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"), how="left"
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_null_eq_mixed(spark):
+    # '==' never matches nulls in either engine (the reference rejects
+    # equality-ONLY conditional joins, so pair it with an inequality)
+    left = pd.DataFrame(
+        {"k": [1.0, None, 2.0], "a": [5.0, 5.0, 5.0], "lid": [0, 1, 2]}
+    )
+    right = pd.DataFrame({"k2": [None, 2.0], "c": [9.0, 9.0], "rid": [0, 1]})
+    exp = left.conditional_join(right, ("k", "k2", "=="), ("a", "c", "<"))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("k", "k2", "=="), ("a", "c", "<")
+    )
+    compare(spark, exp, out)
+
+
+def test_update_where_string_condition(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    exp = pdf.update_where("a > 1", "b", "BIG")
+    out = pj.update_where(_sdf(spark, pdf), "a > 1", "b", "BIG")
+    compare(spark, exp, out)
+
+
+def test_select_columns_glob_and_invert(spark):
+    import warnings as _w
+
+    pdf = pd.DataFrame({"id": [1], "x_a": [2], "x_b": [3], "yy": [4]})
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        exp = pdf.select_columns("x_*")
+        exp_inv = pdf.select_columns("x_*", invert=True)
+    compare(spark, exp, pj.select_columns(_sdf(spark, pdf), "x_*"))
+    compare(spark, exp_inv, pj.select_columns(_sdf(spark, pdf), "x_*", invert=True))
+
+
+def test_select_columns_regex(spark):
+    import re
+    import warnings as _w
+
+    pdf = pd.DataFrame({"id": [1], "x_a": [2], "x_b": [3], "yy": [4]})
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        exp = pdf.select_columns(re.compile("^x_"))
+    compare(spark, exp, pj.select_columns(_sdf(spark, pdf), re.compile("^x_")))
+
+
+def test_encode_categorical_values_stable(spark):
+    # categorical dtype is a pandas storage detail; values pass through
+    pdf = pd.DataFrame({"k": ["b", "a", "b"], "v": [1, 2, 3]})
+    exp = pdf.encode_categorical("k").astype({"k": str})
+    out = pj.encode_categorical(_sdf(spark, pdf), "k")
+    compare(spark, exp, out)
+
+
+def test_process_text_more_methods(spark):
+    pdf = pd.DataFrame({"s": ["  pad  ", "x  ", " y"]})
+    exp = pdf.process_text("s", string_function="strip")
+    compare(spark, exp, pj.process_text(_sdf(spark, pdf), "s", "strip"))
+    pdf2 = pd.DataFrame({"s": ["abcdef", "xy"]})
+    exp2 = pdf2.process_text("s", string_function="slice", start=1, stop=4)
+    compare(
+        spark, exp2,
+        pj.process_text(_sdf(spark, pdf2), "s", "slice", start=1, stop=4),
+    )
+
+
+def test_transform_columns_suffix(spark):
+    pdf = pd.DataFrame({"x": [1.0, 4.0], "y": [9.0, 16.0]})
+    import numpy as np
+
+    exp = pdf.transform_columns(["x", "y"], np.sqrt, suffix="_sq")
+    out = pj.transform_columns(
+        _sdf(spark, pdf), ["x", "y"], F.sqrt, suffix="_sq"
+    )
+    compare(spark, exp, out)
