@@ -13,13 +13,16 @@ import pytest
 
 import pyjanitor_spark as pj
 
+# Null semantics mirror the reference (pandas): '==' is null-SAFE
+# (pd.merge pairs NaN keys), '!=' treats null as unequal to everything
+# (so null rows match every row), range ops never match nulls.
 OPS = {
-    "==": lambda a, b: a == b,
-    "!=": lambda a, b: a != b,
-    ">": lambda a, b: a > b,
-    ">=": lambda a, b: a >= b,
-    "<": lambda a, b: a < b,
-    "<=": lambda a, b: a <= b,
+    "==": lambda a, b: a == b,  # None == None is True in Python: null-safe
+    "!=": lambda a, b: a is None or b is None or a != b,
+    ">": lambda a, b: a is not None and b is not None and a > b,
+    ">=": lambda a, b: a is not None and b is not None and a >= b,
+    "<": lambda a, b: a is not None and b is not None and a < b,
+    "<=": lambda a, b: a is not None and b is not None and a <= b,
 }
 
 SHAPES = [
@@ -30,17 +33,21 @@ SHAPES = [
 ]
 
 
-def _frames(seed: int):
+def _frames(seed: int, with_nulls: bool = False):
     rng = np.random.default_rng(seed)
+
+    def mk(v):
+        return None if (with_nulls and rng.random() < 0.15) else int(v)
+
     left = [
-        {"a": int(rng.integers(0, 20)), "b": int(rng.integers(0, 4)), "lid": i}
+        {"a": mk(rng.integers(0, 20)), "b": mk(rng.integers(0, 4)), "lid": i}
         for i in range(40)
     ]
     right = [
         {
-            "x": int(rng.integers(0, 20)),
-            "y": int(rng.integers(-5, 15)),
-            "k": int(rng.integers(0, 4)),
+            "x": mk(rng.integers(0, 20)),
+            "y": mk(rng.integers(-5, 15)),
+            "k": mk(rng.integers(0, 4)),
             "rid": i,
         }
         for i in range(30)
@@ -84,11 +91,13 @@ def _row_key(row):
     return [(k, v is None, str(v)) for k, v in row]
 
 
-@pytest.mark.parametrize("seed", [7, 42])
+@pytest.mark.parametrize(
+    "seed,with_nulls", [(7, False), (42, False), (11, True), (23, True)]
+)
 @pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
 @pytest.mark.parametrize("conds", SHAPES, ids=["range", "single", "mixed", "ne"])
-def test_conditional_join_matches_brute_force(spark, seed, how, conds):
-    left, right = _frames(seed)
+def test_conditional_join_matches_brute_force(spark, seed, with_nulls, how, conds):
+    left, right = _frames(seed, with_nulls)
     ldf = spark.createDataFrame(left, "a int, b int, lid int")
     rdf = spark.createDataFrame(right, "x int, y int, k int, rid int")
     out = pj.conditional_join(ldf, rdf, *conds, how=how)

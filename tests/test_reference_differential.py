@@ -1284,3 +1284,49 @@ def test_transform_columns_suffix(spark):
         _sdf(spark, pdf), ["x", "y"], F.sqrt, suffix="_sq"
     )
     compare(spark, exp, out)
+
+
+def test_conditional_join_timestamp_range(spark):
+    # non-numeric (timestamp) range conditions: the bucketizer casts
+    # timestamps to seconds; semantics must match pandas datetime compare
+    left = pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2021-01-01", "2021-03-01", "2021-06-01", "2021-09-01"]
+            ),
+            "lid": [0, 1, 2, 3],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "start": pd.to_datetime(["2021-02-01", "2021-05-01"]),
+            "end": pd.to_datetime(["2021-04-01", "2021-10-01"]),
+            "rid": [0, 1],
+        }
+    )
+    exp = left.conditional_join(right, ("t", "start", ">"), ("t", "end", "<"))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("t", "start", ">"), ("t", "end", "<")
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == sorted(zip(exp["lid"], exp["rid"]))
+
+
+def test_conditional_join_string_inequality(spark):
+    # the REFERENCE rejects non-numeric/datetime non-equi conditions
+    # (conditional_join.py dtype check); this engine is a superset —
+    # lexicographic string inequality works via the plain-join fallback
+    # (strings can't bucketize: cast-to-double is null)
+    left = pd.DataFrame({"s": ["apple", "mango", "zebra"], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"cut": ["banana", "yak"], "rid": [0, 1]})
+    with pytest.raises(TypeError, match="non equi-join"):
+        left.conditional_join(right, ("s", "cut", "<"))
+    out = pj.conditional_join(_sdf(spark, left), _sdf(spark, right), ("s", "cut", "<"))
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    exp = sorted(
+        (l, r)
+        for l, s in enumerate(["apple", "mango", "zebra"])
+        for r, c in enumerate(["banana", "yak"])
+        if s < c
+    )
+    assert got == exp
