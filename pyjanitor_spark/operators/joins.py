@@ -258,6 +258,20 @@ def _bucketized_join(
     lcols = {c[0] for c in range_ops}
     if not range_ops or len(lcols) != 1:
         return left.join(rgt, on=pred, how="full" if how == "outer" else how)
+    # bucketization maps values onto the NUMERIC line, which is only
+    # order-isomorphic for numeric / datetime / boolean columns — a
+    # lexicographic string range ("10" < "2") disagrees with its numeric
+    # cast, and under ANSI mode the cast on a non-numeric string THROWS.
+    # Non-bucketizable dtypes on either side of a range condition take
+    # the exact plain-join fallback.
+    _ok = ("byte", "short", "integer", "long", "float", "double", "decimal",
+           "timestamp", "timestamp_ntz", "date", "boolean")
+    dtypes = {f.name: f.dataType.typeName() for f in left.schema.fields}
+    dtypes.update({f.name: f.dataType.typeName() for f in rgt.schema.fields})
+    for lc, rc, _op in range_ops:
+        for c in (lc, rname(rc)):
+            if not dtypes.get(c, "").startswith(_ok):
+                return left.join(rgt, on=pred, how="full" if how == "outer" else how)
     lcol = next(iter(lcols))
     lo_expr = None  # lower bound for left.x from right side
     hi_expr = None
