@@ -1330,3 +1330,110 @@ def test_conditional_join_string_inequality(spark):
         if s < c
     )
     assert got == exp
+
+
+# ---- batch 7: parameter variants on already-covered verbs ----
+
+
+def test_bin_numeric_right_false(spark):
+    pdf = pd.DataFrame({"v": [0.0, 2.0, 5.0, 7.0, 10.0]})
+    exp = pdf.bin_numeric(
+        from_column_name="v", to_column_name="b",
+        bins=[0, 5, 10], labels=["lo", "hi"], right=False,
+    )
+    exp["b"] = exp["b"].astype(str)
+    out = pj.bin_numeric(
+        _sdf(spark, pdf), "v", "b", bins=[0, 5, 10], labels=["lo", "hi"],
+        right=False,
+    )
+    compare(spark, exp.replace({"b": {"nan": None}}), out)
+
+
+def test_bin_numeric_include_lowest(spark):
+    pdf = pd.DataFrame({"v": [0.0, 2.0, 5.0, 7.0]})
+    exp = pdf.bin_numeric(
+        from_column_name="v", to_column_name="b",
+        bins=[0, 5, 10], labels=["lo", "hi"], include_lowest=True,
+    )
+    exp["b"] = exp["b"].astype(str)
+    out = pj.bin_numeric(
+        _sdf(spark, pdf), "v", "b", bins=[0, 5, 10], labels=["lo", "hi"],
+        include_lowest=True,
+    )
+    compare(spark, exp.replace({"b": {"nan": None}}), out)
+
+
+def test_round_to_fraction_digits(spark):
+    pdf = pd.DataFrame({"v": [1.2345, 2.7182, 3.9999]})
+    exp = pdf.round_to_fraction("v", denominator=3, digits=2)
+    out = pj.round_to_fraction(_sdf(spark, pdf), "v", denominator=3, digits=2)
+    compare(spark, exp, out)
+
+
+def test_min_max_scale_feature_range_subset(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [10.0, 20.0, 30.0]})
+    exp = pdf.min_max_scale(feature_range=(-1, 1), column_name="x")
+    out = pj.min_max_scale(
+        _sdf(spark, pdf), feature_range=(-1, 1), column_name="x"
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_dict_spec(spark):
+    pdf = pd.DataFrame({"item": [1, 3], "v": [10.0, 30.0]})
+    exp = pdf.complete({"item": [1, 2, 3, 4]})
+    out = pj.complete(_sdf(spark, pdf), {"item": [1, 2, 3, 4]})
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_multi_index(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "grp": ["a", "b"], "x_1": [1.0, 2.0], "x_2": [3.0, 4.0]}
+    )
+    exp = pdf.pivot_longer(
+        index=["id", "grp"], names_to=("var", "t"), names_sep="_"
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index=["id", "grp"], names_to=("var", "t"), names_sep="_"
+    )
+    compare(spark, exp, out)
+
+
+def test_flag_nulls_subset(spark):
+    pdf = pd.DataFrame(
+        {"a": [1.0, None, 3.0], "b": [None, None, "x"], "c": [1, 2, 3]}
+    )
+    exp = pdf.flag_nulls(column_name="flag", columns=["a"])
+    out = pj.flag_nulls(_sdf(spark, pdf), column_name="flag", columns=["a"])
+    compare(spark, exp, out)
+
+
+def test_convert_unix_date_differential(spark):
+    pdf = pd.DataFrame({"t": [0, 86400, 1609459200]})
+    exp = pdf.convert_unix_date("t")
+    got = pj.convert_unix_date(_sdf(spark, pdf), "t").toPandas()
+    assert sorted(got["t"].astype(str)) == sorted(exp["t"].astype(str))
+
+
+def test_groupby_topk_within_ties(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 4, "v": [5, 5, 3, 1], "id": [0, 1, 2, 3]})
+    exp = pdf.groupby_topk(by="g", column="v", k=3)
+    out = pj.groupby_topk(_sdf(spark, pdf), by="g", column="v", k=3)
+    # tie order among equal v differs; compare the multiset of kept v
+    assert sorted(out.toPandas()["v"]) == sorted(exp["v"])
+
+
+def test_concatenate_columns_ignore_empty(spark):
+    # DOCUMENTED DEVIATION: the reference runs astype(str) BEFORE its
+    # fillna(""), so a null becomes the literal token "None"/"nan" and
+    # survives ignore_empty (concatenate_columns.py:61-73) — against its
+    # own docstring ("Ignore null values if exists").  This engine
+    # honors the documented intent: null segments drop.
+    pdf = pd.DataFrame({"a": ["x", None], "b": ["1", "2"]})
+    exp = pdf.concatenate_columns(["a", "b"], "j", sep="-", ignore_empty=True)
+    assert list(exp["j"]) == ["x-1", "None-2"]  # the astype artifact
+    out = pj.concatenate_columns(
+        _sdf(spark, pdf), ["a", "b"], "j", sep="-", ignore_empty=True
+    )
+    got = {r["b"]: r["j"] for r in out.collect()}
+    assert got == {"1": "x-1", "2": "2"}
