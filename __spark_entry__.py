@@ -1364,6 +1364,82 @@ def q_read_csvs(spark, sf):
     )
 
 
+# ---- round-7 second wave: struct-index verbs, pipe combinators, sources ----
+
+def q_collapse_levels(spark, sf):
+    # MultiIndex stand-in: a struct column flattens to {col}_{field}
+    n = _t(spark, sf, "nation")
+    d = n.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("nm"), F.col("n_regionkey").alias("rk")
+        ).alias("info"),
+    )
+    return pj.collapse_levels(d)
+
+
+def q_explode_index(spark, sf):
+    # inverse: flat m_* names group into one struct column via the
+    # pattern form (names_sep='_' would split the l_* keys too)
+    li = _t(spark, sf, "lineitem").select(
+        *KEYS,
+        F.col("l_quantity").alias("m_qty"),
+        F.col("l_extendedprice").alias("m_price"),
+    )
+    ex = pj.explode_index(li, names_pattern=r"^(m)_(.*)$")
+    return ex.select(
+        *KEYS, F.col("m.qty").alias("qty"), F.col("m.price").alias("price")
+    )
+
+
+def q_join_apply(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    out = pj.join_apply(
+        c, n,
+        lambda d: d["c_acctbal"] + d["n_regionkey"],
+        on=c["c_nationkey"] == n["n_nationkey"],
+        new_column_name="score",
+    )
+    return out.select("c_custkey", "score")
+
+
+def q_change_index_dtype(spark, sf):
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    d = n.withColumn("_row_order", F.col("n_nationkey").cast("int"))
+    out = pj.change_index_dtype(d, "double")
+    return out.select(F.col("_row_order").alias("idx_d"), "n_name")
+
+
+def q_read_commandline(spark, sf):
+    import hashlib
+
+    from pyjanitor_spark.sources import read_commandline
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/csv_fixture/{tag}"
+    os.makedirs(d, exist_ok=True)
+    path = f"{d}/region.csv"
+    _t(spark, sf, "region").toPandas().to_csv(path, index=False)
+    out = read_commandline(spark, f"cat {path}")
+    return out.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name"
+    )
+
+
+def q_also_then(spark, sf):
+    # also() runs a side effect and passes the frame through; then()
+    # applies fn(df)->df — chained, they must be the plain filter
+    o = _t(spark, sf, "orders")
+    seen: dict = {}
+    out = pj.then(
+        pj.also(o, lambda d: seen.update(ncols=len(d.columns))),
+        lambda d: pj.filter_on(d, "o_totalprice > 100000"),
+    )
+    assert seen["ncols"] == len(o.columns)
+    return out.select("o_orderkey", "o_totalprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
     # entries in insertion order.  Round-7 window: (a) the 6 NEW long-tail
@@ -1527,11 +1603,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_text_fallback": q_process_text_fallback,
         "add_columns": q_add_columns,
         "move_reorder": q_move_reorder,
+        # round-7 second wave (below the window; rotate into the r8
+        # first-50 — first-ever driver rows for these six)
+        "collapse_levels": q_collapse_levels,
+        "explode_index": q_explode_index,
+        "join_apply": q_join_apply,
+        "change_index_dtype": q_change_index_dtype,
+        "read_commandline": q_read_commandline,
+        "also_then": q_also_then,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ---- round-7 second wave ----
+        "collapse_levels": (
+            "SELECT n_nationkey, n_name AS info_nm, n_regionkey AS info_rk "
+            "FROM nation"
+        ),
+        "explode_index": (
+            "SELECT l_orderkey, l_linenumber, l_quantity AS qty, "
+            "l_extendedprice AS price FROM lineitem"
+        ),
+        "join_apply": (
+            "SELECT c_custkey, c_acctbal + n_regionkey AS score "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "change_index_dtype": (
+            "SELECT CAST(n_nationkey AS DOUBLE) AS idx_d, n_name FROM nation"
+        ),
+        "read_commandline": (
+            "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region"
+        ),
+        "also_then": (
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+        ),
         # ---- round-7 long-tail gates ----
         "row_to_names": (
             'SELECT n_nationkey, n_name AS "NATION_0_NATION_1" FROM nation '
