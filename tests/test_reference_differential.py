@@ -1437,3 +1437,46 @@ def test_concatenate_columns_ignore_empty(spark):
     )
     got = {r["b"]: r["j"] for r in out.collect()}
     assert got == {"1": "x-1", "2": "2"}
+
+
+def test_conditional_join_two_left_range_columns(spark):
+    # ranges on TWO different left columns: the bucketizer requires one
+    # left point column, so this takes the exact fallback — semantics
+    # must still match the reference
+    left = pd.DataFrame(
+        {"a": [1, 5, 9], "b": [10, 6, 2], "lid": [0, 1, 2]}
+    )
+    right = pd.DataFrame({"c": [4, 8], "d": [5, 9], "rid": [0, 1]})
+    exp = left.conditional_join(right, ("a", "c", "<"), ("b", "d", ">"))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "c", "<"), ("b", "d", ">")
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_three_conditions(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 2], "a": [3, 7, 3, 7], "b": [9, 5, 9, 5], "lid": range(4)}
+    )
+    right = pd.DataFrame(
+        {"k2": [1, 2], "lo": [2, 4], "hi": [8, 10], "rid": [0, 1]}
+    )
+    exp = left.conditional_join(
+        right, ("k", "k2", "=="), ("a", "lo", ">"), ("b", "hi", "<")
+    )
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right),
+        ("k", "k2", "=="), ("a", "lo", ">"), ("b", "hi", "<"),
+    )
+    compare(spark, exp, out)
+
+
+def test_conditional_join_le_ge_bounds(spark):
+    # inclusive bounds both sides
+    left = pd.DataFrame({"a": [2, 4, 6], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"lo": [2, 4], "hi": [4, 6], "rid": [0, 1]})
+    exp = left.conditional_join(right, ("a", "lo", ">="), ("a", "hi", "<="))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right), ("a", "lo", ">="), ("a", "hi", "<=")
+    )
+    compare(spark, exp, out)
