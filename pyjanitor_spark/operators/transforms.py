@@ -202,8 +202,16 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "split": lambda col, pat=" ", **kw: F.split(col, pat),
     "slice": lambda col, start=0, stop=None: col.substr(F.lit(start + 1), F.lit((stop - start) if stop is not None else 1 << 30)),
     "get": lambda col, i: F.element_at(col, i + 1) if i >= 0 else F.element_at(col, i),
-    "zfill": lambda col, width: F.lpad(col, width, "0"),
-    "pad": lambda col, width, side="left", fillchar=" ": F.lpad(col, width, fillchar) if side == "left" else F.rpad(col, width, fillchar),
+    # pandas pad/zfill never TRUNCATE a string longer than width;
+    # Spark's lpad/rpad do — guard on length
+    "zfill": lambda col, width: F.when(
+        F.length(col) >= width, col
+    ).otherwise(F.lpad(col, width, "0")),
+    "pad": lambda col, width, side="left", fillchar=" ": F.when(
+        F.length(col) >= width, col
+    ).otherwise(
+        F.lpad(col, width, fillchar) if side == "left" else F.rpad(col, width, fillchar)
+    ),
     "extract": lambda col, pat, group=1, **kw: F.regexp_extract(col, pat, group),
     "find": lambda col, sub: F.instr(col, sub) - 1,
     "repeat": lambda col, repeats: F.repeat(col, repeats),

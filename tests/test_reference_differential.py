@@ -1480,3 +1480,33 @@ def test_conditional_join_le_ge_bounds(spark):
         _sdf(spark, left), _sdf(spark, right), ("a", "lo", ">="), ("a", "hi", "<=")
     )
     compare(spark, exp, out)
+
+
+def test_fill_direction_updown_downup(spark):
+    pdf = pd.DataFrame(
+        {"u": [None, 1.0, None, 3.0, None], "d": [None, 5.0, None, 7.0, None]}
+    )
+    sdf = _sdf(spark, pdf.reset_index().rename(columns={"index": "_row_order"}))
+    exp = pdf.fill_direction(u="updown", d="downup")
+    out = pj.fill_direction(
+        sdf, {"u": "updown", "d": "downup"}, order_by="_row_order"
+    ).drop("_row_order")
+    compare(spark, exp, out)
+
+
+def test_process_text_arrow_fallback_methods(spark):
+    # swapcase/zfill have no Spark builtin — the Arrow pandas fallback
+    # must agree with pandas .str exactly
+    pdf = pd.DataFrame({"s": ["AbC", "xYz", "Q"]})
+    exp = pdf.process_text("s", string_function="swapcase")
+    compare(spark, exp, pj.process_text(_sdf(spark, pdf), "s", "swapcase"))
+    pdf2 = pd.DataFrame({"s": ["7", "42", "1234"]})
+    exp2 = pdf2.process_text("s", string_function="zfill", width=3)
+    compare(spark, exp2, pj.process_text(_sdf(spark, pdf2), "s", "zfill", width=3))
+
+
+def test_fill_empty_multi_columns(spark):
+    pdf = pd.DataFrame({"a": [1.0, None], "b": [None, 2.0]})
+    exp = pdf.fill_empty(column_names=["a", "b"], value=0.0)
+    out = pj.fill_empty(_sdf(spark, pdf), ["a", "b"], 0.0)
+    compare(spark, exp, out)
