@@ -95,6 +95,10 @@ def clean_names_expr(
     elif case_type != "preserve":
         raise ValueError(f"bad case_type {case_type!r}")
     c = F.regexp_replace(c, r"[ \t\r\n\-\.]+", "_")
+    # reference order (clean_names.py:188-193): remove_special BEFORE
+    # strip_accents — an accented char is removed, not transliterated
+    if remove_special:
+        c = F.regexp_replace(c, r"[^A-Za-z0-9_]+", "")
     if strip_accents:
         # NFD-decompose + drop combining marks, JVM-side (Spark >= 3.0 has
         # no builtin normalizer; cover the Latin-1/Latin-Ext range via
@@ -102,8 +106,6 @@ def clean_names_expr(
         src = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
         dst = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
         c = F.translate(c, src, dst)
-    if remove_special:
-        c = F.regexp_replace(c, r"[^A-Za-z0-9_]+", "")
     c = F.regexp_replace(c, r"_+", "_")
     if strip_underscores in ("both", True):
         c = F.regexp_replace(c, r"^_+|_+$", "")

@@ -62,10 +62,14 @@ def clean_name(
         name = str(name)
     s = _change_case(name, case_type)
     s = _normalize_spaces(s)
+    # reference order (clean_names.py:188-193): remove_special runs
+    # BEFORE strip_accents, so an accented char is REMOVED (it is not
+    # [A-Za-z_\d]) rather than transliterated; a trailing .strip()
+    # follows the removal
+    if remove_special:
+        s = _SPECIAL.sub("", s).strip()
     if strip_accents:
         s = _strip_accents(s)
-    if remove_special:
-        s = _SPECIAL.sub("", s)
     s = _UNDERSCORE_RUN.sub("_", s)
     s = _strip_underscores_func(s, strip_underscores)
     if truncate_limit:

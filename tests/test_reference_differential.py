@@ -1510,3 +1510,22 @@ def test_fill_empty_multi_columns(spark):
     exp = pdf.fill_empty(column_names=["a", "b"], value=0.0)
     out = pj.fill_empty(_sdf(spark, pdf), ["a", "b"], 0.0)
     compare(spark, exp, out)
+
+
+def test_clean_names_accents_truncate(spark):
+    pdf = pd.DataFrame({"Café Menü": [1], "Überläng_name_xyz": [2]})
+    exp = pdf.clean_names(strip_accents=True, truncate_limit=8)
+    compare(
+        spark, exp,
+        pj.clean_names(_sdf(spark, pdf), strip_accents=True, truncate_limit=8),
+    )
+
+
+def test_clean_names_values_mode(spark):
+    # axis=None cleans VALUES inside the given columns, not the header
+    pdf = pd.DataFrame({"raw": ["Hello World", "Café@Crème", "A__B"], "v": [1, 2, 3]})
+    exp = pdf.clean_names(axis=None, column_names="raw", remove_special=True)
+    out = pj.clean_names(
+        _sdf(spark, pdf), axis=None, column_names="raw", remove_special=True
+    )
+    compare(spark, exp, out)
