@@ -701,23 +701,36 @@ def concatenate_columns(
 def deconcatenate_column(
     df: DataFrame,
     column_name: str,
-    new_column_names: list[str],
+    new_column_names: list[str] | None = None,
     sep: str | None = None,
     pattern: str | None = None,
     preserve_position: bool = False,
     autoname: str | None = None,
 ) -> DataFrame:
-    """Split one col into N (ref ``deconcatenate_column.py:14-151``)."""
+    """Split one col into N (ref ``deconcatenate_column.py:14-151``).
+
+    With ``autoname`` alone the output WIDTH comes from the data (the
+    reference reads it off the expanded frame): one bounded
+    ``max(size(split(...)))`` agg — a schema-from-data action, same
+    contract as ``expand_column``."""
     if sep is None and pattern is None:
         raise ValueError("provide sep or pattern")
     import re as _re
 
     split_pat = pattern if pattern is not None else _re.escape(sep)
     arr = F.split(F.col(column_name), split_pat)
+    if new_column_names is None:
+        if not autoname:
+            raise ValueError("provide new_column_names or autoname")
+        width = df.agg(F.max(F.size(arr))).first()[0] or 0
+        new_column_names = list(range(width))
     if autoname:
         new_column_names = [f"{autoname}{i + 1}" for i in range(len(new_column_names))]
+    # F.get, not getItem: under ANSI mode (Spark 4 default) getItem
+    # THROWS on a ragged row with fewer parts; get returns NULL — the
+    # pandas split behavior
     updates = {
-        name: arr.getItem(i) for i, name in enumerate(new_column_names)
+        name: F.get(arr, i) for i, name in enumerate(new_column_names)
     }
     out = df.withColumns(updates)
     if preserve_position:

@@ -1591,3 +1591,16 @@ def test_drop_duplicate_columns_positional(spark):
 
     with _pytest.raises(KeyError):
         pj.drop_duplicate_columns(df, "nope")
+
+
+def test_deconcatenate_ragged_rows_null_tail(spark):
+    # ANSI mode: getItem would throw on short rows; F.get nulls the tail
+    df = spark.createDataFrame([("a-1-x",), ("b-2",), ("c",)], ["k"])
+    out = pj.deconcatenate_column(df, "k", sep="-", autoname="p")
+    assert out.columns == ["k", "p1", "p2", "p3"]
+    rows = {r["k"]: (r["p1"], r["p2"], r["p3"]) for r in out.collect()}
+    assert rows == {
+        "a-1-x": ("a", "1", "x"),
+        "b-2": ("b", "2", None),
+        "c": ("c", None, None),
+    }

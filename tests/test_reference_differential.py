@@ -1529,3 +1529,56 @@ def test_clean_names_values_mode(spark):
         _sdf(spark, pdf), axis=None, column_names="raw", remove_special=True
     )
     compare(spark, exp, out)
+
+
+# ---- batch 8: more parameter surfaces ----
+
+
+def test_min_max_scale_jointly(spark):
+    pdf = pd.DataFrame({"x": [0.0, 5.0], "y": [10.0, 20.0]})
+    exp = pdf.min_max_scale(column_name=["x", "y"], jointly=True)
+    out = pj.min_max_scale(_sdf(spark, pdf), column_name=["x", "y"], jointly=True)
+    compare(spark, exp, out)
+
+
+def test_deconcatenate_autoname(spark):
+    pdf = pd.DataFrame({"k": ["a-1", "b-2"]})
+    exp = pdf.deconcatenate_column("k", sep="-", autoname="part")
+    out = pj.deconcatenate_column(_sdf(spark, pdf), "k", sep="-", autoname="part")
+    compare(spark, exp, out)
+
+
+def test_currency_column_cast_non_numeric(spark):
+    pdf = pd.DataFrame({"m": ["$1.50", "REORDER", "2.00"]})
+    exp = pdf.currency_column_to_numeric("m", cast_non_numeric={"REORDER": 99.0})
+    out = pj.currency_column_to_numeric(
+        _sdf(spark, pdf), "m", cast_non_numeric={"REORDER": 99.0}
+    )
+    compare(spark, exp, out)
+
+
+def test_currency_column_fill_all_non_numeric(spark):
+    pdf = pd.DataFrame({"m": ["$1.50", "junk", "2.00"]})
+    exp = pdf.currency_column_to_numeric("m", fill_all_non_numeric=0.0)
+    out = pj.currency_column_to_numeric(
+        _sdf(spark, pdf), "m", fill_all_non_numeric=0.0
+    )
+    compare(spark, exp, out)
+
+
+def test_find_replace_regex_match(spark):
+    pdf = pd.DataFrame({"s": ["cat-1", "dog-2", "catfish"], "v": [1, 2, 3]})
+    exp = pdf.find_replace(match="regex", s={r"^cat.*": "feline"})
+    out = pj.find_replace(_sdf(spark, pdf), match="regex", s={r"^cat.*": "feline"})
+    compare(spark, exp, out)
+
+
+def test_case_when_callable_condition(spark):
+    pdf = pd.DataFrame({"v": [1, 10]})
+    exp = pdf.case_when(lambda d: d.v > 5, "big", "small", column_name="size")
+    out = pj.case_when(
+        _sdf(spark, pdf),
+        lambda d: F.col("v") > 5, "big", "small",
+        column_name="size",
+    )
+    compare(spark, exp, out)
