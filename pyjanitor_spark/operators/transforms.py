@@ -201,7 +201,7 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "replace": _pt_replace,
     "split": lambda col, pat=" ", **kw: F.split(col, pat),
     "slice": lambda col, start=0, stop=None: col.substr(F.lit(start + 1), F.lit((stop - start) if stop is not None else 1 << 30)),
-    "get": lambda col, i: F.element_at(col, i + 1) if i >= 0 else F.element_at(col, i),
+    # "get" is dtype-aware (string vs array) — handled in process_text
     # pandas pad/zfill never TRUNCATE a string longer than width;
     # Spark's lpad/rpad do — guard on length
     "zfill": lambda col, width: F.when(
@@ -244,6 +244,23 @@ def process_text(
     Arrow-batched pandas_udf on the real pandas implementation.
     ``return_type`` sets the fallback's Spark result type (default
     string — pass e.g. ``'int'`` for ``count``)."""
+    if string_function == "get":
+        # pandas .str.get works on strings (char at python index, NaN
+        # out-of-bounds, negatives from the end) AND on list values.
+        # element_at is wrong on both counts here: it rejects strings
+        # outright and THROWS on out-of-bounds arrays under ANSI mode.
+        i = int(kwargs["i"])
+        col = F.col(column_name)
+        if dict(df.dtypes)[column_name].startswith("array"):
+            return df.withColumn(
+                column_name, F.try_element_at(col, F.lit(i + 1 if i >= 0 else i))
+            )
+        n = F.length(col)
+        pos = F.lit(i) + 1 if i >= 0 else n + F.lit(i) + 1
+        char = col.substr(pos, F.lit(1))
+        return df.withColumn(
+            column_name, F.when((pos >= 1) & (pos <= n), char)
+        )
     fn = _STR_DISPATCH.get(string_function)
     if fn is None:
         fn = _str_fallback(string_function, return_type=return_type, **kwargs)

@@ -1582,3 +1582,16 @@ def test_case_when_callable_condition(spark):
         column_name="size",
     )
     compare(spark, exp, out)
+
+
+def test_process_text_get_string_and_array(spark):
+    # strings: char at index, negative from the end, OOB -> null
+    pdf = pd.DataFrame({"s": ["abc", "x", ""]})
+    for i in (0, 1, 2, -1, 5):
+        exp = pdf.process_text("s", string_function="get", i=i)
+        out = pj.process_text(_sdf(spark, pdf), "s", "get", i=i)
+        compare(spark, exp, out)
+    # arrays: element at index, OOB -> null (ANSI try_element_at)
+    sdf = spark.createDataFrame([(["a", "b"],), (["z"],)], "s array<string>")
+    got = [r["s"] for r in pj.process_text(sdf, "s", "get", i=1).collect()]
+    assert sorted(got, key=str) == sorted(["b", None], key=str)
