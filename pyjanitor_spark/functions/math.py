@@ -156,9 +156,15 @@ def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> 
         stats = df.agg(
             F.avg(col).alias("__mu"), F.stddev(col).alias("__sd")
         )
+        # sd == 0 (constant column) is pandas 0/0 = NaN -> null; under
+        # ANSI the bare division would THROW.  sd null (single row)
+        # falls out null through the when too.
         return (
             df.crossJoin(F.broadcast(stats))
-            .withColumn(dest, (col - F.col("__mu")) / F.col("__sd"))
+            .withColumn(
+                dest,
+                F.when(F.col("__sd") != 0, (col - F.col("__mu")) / F.col("__sd")),
+            )
             .drop("__mu", "__sd")
         )
     if fn is softmax:

@@ -606,8 +606,16 @@ def min_max_scale(
     updates = {}
     for c in cols:
         mn, mx = spans[c]
-        span = (mx - mn) or 1.0
-        updates[c] = (F.col(c) - F.lit(mn)) / F.lit(span) * F.lit(hi_t - lo_t) + F.lit(lo_t)
+        if mn is None or mx is None or mx == mn:
+            # pandas: (x - min) / 0 is 0/0 = NaN for a constant column
+            # (and an all-null column stays null); under ANSI the naive
+            # division would THROW, and any non-null stand-in would be
+            # an invented value
+            updates[c] = F.lit(None).cast("double")
+            continue
+        updates[c] = (
+            (F.col(c) - F.lit(mn)) / F.lit(mx - mn) * F.lit(hi_t - lo_t) + F.lit(lo_t)
+        )
     return df.withColumns(updates)
 
 

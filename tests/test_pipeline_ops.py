@@ -1604,3 +1604,23 @@ def test_deconcatenate_ragged_rows_null_tail(spark):
         "b-2": ("b", "2", None),
         "c": ("c", None, None),
     }
+
+
+def test_scalers_constant_column_null_not_throw(spark):
+    # ANSI mode: (x-mu)/0 would throw DIVIDE_BY_ZERO; pandas 0/0 is NaN
+    from pyjanitor_spark.functions import math as pjm
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["x"])
+    z = pjm.apply_math(df, "x", pjm.z_score, dest="z").collect()
+    assert [r["z"] for r in z] == [None, None, None]
+    m = pj.min_max_scale(df, column_name="x").collect()
+    assert [r["x"] for r in m] == [None, None, None]
+    # single row: stddev is null -> null, not a crash
+    one = spark.createDataFrame([(7.0,)], ["x"])
+    assert pjm.apply_math(one, "x", pjm.z_score, dest="z").first()["z"] is None
+    # all-null column: min/max are null -> stays null (was a TypeError)
+    nn = spark.createDataFrame([(None,), (None,)], "x double")
+    assert [r["x"] for r in pj.min_max_scale(nn, column_name="x").collect()] == [None, None]
+    # non-degenerate columns unchanged
+    ok = spark.createDataFrame([(0.0,), (10.0,)], ["x"])
+    vals = sorted(r["x"] for r in pj.min_max_scale(ok, column_name="x").collect())
+    assert vals == [0.0, 1.0]
