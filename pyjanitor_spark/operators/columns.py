@@ -349,6 +349,12 @@ def row_to_names(
     rows = [row_numbers] if isinstance(row_numbers, int) else list(row_numbers)
     k = max(rows) + 1
     head = df.orderBy(F.col(ocol)).limit(k).collect()
+    if len(head) <= max(rows):
+        # same failure the reference's df.iloc[row] hits, named clearly
+        raise ValueError(
+            f"row_to_names: row {max(rows)} requested but the frame has "
+            f"only {len(head)} row(s)"
+        )
     # the order column is the pandas-index stand-in, and pandas does not
     # promote the index into a name — only DATA columns rename
     data_cols = [c for c in df.columns if c != ocol]
