@@ -1644,7 +1644,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_nationkey >= 2"
         ),
         "drop_duplicate_columns": (
-            "SELECT l_orderkey, l_linenumber, l_extendedprice AS val FROM lineitem"
+            # nth_index=1 DROPS the second duplicate (l_extendedprice),
+            # keeping l_quantity (ref drop_duplicate_columns.py:10-64)
+            "SELECT l_orderkey, l_linenumber, l_quantity AS val FROM lineitem"
         ),
         "to_datetime": (
             "SELECT l_orderkey, l_linenumber, "

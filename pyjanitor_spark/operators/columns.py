@@ -267,19 +267,20 @@ def remove_columns(df: DataFrame, column_names: Any) -> DataFrame:
 
 
 def drop_duplicate_columns(df: DataFrame, column_name: str, nth_index: int = 0) -> DataFrame:
-    """Among duplicate-NAMED columns keep the nth occurrence (ref
-    ``drop_duplicate_columns.py:10-64``).  Spark allows duplicate names
-    after joins; selection must be positional — and ``df[i]`` is NOT
-    (PySpark resolves it via ``self.columns[item]``, i.e. by name, which
-    throws AMBIGUOUS_REFERENCE exactly when this verb is needed), so we
+    """Among duplicate-NAMED columns drop the nth occurrence, keeping the
+    rest (ref ``drop_duplicate_columns.py:10-64`` — ``nth_index`` selects
+    which duplicate to REMOVE).  Spark allows duplicate names after
+    joins; selection must be positional — and ``df[i]`` is NOT (PySpark
+    resolves it via ``self.columns[item]``, i.e. by name, which throws
+    AMBIGUOUS_REFERENCE exactly when this verb is needed), so we
     ``toDF`` through unique temporary names and alias back."""
     positions = [i for i, c in enumerate(df.columns) if c == column_name]
     if not positions:
         raise KeyError(column_name)
-    keep = positions[nth_index]
+    removed = positions[nth_index]  # IndexError on out-of-range, like df.iloc
     names = df.columns
     tmp = [f"__ddc_{i}" for i in range(len(names))]
-    keep_idx = [i for i in range(len(names)) if names[i] != column_name or i == keep]
+    keep_idx = [i for i in range(len(names)) if i != removed]
     return df.toDF(*tmp).select(*[F.col(tmp[i]).alias(names[i]) for i in keep_idx])
 
 

@@ -390,8 +390,31 @@ def convert_unix_date(df: DataFrame, column_name: Any) -> DataFrame:
     )
 
 
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+    "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%p": "a",
+    "%%": "%",
+}
+
+
 def to_datetime(df: DataFrame, column_name: str, format: str | None = None) -> DataFrame:
-    """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``)."""
+    """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``).
+
+    Accepts either Spark/Java datetime patterns or the strftime codes the
+    reference's pandas callers use (``%Y-%m-%d`` …) — strftime directives
+    are translated to their Java equivalents when a ``%`` is present."""
+    if format and "%" in format:
+        out, i = [], 0
+        while i < len(format):
+            tok = format[i : i + 2]
+            if tok in _STRFTIME_TO_JAVA:
+                out.append(_STRFTIME_TO_JAVA[tok])
+                i += 2
+            else:
+                out.append(format[i])
+                i += 1
+        format = "".join(out)
     col = F.col(column_name)
     return df.withColumn(
         column_name, F.to_timestamp(col, format) if format else F.to_timestamp(col)

@@ -1585,8 +1585,9 @@ def test_drop_duplicate_columns_positional(spark):
     kept0 = pj.drop_duplicate_columns(df, "val", nth_index=0)
     kept1 = pj.drop_duplicate_columns(df, "val", nth_index=1)
     assert kept0.columns == ["k", "val"] and kept1.columns == ["k", "val"]
-    assert kept0.first()["val"] == 10.0
-    assert kept1.first()["val"] == 99.0
+    # nth_index selects the duplicate to DROP (reference semantics)
+    assert kept0.first()["val"] == 99.0
+    assert kept1.first()["val"] == 10.0
     import pytest as _pytest
 
     with _pytest.raises(KeyError):

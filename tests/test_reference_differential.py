@@ -1595,3 +1595,215 @@ def test_process_text_get_string_and_array(spark):
     sdf = spark.createDataFrame([(["a", "b"],), (["z"],)], "s array<string>")
     got = [r["s"] for r in pj.process_text(sdf, "s", "get", i=1).collect()]
     assert sorted(got, key=str) == sorted(["b", None], key=str)
+
+
+# ---------------------------------------------------------------------------
+# batch 8: the last reference test files with no differential coverage —
+# add_column(s), cartesian_product, collapse_levels, data_description,
+# drop_duplicate_columns, expand, join_apply, pivot_longer_spec,
+# rename_column, select, select_rows, sort_naturally, to_datetime, toset,
+# truncate_datetime, unionize_dataframe_categories.
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_scalar_and_list(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3]})
+    exp = pdf.add_column("b", 7).add_column("c", ["x", "y", "z"])
+    out = pj.add_column(pj.add_column(_sdf(spark, pdf), "b", 7), "c", ["x", "y", "z"])
+    compare(spark, exp, out)
+
+
+def test_add_column_fill_remaining(spark):
+    pdf = pd.DataFrame({"a": [1, 2, 3, 4, 5]})
+    exp = pdf.add_column("b", ["p", "q"], fill_remaining=True)
+    out = pj.add_column(_sdf(spark, pdf), "b", ["p", "q"], fill_remaining=True)
+    compare(spark, exp, out)
+
+
+def test_add_columns_kwargs(spark):
+    pdf = pd.DataFrame({"a": [1, 2]})
+    exp = pdf.add_columns(b=0.5, c="z")
+    out = pj.add_columns(_sdf(spark, pdf), b=0.5, c="z")
+    compare(spark, exp, out)
+
+
+def test_cartesian_product_function(spark):
+    a = pd.DataFrame({"x": [1, 2, 3]})
+    b = pd.DataFrame({"y": ["p", "q"], "z": [0.1, 0.2]})
+    import importlib
+
+    exp = importlib.import_module("janitor.functions.expand_grid").cartesian_product(
+        a, b
+    )
+    out = pj.cartesian_product(_sdf(spark, a), _sdf(spark, b))
+    compare(spark, exp, out)
+
+
+def test_collapse_levels_matches_reference_naming(spark):
+    # pandas: a genuine MultiIndex column frame; spark: the struct-column
+    # model (explode_index builds it from the flat names, collapse_levels
+    # re-flattens) — the differential pins the NAMING rules to the
+    # reference's (sep-join, trailing level kept)
+    pdf = pd.DataFrame(
+        {
+            ("max", "speed"): [1, 2],
+            ("max", "height"): [3, 4],
+            ("min", "speed"): [5, 6],
+        }
+    )
+    exp = pdf.collapse_levels(sep="_")
+    flat = spark.createDataFrame(
+        [(1, 3, 5), (2, 4, 6)], ["max_speed", "max_height", "min_speed"]
+    )
+    out = pj.collapse_levels(pj.explode_index(flat, names_sep="_"), sep="_")
+    compare(spark, exp, out)
+
+
+def test_data_description_counts(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "s": ["a", None, "c", None]})
+    exp = (
+        pdf.data_description.df.reset_index()[["column_name", "count", "pct_missing"]]
+    )
+    out = pj.data_description(_sdf(spark, pdf)).select(
+        "column_name", "count", "pct_missing"
+    )
+    compare(spark, exp, out)
+
+
+def test_drop_duplicate_columns_first_and_second(spark):
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"a": [1, 2], "b": [3, 4]}),
+            pd.DataFrame({"a": [9, 8]}),
+        ],
+        axis=1,
+    )
+    sdf = spark.createDataFrame([(1, 3, 9), (2, 4, 8)], ["z1", "z2", "z3"]).toDF(
+        "a", "b", "a"
+    )
+    for nth in (0, 1):
+        exp = pdf.drop_duplicate_columns("a", nth_index=nth)
+        out = pj.drop_duplicate_columns(sdf, "a", nth_index=nth)
+        compare(spark, exp, out)
+
+
+def test_expand_str_and_dict(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 2]})
+    exp = pdf.expand("g", "v", {"year": [2020, 2021]})
+    out = pj.expand(_sdf(spark, pdf), "g", "v", {"year": [2020, 2021]})
+    compare(spark, exp, out)
+
+
+def test_join_apply_product(spark):
+    left = pd.DataFrame({"k": [1, 2], "a": [10, 20]})
+    right = pd.DataFrame({"k": [1, 2], "b": [3, 4]})
+    # the reference's join_apply merges then applies row-wise; express the
+    # same contract directly in pandas (merge + apply) to avoid its
+    # index-join calling convention
+    merged = left.merge(right, on="k")
+    merged["prod"] = merged.apply(lambda d: d["a"] * d["b"], axis=1)
+    out = pj.join_apply(
+        _sdf(spark, left),
+        _sdf(spark, right),
+        lambda d: d["a"] * d["b"],
+        on="k",
+        new_column_name="prod",
+    )
+    compare(spark, merged, out)
+
+
+def test_pivot_longer_spec_frame(spark):
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "x_1": [0.1, 0.2], "x_2": [0.3, 0.4]}
+    )
+    spec = pd.DataFrame(
+        {
+            ".name": ["x_1", "x_2"],
+            ".value": ["x", "x"],
+            "time": ["1", "2"],
+        }
+    )
+    exp = ref.pivot_longer_spec(pdf, spec=spec)
+    out = pj.pivot_longer_spec(
+        _sdf(spark, pdf),
+        [
+            {".name": "x_1", ".value": "x", "time": "1"},
+            {".name": "x_2", ".value": "x", "time": "2"},
+        ],
+        index=["id"],
+    )
+    compare(spark, exp, out)
+
+
+def test_rename_column_basic(spark):
+    pdf = pd.DataFrame({"a": [1], "b": [2]})
+    exp = pdf.rename_column("a", "a_new")
+    compare(spark, exp, pj.rename_column(_sdf(spark, pdf), "a", "a_new"))
+
+
+def test_select_columns_kwarg_form(spark):
+    pdf = pd.DataFrame({"id": [1], "score_a": [2], "score_b": [3]})
+    exp = pdf.select(columns=["score_*"])
+    out = pj.select(_sdf(spark, pdf), "score_*")
+    compare(spark, exp, out)
+
+
+def test_select_rows_int_labels(spark):
+    # RangeIndex labels == positions, so the reference's label-based
+    # select(index=...) meets our positional select_rows on the same rows
+    pdf = pd.DataFrame({"o": range(6), "v": list("abcdef")})
+    exp = pdf.select(index=[0, 2, 5])
+    out = pj.select_rows(_sdf(spark, pdf), [0, 2, 5])
+    compare(spark, exp, out)
+
+
+def test_sort_naturally_wells(spark):
+    pdf = pd.DataFrame(
+        {"Well": ["A21", "A3", "A21", "B2", "B51", "B12"], "Value": [1, 2, 13, 3, 4, 7]}
+    )
+    exp = pdf.sort_naturally("Well")
+    out = pj.sort_naturally(_sdf(spark, pdf), "Well")
+    # order matters here: compare the ordered Well sequences, then the frame
+    assert [r["Well"] for r in out.collect()] == exp["Well"].tolist()
+    compare(spark, exp, out)
+
+
+def test_to_datetime_fmt(spark):
+    vals = ["2021-01-02", "2022-03-04", None]
+    sdf = spark.createDataFrame([(v,) for v in vals], "d string")
+    # the reference's to_datetime assigns in place — build the Spark frame
+    # BEFORE running it
+    exp = pd.DataFrame({"d": vals}).to_datetime("d", format="%Y-%m-%d")
+    out = pj.to_datetime(sdf, "d", format="%Y-%m-%d")
+    got = [r["d"] for r in out.collect()]
+    want = [None if pd.isna(v) else v.to_pydatetime() for v in exp["d"]]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+
+
+def test_toset_matches(spark):
+    pdf = pd.DataFrame({"v": [1, 2, 3, 5, 5]})
+    exp = pdf["v"].toset()
+    assert pj.toset(_sdf(spark, pdf), "v") == exp
+
+
+def test_truncate_datetime_dataframe_parts(spark):
+    from datetime import datetime
+
+    x = datetime(2022, 3, 21, 9, 1, 15, 666)
+    pdf = pd.DataFrame({"dt": [x], "v": [1.5]})
+    for part in ("second", "minute", "HOUR", "Day", "month", "yeaR"):
+        exp = pdf.truncate_datetime_dataframe(part)
+        out = pj.truncate_datetime_dataframe(_sdf(spark, pdf), part)
+        got = [r["dt"] for r in out.collect()]
+        assert got == list(exp["dt"]), (part, got, list(exp["dt"]))
+
+
+def test_unionize_dataframe_categories_values(spark):
+    a = pd.DataFrame({"c": pd.Categorical(["x", "y"]), "v": [1, 2]})
+    b = pd.DataFrame({"c": pd.Categorical(["y", "z"]), "v": [3, 4]})
+    exp_a, exp_b = ref.unionize_dataframe_categories(a, b)
+    sa = spark.createDataFrame([("x", 1), ("y", 2)], ["c", "v"])
+    sb = spark.createDataFrame([("y", 3), ("z", 4)], ["c", "v"])
+    out_a, out_b = pj.unionize_dataframe_categories(sa, sb)
+    compare(spark, exp_a.astype({"c": str}), out_a)
+    compare(spark, exp_b.astype({"c": str}), out_b)
