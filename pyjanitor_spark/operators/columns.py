@@ -44,8 +44,9 @@ __all__ = [
 
 def select(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
     """Unified column selection (ref ``select.py:332-447``): names, globs,
-    regexes, slices, callables, DropLabel."""
-    return df.select(*resolve_columns(df, *args, invert=invert))
+    regexes, slices, boolean masks, callables, DropLabel.  Overlapping
+    selectors repeat the column, as the reference's ``select`` does."""
+    return df.select(*resolve_columns(df, *args, invert=invert, dedupe=False))
 
 
 def select_columns(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:

@@ -36,7 +36,7 @@ class DropLabel:
     label: Any
 
 
-def _resolve_one(arg: Any, columns: list[str]) -> list[str]:
+def _resolve_one(arg: Any, columns: list[str], dedupe: bool = True) -> list[str]:
     """Resolve a single selector against ``columns`` (ordered, may dup)."""
     # exact name match wins over glob interpretation
     if isinstance(arg, str):
@@ -73,17 +73,32 @@ def _resolve_one(arg: Any, columns: list[str]) -> list[str]:
             raise KeyError("Callable column selector matched nothing")
         return hits
     if isinstance(arg, Iterable):
-        return _resolve_many(list(arg), columns)
+        items = list(arg)
+        # boolean mask over the column list (ref select.py:612-637):
+        # must cover every column exactly
+        if items and all(type(x).__name__ in ("bool", "bool_") for x in items):
+            if len(items) != len(columns):
+                raise ValueError(
+                    f"Boolean mask has {len(items)} entries for "
+                    f"{len(columns)} columns"
+                )
+            return [c for c, keep in zip(columns, items) if keep]
+        return _resolve_many(items, columns, dedupe=dedupe)
     raise TypeError(f"Unsupported column selector: {type(arg)!r}")
 
 
-def _resolve_many(args: list[Any], columns: list[str]) -> list[str]:
+def _resolve_many(
+    args: list[Any], columns: list[str], dedupe: bool = True
+) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()
     for a in args:
-        for c in _resolve_one(a, columns):
-            if c not in seen:
-                seen.add(c)
+        for c in _resolve_one(a, columns, dedupe=dedupe):
+            if dedupe:
+                if c not in seen:
+                    seen.add(c)
+                    out.append(c)
+            else:
                 out.append(c)
     return out
 
@@ -92,18 +107,22 @@ def resolve_columns(
     df: DataFrame | list[str],
     *args: Any,
     invert: bool = False,
+    dedupe: bool = True,
 ) -> list[str]:
-    """Resolve selectors to an ordered, de-duplicated column-name list.
+    """Resolve selectors to an ordered column-name list.
 
     Selectors may be: exact names, shell globs (``"l_*"``), compiled
-    regexes, slices (label or positional), ints, callables
-    ``(name) -> bool``, ``DropLabel``, or iterables of any of these.
+    regexes, slices (label or positional), ints, boolean masks,
+    callables ``(name) -> bool``, ``DropLabel``, or iterables of any of
+    these.  ``dedupe=False`` preserves repeats the way the reference's
+    ``select`` does (overlapping selectors yield the column again);
+    internal callers keep the deduplicated form.
     """
     columns = df.columns if isinstance(df, DataFrame) else list(df)
     if not args:
         resolved = list(columns)
     else:
-        resolved = _resolve_many(list(args), columns)
+        resolved = _resolve_many(list(args), columns, dedupe=dedupe)
     if invert:
         dropped = set(resolved)
         return [c for c in columns if c not in dropped]

@@ -1807,3 +1807,28 @@ def test_unionize_dataframe_categories_values(spark):
     out_a, out_b = pj.unionize_dataframe_categories(sa, sb)
     compare(spark, exp_a.astype({"c": str}), out_a)
     compare(spark, exp_b.astype({"c": str}), out_b)
+
+
+def test_select_columns_boolean_mask(spark):
+    pdf = pd.DataFrame(
+        {"id": [1], "M_start_date_1": [2], "M_end_date_2": [3], "other": [5]}
+    )
+    mask = [True, False, True, False]
+    exp = pdf.select_columns(mask)
+    compare(spark, exp, pj.select_columns(_sdf(spark, pdf), mask))
+
+
+def test_select_columns_duplicates_preserved(spark):
+    pdf = pd.DataFrame({"id": [1], "M_start_1": [2], "M_end_1": [3]})
+    exp = pdf.select_columns(["M_*", "*_1"])
+    out = pj.select(_sdf(spark, pdf), ["M_*", "*_1"])
+    assert list(out.columns) == list(exp.columns)
+    # dup-named output frames can't round-trip through compare(); check
+    # the row values positionally
+    assert list(out.first()) == list(exp.iloc[0])
+
+
+def test_select_columns_dedup_on_invert(spark):
+    pdf = pd.DataFrame({"id": [1], "a": [2], "b": [3]})
+    exp = pdf.select_columns(["id", "id"], invert=True)
+    compare(spark, exp, pj.select_columns(_sdf(spark, pdf), ["id", "id"], invert=True))
