@@ -122,6 +122,15 @@ def complete(
     reference's merge ``indicator`` trick); ``sort=True`` orders the
     output by the completed key columns (one range exchange — the
     reference's ``sort=`` flag)."""
+    if not isinstance(sort, bool):
+        raise TypeError("sort should be a boolean.")
+    if not isinstance(explicit, bool):
+        raise TypeError("explicit should be a boolean.")
+    if fill_value is not None and not isinstance(fill_value, dict):
+        if hasattr(fill_value, "__len__") and not isinstance(fill_value, str):
+            raise TypeError(
+                "fill_value should either be a dictionary or a scalar value."
+            )
     grid = expand(df, *specs, by=by)
     keys = grid.columns
     # presence indicator BEFORE the join (any non-key column could be null
@@ -131,19 +140,31 @@ def complete(
     value_cols = [c for c in df.columns if c not in set(keys)]
     out = joined
     if fill_value is not None:
-        fills = (
-            fill_value if isinstance(fill_value, dict)
-            else {c: fill_value for c in value_cols}
-        )
+        if isinstance(fill_value, dict):
+            missing = [c for c in fill_value if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"fill_value names columns not in the frame: {missing}"
+                )
+            fills = fill_value
+        else:
+            fills = {c: fill_value for c in value_cols}
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
         updates = {}
         for c, v in fills.items():
             if c not in value_cols:
                 continue
+            if hasattr(v, "__len__") and not isinstance(v, str):
+                raise ValueError(f"The value for {c} should be a scalar.")
+            # cast the fill to the column's type (a scalar 0 filling a
+            # string column becomes "0" — pandas' mixed object column has
+            # no Spark analogue); ANSI surfaces genuinely bad fills
+            lit = F.lit(v).cast(dtypes[c])
             if explicit:
-                updates[c] = F.coalesce(F.col(c), F.lit(v))
+                updates[c] = F.coalesce(F.col(c), lit)
             else:
                 updates[c] = F.when(
-                    F.col("__present").isNull() & F.col(c).isNull(), F.lit(v)
+                    F.col("__present").isNull() & F.col(c).isNull(), lit
                 ).otherwise(F.col(c))
         out = out.withColumns(updates)
     if sort:

@@ -1832,3 +1832,45 @@ def test_select_columns_dedup_on_invert(spark):
     pdf = pd.DataFrame({"id": [1], "a": [2], "b": [3]})
     exp = pdf.select_columns(["id", "id"], invert=True)
     compare(spark, exp, pj.select_columns(_sdf(spark, pdf), ["id", "id"], invert=True))
+
+
+def test_complete_fill_value_scalar_taxonomy(spark):
+    pdf = pd.DataFrame(
+        {
+            "Year": [1999, 2000, 2004, 1999, 2004],
+            "Taxon": ["Saccharina", "Saccharina", "Saccharina", "Agarum", "Agarum"],
+            "Abundance": [4, 5, 2, 1, 8],
+        }
+    )
+    exp = pdf.complete("Year", "Taxon", fill_value=0, sort=False)
+    out = pj.complete(_sdf(spark, pdf), "Year", "Taxon", fill_value=0)
+    compare(spark, exp, out)
+
+
+def test_complete_fill_value_contracts(spark):
+    pdf = pd.DataFrame({"g": [1, 2], "i": [1, 2], "v": [1.0, 2.0]})
+    sdf = _sdf(spark, pdf)
+    for bad_kwargs, exc in [
+        ({"fill_value": pd.Series([1, 2])}, TypeError),
+        ({"fill_value": {"cities": 0}}, ValueError),
+        ({"sort": 11}, TypeError),
+        ({"explicit": 11}, TypeError),
+    ]:
+        with pytest.raises(exc):
+            pdf.complete("g", "i", **bad_kwargs)
+        with pytest.raises(exc):
+            pj.complete(sdf, "g", "i", **bad_kwargs)
+
+
+def test_complete_scalar_fill_string_column_casts(spark):
+    # pandas puts the raw scalar into the object column; Spark columns are
+    # typed, so the fill casts to the column type ("0") — the crash, not
+    # the repr, is the contract under test
+    pdf = pd.DataFrame(
+        {"g": [1, 2], "i": [1, 2], "name": ["a", None]}
+    )
+    out = pj.complete(_sdf(spark, pdf), "g", "i", fill_value=0)
+    got = {(r["g"], r["i"]): r["name"] for r in out.collect()}
+    assert got[(1, 2)] == "0" and got[(2, 1)] == "0" and got[(1, 1)] == "a"
+    # the original explicit null ALSO fills under explicit=True
+    assert got[(2, 2)] == "0"
