@@ -233,6 +233,20 @@ def pivot_longer(
             "column_level refers to MultiIndex column levels; Spark "
             "column names are flat (use collapse_levels first)"
         )
+    if names_sep is not None and names_pattern is not None:
+        raise ValueError(
+            "Only one of names_pattern or names_sep should be provided."
+        )
+    nt = [names_to] if isinstance(names_to, str) else list(names_to or [])
+    if len(set(nt)) != len(nt):
+        raise ValueError("names_to contains duplicate labels.")
+    if isinstance(values_to, str) and ".value" not in nt:
+        if values_to in nt:
+            raise ValueError(f"values_to {values_to!r} is also in names_to.")
+        if values_to in df.columns:
+            raise ValueError(
+                f"values_to {values_to!r} already exists as a column name."
+            )
     if index is not None:
         idx = resolve_columns(df, index)
         cols = (

@@ -1874,3 +1874,18 @@ def test_complete_scalar_fill_string_column_casts(spark):
     assert got[(1, 2)] == "0" and got[(2, 1)] == "0" and got[(1, 1)] == "a"
     # the original explicit null ALSO fills under explicit=True
     assert got[(2, 2)] == "0"
+
+
+def test_pivot_longer_error_contracts(spark):
+    pdf = pd.DataFrame({"famid": [1], "birth": [1], "ht1": [2.8], "ht2": [3.4]})
+    sdf = _sdf(spark, pdf)
+    for kwargs in [
+        dict(names_sep="_", names_pattern="x"),
+        dict(names_to=("a", "a"), names_pattern="(h)(t)"),
+        dict(values_to="famid"),
+        dict(values_to="num", names_to="num"),
+    ]:
+        with pytest.raises(ValueError):
+            pdf.pivot_longer(index=["famid", "birth"], **kwargs)
+        with pytest.raises(ValueError):
+            pj.pivot_longer(sdf, index=["famid", "birth"], **kwargs)
