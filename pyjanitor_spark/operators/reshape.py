@@ -326,9 +326,9 @@ def _levels(df: DataFrame, col: str, explicit) -> list[str]:
 
 def pivot_wider(
     df: DataFrame,
-    index: Any,
-    names_from: Any,
-    values_from: Any,
+    index: Any | None = None,
+    names_from: Any = None,
+    values_from: Any = None,
     names_sep: str = "_",
     names_glue: str | None = None,
     flatten_levels: bool = True,
@@ -363,9 +363,25 @@ def pivot_wider(
             "flatten_levels=False (MultiIndex columns) has no Spark "
             "representation; column names are always flat"
         )
-    idx = resolve_columns(df, index)
+    if names_from is None:
+        raise ValueError("names_from is required.")
+    if values_from is None:
+        raise ValueError("values_from is required.")
     names = resolve_columns(df, names_from)
     values = resolve_columns(df, values_from)
+    if index is None:
+        # tidyr's id_cols default: everything not in names_from/values_from
+        # (the reference's index=None leans on the pandas row index, which
+        # Spark frames don't have)
+        taken = set(names) | set(values)
+        idx = [c for c in df.columns if c not in taken]
+        if not idx:
+            raise ValueError(
+                "index=None needs at least one remaining column to group "
+                "by; Spark frames have no row index to fall back on"
+            )
+    else:
+        idx = resolve_columns(df, index)
     if len(names) == 1:
         name_col = F.col(names[0]).cast("string")
     else:

@@ -1889,3 +1889,33 @@ def test_pivot_longer_error_contracts(spark):
             pdf.pivot_longer(index=["famid", "birth"], **kwargs)
         with pytest.raises(ValueError):
             pj.pivot_longer(sdf, index=["famid", "birth"], **kwargs)
+
+
+def test_pivot_wider_default_index_tidyr(spark):
+    # index=None takes the remaining columns (tidyr id_cols default); the
+    # reference's index=None leans on the pandas row index instead, so the
+    # oracle here passes the index explicitly
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2],
+            "n": ["a", "b", "a", "b"],
+            "v": [10, 20, 30, 40],
+        }
+    )
+    exp = pdf.pivot_wider(index="id", names_from="n", values_from="v")
+    out = pj.pivot_wider(_sdf(spark, pdf), names_from="n", values_from="v")
+    compare(spark, exp, out)
+
+
+def test_pivot_wider_error_contracts(spark):
+    pdf = pd.DataFrame({"id": [1], "n": ["a"], "v": [2]})
+    sdf = _sdf(spark, pdf)
+    with pytest.raises(ValueError):
+        pdf.pivot_wider(index="id", names_from=None, values_from="v")
+    with pytest.raises(ValueError):
+        pj.pivot_wider(sdf, index="id", names_from=None, values_from="v")
+    for bad in ("zz", ["zz"]):
+        with pytest.raises(KeyError):
+            pdf.pivot_wider(index=bad, names_from="n", values_from="v")
+        with pytest.raises(KeyError):
+            pj.pivot_wider(sdf, index=bad, names_from="n", values_from="v")
