@@ -207,21 +207,36 @@ def move(
         raise ValueError(f"position must be 'before' or 'after', got {position!r}")
     row_move = axis == 0 or (
         axis is None
-        and isinstance(source, (int, list, tuple))
         and not isinstance(source, bool)
+        and (
+            isinstance(source, int)
+            or (
+                isinstance(source, (list, tuple))
+                and source
+                and all(
+                    isinstance(s, int) and not isinstance(s, bool) for s in source
+                )
+            )
+        )
     )
     if not row_move:
-        if not isinstance(source, str):
-            raise TypeError("column move needs a string source (or pass axis=0)")
-        cols = [c for c in df.columns if c != source]
-        if source not in df.columns:
-            raise KeyError(source)
+        # a block of columns moves together, preserving its requested
+        # order (ref move.py:13-133 supports multi-column sources)
+        srcs = (
+            [source]
+            if isinstance(source, str) and source in df.columns
+            else resolve_columns(df, source)
+        )
+        block = set(srcs)
+        cols = [c for c in df.columns if c not in block]
         if target is None:
             idx = 0 if position == "before" else len(cols)
         else:
+            if not isinstance(target, str):
+                raise TypeError("column move target must be a column name")
             t = cols.index(target)
             idx = t if position == "before" else t + 1
-        cols.insert(idx, source)
+        cols[idx:idx] = srcs
         return df.select(*cols)
 
     from pyjanitor_spark.utils.order import positional_index
@@ -371,8 +386,11 @@ def row_to_names(
         ranks = {head[r][ocol] for r in rows}
         out = out.filter(~F.col(ocol).isin(list(ranks)))
     if remove_rows_above:
-        cutoff = head[max(rows)][ocol]
-        out = out.filter(F.col(ocol) > cutoff)
+        # drop strictly ABOVE the first promoted row; the promoted rows
+        # themselves survive unless remove_rows also asked for them
+        # (ref row_to_names.py:83-93)
+        cutoff = head[min(rows)][ocol]
+        out = out.filter(F.col(ocol) >= cutoff)
     mapping = dict(zip(data_cols, make_unique(names)))
     out = out.withColumnsRenamed({o: n for o, n in mapping.items() if o != n})
     if added:

@@ -1919,3 +1919,24 @@ def test_pivot_wider_error_contracts(spark):
             pdf.pivot_wider(index=bad, names_from="n", values_from="v")
         with pytest.raises(KeyError):
             pj.pivot_wider(sdf, index=bad, names_from="n", values_from="v")
+
+
+def test_row_to_names_remove_above_only(spark):
+    pdf = pd.DataFrame({"a": ["n1", "x", "y", "z"], "b": ["n2", "p", "q", "r"]})
+    exp = pdf.row_to_names(1, remove_rows=False, remove_rows_above=True)
+    out = pj.row_to_names(_sdf(spark, pdf), 1, remove_rows=False, remove_rows_above=True)
+    compare(spark, exp, out)
+
+
+def test_move_multi_column_block(spark):
+    mdf = pd.DataFrame({"a": [1, 2], "b": [3, 4], "c": [5, 6], "d": [7, 8]})
+    sdf = _sdf(spark, mdf)
+    for src, tgt, pos in [
+        (["a", "b"], "d", "after"),
+        (["d", "a"], "b", "before"),
+        (["b", "c"], None, "after"),
+    ]:
+        exp = mdf.move(src, tgt, position=pos, axis=1)
+        out = pj.move(sdf, src, tgt, position=pos, axis=1)
+        assert list(out.columns) == list(exp.columns), (src, tgt, pos)
+        compare(spark, exp, out)
