@@ -100,17 +100,33 @@ def filter_date(
     format: str | None = None,
 ) -> DataFrame:
     """Filter by date range and/or year/month/day membership (ref
-    ``filter.py:186-294``).  All predicates are scan-pushable."""
+    ``filter.py:186-294``).  All predicates are scan-pushable.
+
+    Mirroring the reference: ``format`` parses only the ``start_date`` /
+    ``end_date`` strings; the COLUMN parses via
+    ``column_date_options={'format': ...}`` (or plain ``to_timestamp``
+    for string columns) and, as in the reference, the parsed column
+    replaces the original in the output."""
+    from pyjanitor_spark.operators.transforms import strftime_to_java
+
+    opts = column_date_options or {}
+    col_fmt = strftime_to_java(opts.get("format"))
+    if col_fmt is not None:
+        df = df.withColumn(column_name, F.to_timestamp(F.col(column_name), col_fmt))
+    elif opts or dict(df.dtypes).get(column_name) == "string":
+        df = df.withColumn(column_name, F.to_timestamp(F.col(column_name)))
     col = F.col(column_name)
-    if format is not None:
-        col = F.to_timestamp(col, format)
-    elif column_date_options or dict(df.dtypes).get(column_name) == "string":
-        col = F.to_timestamp(col)
+
+    def _bound(v):
+        if isinstance(v, str) and format is not None:
+            return _dt.datetime.strptime(v, format)
+        return v
+
     preds: list[Column] = []
     if start_date is not None:
-        preds.append(col >= F.lit(start_date).cast("timestamp"))
+        preds.append(col >= F.lit(_bound(start_date)).cast("timestamp"))
     if end_date is not None:
-        preds.append(col <= F.lit(end_date).cast("timestamp"))
+        preds.append(col <= F.lit(_bound(end_date)).cast("timestamp"))
     if years:
         preds.append(F.year(col).isin([int(y) for y in years]))
     if months:

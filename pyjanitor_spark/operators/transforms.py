@@ -398,23 +398,29 @@ _STRFTIME_TO_JAVA = {
 }
 
 
+def strftime_to_java(format: str | None) -> str | None:
+    """Translate strftime directives (``%Y-%m-%d`` …) to Java datetime
+    patterns when a ``%`` is present; Java-style patterns pass through."""
+    if not format or "%" not in format:
+        return format
+    out, i = [], 0
+    while i < len(format):
+        tok = format[i : i + 2]
+        if tok in _STRFTIME_TO_JAVA:
+            out.append(_STRFTIME_TO_JAVA[tok])
+            i += 2
+        else:
+            out.append(format[i])
+            i += 1
+    return "".join(out)
+
+
 def to_datetime(df: DataFrame, column_name: str, format: str | None = None) -> DataFrame:
     """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``).
 
     Accepts either Spark/Java datetime patterns or the strftime codes the
-    reference's pandas callers use (``%Y-%m-%d`` …) — strftime directives
-    are translated to their Java equivalents when a ``%`` is present."""
-    if format and "%" in format:
-        out, i = [], 0
-        while i < len(format):
-            tok = format[i : i + 2]
-            if tok in _STRFTIME_TO_JAVA:
-                out.append(_STRFTIME_TO_JAVA[tok])
-                i += 2
-            else:
-                out.append(format[i])
-                i += 1
-        format = "".join(out)
+    reference's pandas callers use (``%Y-%m-%d`` …)."""
+    format = strftime_to_java(format)
     col = F.col(column_name)
     return df.withColumn(
         column_name, F.to_timestamp(col, format) if format else F.to_timestamp(col)

@@ -1940,3 +1940,31 @@ def test_move_multi_column_block(spark):
         out = pj.move(sdf, src, tgt, position=pos, axis=1)
         assert list(out.columns) == list(exp.columns), (src, tgt, pos)
         compare(spark, exp, out)
+
+
+def test_filter_date_column_date_options_format(spark):
+    # the reference parses the COLUMN via column_date_options and
+    # `format` applies only to start/end strings (filter.py:186-294)
+    vals = ["05/01/2020", "15/06/2020", "01/03/2021"]
+    sdf = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "d string, v int")
+    pdf = pd.DataFrame({"d": vals, "v": range(3)})
+    exp = pdf.filter_date(
+        "d", years=[2020], column_date_options={"format": "%d/%m/%Y"}
+    )
+    out = pj.filter_date(
+        sdf, "d", years=[2020], column_date_options={"format": "%d/%m/%Y"}
+    )
+    assert sorted(r["v"] for r in out.collect()) == sorted(exp["v"])
+
+
+def test_filter_date_format_applies_to_bounds(spark):
+    vals = ["2020-01-05", "2020-06-15", "2021-03-01"]
+    sdf = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "d string, v int")
+    pdf = pd.DataFrame({"d": vals, "v": range(3)})
+    exp = pdf.filter_date(
+        "d", start_date="01/02/2020", end_date="31/12/2020", format="%d/%m/%Y"
+    )
+    out = pj.filter_date(
+        sdf, "d", start_date="01/02/2020", end_date="31/12/2020", format="%d/%m/%Y"
+    )
+    assert sorted(r["v"] for r in out.collect()) == sorted(exp["v"])
