@@ -48,7 +48,9 @@ _STATS = {
     "mean": F.avg,
     "average": F.avg,
     "median": lambda c: F.percentile_approx(c, 0.5),
-    "mode": F.mode,
+    # deterministic=True -> lowest of the most-frequent values, matching
+    # pandas Series.mode().iloc[0] (sorted ascending)
+    "mode": lambda c: F.mode(c, True),
     "minimum": F.min,
     "min": F.min,
     "maximum": F.max,

@@ -738,16 +738,27 @@ def concatenate_columns(
     ignore_empty: bool = True,
 ) -> DataFrame:
     """String-concat N cols (ref ``concatenate_columns.py:12-75``).
-    ``concat_ws`` skips nulls natively (== ignore_empty)."""
+
+    Follows the reference's DOCUMENTED semantics — nulls become empty
+    strings, and ``ignore_empty`` drops empty segments (``concat_ws``
+    natively) — not its ``astype(str)`` wart that renders None as the
+    literal string ``"None"`` before ``fillna`` can catch it
+    (``concatenate_columns.py:61-62``)."""
     cols = resolve_columns(df, column_names)
     if len(cols) < 2:
         raise ValueError("at least two columns")
     if ignore_empty:
-        expr = F.concat_ws(sep, *[F.col(c).cast("string") for c in cols])
+        # concat_ws skips nulls; also strip genuinely-empty strings so
+        # their separators collapse, as remove_empty_string does
+        parts = [
+            F.when(F.col(c).cast("string") == "", None)
+            .otherwise(F.col(c).cast("string"))
+            for c in cols
+        ]
+        expr = F.concat_ws(sep, *parts)
     else:
-        expr = F.concat(
-            *sum(([F.col(c).cast("string"), F.lit(sep)] for c in cols[:-1]), [])
-            + [F.col(cols[-1]).cast("string")]
+        expr = F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
         )
     return df.withColumn(new_column_name, expr)
 

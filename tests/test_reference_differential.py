@@ -1968,3 +1968,22 @@ def test_filter_date_format_applies_to_bounds(spark):
         sdf, "d", start_date="01/02/2020", end_date="31/12/2020", format="%d/%m/%Y"
     )
     assert sorted(r["v"] for r in out.collect()) == sorted(exp["v"])
+
+
+def test_impute_mode_tie_breaks_low(spark):
+    pdf = pd.DataFrame({"v": [1.0, None, 3.0, None, 5.0], "k": range(5)})
+    exp = pdf.impute("v", statistic_column_name="mode")
+    out = pj.impute(_sdf(spark, pdf), "v", statistic_column_name="mode")
+    compare(spark, exp, out)
+
+
+def test_concatenate_columns_null_intent(spark):
+    # the reference's astype(str) renders None as the literal "None"
+    # before fillna("") can catch it (concatenate_columns.py:61-62); we
+    # follow the documented intent: null -> empty segment, and
+    # ignore_empty collapses the separator too
+    sdf = spark.createDataFrame([("x", 1), (None, 2)], "a string, b bigint")
+    keep = pj.concatenate_columns(sdf, ["a", "b"], "j", sep="-", ignore_empty=False)
+    drop = pj.concatenate_columns(sdf, ["a", "b"], "j", sep="-", ignore_empty=True)
+    assert {r["j"] for r in keep.collect()} == {"x-1", "-2"}
+    assert {r["j"] for r in drop.collect()} == {"x-1", "2"}
