@@ -824,6 +824,13 @@ def expand_column(
         .collect()
     )
     arr = F.split(F.col(column_name), _re.escape(sep))
+    clash = [r["t"] for r in toks if r["t"] in df.columns]
+    if clash and concat:
+        # the reference's join raises the same way ("columns overlap")
+        raise ValueError(
+            f"expand_column: dummy column(s) {clash} collide with existing "
+            "columns"
+        )
     updates = {
         r["t"]: F.array_contains(arr, r["t"]).cast("int") for r in toks
     }
