@@ -199,6 +199,8 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "startswith": lambda col, pat: col.startswith(pat),
     "endswith": lambda col, pat: col.endswith(pat),
     "replace": _pt_replace,
+    "count": lambda col, pat, **kw: F.regexp_count(col, F.lit(pat)),
+    "findall": lambda col, pat, **kw: F.regexp_extract_all(col, F.lit(pat), F.lit(0)),
     "split": lambda col, pat=" ", **kw: F.split(col, pat),
     "slice": lambda col, start=0, stop=None: col.substr(F.lit(start + 1), F.lit((stop - start) if stop is not None else 1 << 30)),
     # "get" is dtype-aware (string vs array) — handled in process_text

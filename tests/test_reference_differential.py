@@ -1987,3 +1987,26 @@ def test_concatenate_columns_null_intent(spark):
     drop = pj.concatenate_columns(sdf, ["a", "b"], "j", sep="-", ignore_empty=True)
     assert {r["j"] for r in keep.collect()} == {"x-1", "-2"}
     assert {r["j"] for r in drop.collect()} == {"x-1", "2"}
+
+
+def test_process_text_count_findall_wrap(spark):
+    vals = ["cat hat", "dog", "bird cat", None]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string")
+    pdf = pd.DataFrame({"s": vals})
+    # count -> regexp_count builtin
+    exp = list(pdf.process_text("s", string_function="count", pat="cat")["s"])
+    got = [r["s"] for r in pj.process_text(sdf, "s", "count", pat="cat").collect()]
+    assert sorted(map(repr, got), key=str) == sorted(
+        (repr(None if pd.isna(v) else int(v)) for v in exp), key=str
+    )
+    # findall -> regexp_extract_all builtin (pandas: [] no-match, NaN null)
+    exp = list(pdf.process_text("s", string_function="findall", pat="[a-z]+at")["s"])
+    got = [r["s"] for r in pj.process_text(sdf, "s", "findall", pat="[a-z]+at").collect()]
+    exp_n = [None if not isinstance(v, list) and pd.isna(v) else list(v) for v in exp]
+    assert sorted(map(repr, got)) == sorted(map(repr, exp_n))
+    # wrap rides the pandas fallback
+    exp = list(pdf.process_text("s", string_function="wrap", width=3)["s"])
+    got = [r["s"] for r in pj.process_text(sdf, "s", "wrap", width=3).collect()]
+    assert sorted(map(repr, got)) == sorted(
+        repr(None if pd.isna(v) else v) for v in exp
+    )
