@@ -710,7 +710,42 @@ def encode_categorical(df: DataFrame, column_names: Any = None, **kwargs: Any) -
     """Categorical dtype is metadata-only on Spark (strings stay strings;
     ref ``encode_categorical.py:16-166``).  Category lists for
     ``complete``/``pivot_wider`` expansion are passed to those verbs
-    directly.  Identity here, kept for API parity."""
+    directly.  Identity on the data, but the reference's argument
+    contract is enforced so misuse fails the same way
+    (``encode_categorical.py:114-117`` mutual exclusion,
+    ``:168-230`` kwarg checks)."""
+    if column_names is not None and kwargs:
+        raise ValueError("Only one of `column_names` or `kwargs` can be provided.")
+    if column_names is not None:
+        resolve_columns(df, column_names)
+        return df
+    missing = set(kwargs) - set(df.columns)
+    if missing:
+        raise ValueError(f"{sorted(missing)} not present in dataframe columns!")
+    for column_name, value in kwargs.items():
+        if value is None:
+            continue
+        if isinstance(value, str):
+            if value not in ("sort", "appearance"):
+                raise ValueError(
+                    f"category order argument for {column_name} should be "
+                    "'appearance' or 'sort'."
+                )
+            continue
+        if not isinstance(value, (list, tuple, set)) and not hasattr(value, "__array__"):
+            raise TypeError(f"{value} should be list-like or a string.")
+        seq = list(value)
+        if not seq:
+            raise ValueError(
+                "Kindly ensure there is at least one non-null value "
+                "in the array provided."
+            )
+        if any(v is None for v in seq):
+            raise ValueError("Kindly ensure there are no nulls in the array provided.")
+        if len(set(seq)) != len(seq):
+            raise ValueError(
+                "Kindly provide unique, non-null values for the array provided."
+            )
     return df
 
 

@@ -1263,6 +1263,33 @@ def test_encode_categorical_values_stable(spark):
     compare(spark, exp, out)
 
 
+def test_encode_categorical_error_contracts(spark):
+    # identity on Spark data, but the argument contract matches the
+    # reference: column_names/kwargs mutual exclusion, column existence,
+    # and kwarg value validation (order string / unique non-null array)
+    pdf = pd.DataFrame({"k": ["b", "a", "b"], "v": [1, 2, 3]})
+    sdf = _sdf(spark, pdf)
+    with pytest.raises(ValueError):
+        pdf.encode_categorical("k", v="sort")
+    with pytest.raises(ValueError):
+        pj.encode_categorical(sdf, "k", v="sort")
+    for kwargs in [
+        dict(zzz="sort"),
+        dict(k="alphabetical"),
+        dict(k=["a", None]),
+        dict(k=["a", "a"]),
+        dict(k=[]),
+    ]:
+        with pytest.raises((ValueError, TypeError)):
+            pdf.encode_categorical(**kwargs)
+        with pytest.raises((ValueError, TypeError)):
+            pj.encode_categorical(sdf, **kwargs)
+    # valid kwarg forms pass through with values intact
+    for kwargs in [dict(k="sort"), dict(k="appearance"), dict(k=["b", "a"]), dict(k=None)]:
+        exp = pdf.encode_categorical(**kwargs).astype({"k": str})
+        compare(spark, exp, pj.encode_categorical(sdf, **kwargs))
+
+
 def test_process_text_more_methods(spark):
     pdf = pd.DataFrame({"s": ["  pad  ", "x  ", " y"]})
     exp = pdf.process_text("s", string_function="strip")
