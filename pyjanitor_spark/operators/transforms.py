@@ -305,6 +305,8 @@ def change_type(
     ``ignore_exception='fillna'`` == try_cast (bad values -> null);
     ``'keep_values'`` keeps originals where the cast fails (string
     supertype)."""
+    if ignore_exception and ignore_exception not in ("fillna", "keep_values"):
+        raise ValueError("Unknown option for ignore_exception")
     cols = resolve_columns(df, column_name)
     updates = {}
     for c in cols:
@@ -588,6 +590,19 @@ def jitter(
       re-run wants, and the one the correctness oracle can recompute
       (same pattern as ``deterministic_sample``).
     """
+    if not isinstance(scale, (int, float)) or isinstance(scale, bool):
+        raise TypeError("scale should be one of (<class 'int'>, <class 'float'>).")
+    if scale <= 0:
+        raise ValueError("`scale` must be a numeric value greater than 0.")
+    numeric = ("integer", "long", "double", "float", "short", "byte", "decimal")
+    if df.schema[column_name].dataType.typeName() not in numeric:
+        raise TypeError(f"{column_name} must be a numeric column.")
+    if clip is not None:
+        clip = tuple(clip)
+        if len(clip) != 2:
+            raise ValueError("`clip` must be an iterable of length 2.")
+        if clip[1] < clip[0]:
+            raise ValueError("`clip[0]` must be less than or equal to `clip[1]`.")
     if key_column is not None:
         # u1, u2 from two disjoint 8-hex windows of one md5; +0.5 keeps
         # u1 strictly inside (0, 1) so ln(u1) is finite

@@ -1018,6 +1018,32 @@ def test_change_type_differential(spark):
     assert sorted(got["b"]) == sorted(exp["b"])
 
 
+def test_change_type_unknown_option(spark):
+    pdf = pd.DataFrame({"a": ["1", "x"]})
+    sdf = _sdf(spark, pdf)
+    with pytest.raises(ValueError):
+        pdf.change_type("a", int, ignore_exception="coerce")
+    with pytest.raises(ValueError):
+        pj.change_type(sdf, "a", "int", ignore_exception="coerce")
+
+
+def test_jitter_error_contracts(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "s": ["a", "b"]})
+    sdf = _sdf(spark, pdf)
+    for exc, kwargs in [
+        (TypeError, dict(column_name="x", dest_column_name="j", scale="big")),
+        (ValueError, dict(column_name="x", dest_column_name="j", scale=0)),
+        (ValueError, dict(column_name="x", dest_column_name="j", scale=-1.5)),
+        (TypeError, dict(column_name="s", dest_column_name="j", scale=1.0)),
+        (ValueError, dict(column_name="x", dest_column_name="j", scale=1.0, clip=(1, 2, 3))),
+        (ValueError, dict(column_name="x", dest_column_name="j", scale=1.0, clip=(5, 1))),
+    ]:
+        with pytest.raises(exc):
+            pdf.jitter(**kwargs)
+        with pytest.raises(exc):
+            pj.jitter(sdf, **kwargs)
+
+
 def test_remove_columns_differential(spark):
     pdf = pd.DataFrame({"a": [1], "b": [2], "c": [3]})
     exp = pdf.remove_columns(["b"])
