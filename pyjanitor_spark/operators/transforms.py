@@ -472,16 +472,23 @@ def bin_numeric(
         edges = [float(b) for b in bins]
     if labels is not None and len(labels) != len(edges) - 1:
         raise ValueError("labels must have len(bins)-1 entries")
+    # pd.cut casts explicit bins to a common dtype before rendering the
+    # interval labels: an all-int bin list prints "(0, 4]", any float in
+    # the list promotes every edge to "(0.0, 4.0]"
+    if not int_bins and all(isinstance(b, int) and not isinstance(b, bool) for b in bins):
+        shown = [int(e) for e in edges]
+    else:
+        shown = edges
     expr = None
     for i in range(len(edges) - 1):
         lo_e, hi_e = edges[i], edges[i + 1]
         if right:
-            lab = labels[i] if labels else f"({lo_e}, {hi_e}]"
+            lab = labels[i] if labels else f"({shown[i]}, {shown[i + 1]}]"
             cond = (col > F.lit(lo_e)) & (col <= F.lit(hi_e))
             if i == 0 and (include_lowest or int_bins):
                 cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
         else:
-            lab = labels[i] if labels else f"[{lo_e}, {hi_e})"
+            lab = labels[i] if labels else f"[{shown[i]}, {shown[i + 1]})"
             cond = (col >= F.lit(lo_e)) & (col < F.lit(hi_e))
             if i == len(edges) - 2 and int_bins:
                 # computed bins must admit the column maximum
@@ -883,8 +890,11 @@ def expand_column(
             f"expand_column: dummy column(s) {clash} collide with existing "
             "columns"
         )
+    # null input rows one-hot to all-zeros like str.get_dummies (NaN has
+    # no tokens), so the dummies never carry nulls downstream
     updates = {
-        r["t"]: F.array_contains(arr, r["t"]).cast("int") for r in toks
+        r["t"]: F.coalesce(F.array_contains(arr, r["t"]).cast("int"), F.lit(0))
+        for r in toks
     }
     out = df.withColumns(updates)
     if not concat:

@@ -66,9 +66,16 @@ def compare(spark, pandas_expected: pd.DataFrame, spark_out):
 def _sdf(spark, pdf: pd.DataFrame, schema=None):
     # pandas NaN must land as Spark NULL (createDataFrame keeps float
     # NaN, which is non-null to coalesce/countDistinct/isNull); NaN-free
-    # frames convert directly (the object detour breaks int inference)
+    # frames convert directly (the object detour breaks int inference).
+    # datetime64 columns stay as-is — NaT already converts to NULL, and
+    # the object detour would turn Timestamps into structs.
     if pdf.isna().any().any():
-        pdf = pdf.astype(object).where(pd.notna(pdf), None)
+        pdf = pdf.copy()
+        for c in pdf.columns:
+            if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+                continue
+            if pdf[c].isna().any():
+                pdf[c] = pdf[c].astype(object).where(pd.notna(pdf[c]), None)
     if schema is None:
         return spark.createDataFrame(pdf)
     return spark.createDataFrame(pdf, schema)
@@ -236,6 +243,53 @@ def test_bin_numeric(spark):
     out = pj.bin_numeric(
         _sdf(spark, pdf), "v", "bin", bins=[0.0, 5.0, 10.0, 15.0, 20.0]
     )
+    compare(spark, exp, out)
+
+
+def test_bin_numeric_int_edge_labels(spark):
+    # all-int bin lists render "(0, 4]" (pandas keeps the int dtype);
+    # any float in the list promotes every edge to "(0.0, 4.0]"
+    pdf = pd.DataFrame({"x": [1.0, None, 5.0, 9.0]})
+    exp = pdf.bin_numeric(from_column_name="x", to_column_name="b", bins=[0, 4, 10])
+    exp["b"] = exp["b"].astype(str)
+    out = pj.bin_numeric(_sdf(spark, pdf), "x", "b", bins=[0, 4, 10])
+    compare(spark, exp.replace({"b": {"nan": None}}), out)
+    pdf2 = pd.DataFrame({"x": [1.0, 5.0]})
+    exp2 = pdf2.bin_numeric(from_column_name="x", to_column_name="b", bins=[0, 4.5, 10])
+    exp2["b"] = exp2["b"].astype(str)
+    out2 = pj.bin_numeric(_sdf(spark, pdf2), "x", "b", bins=[0, 4.5, 10])
+    compare(spark, exp2, out2)
+
+
+def test_expand_column_null_rows(spark):
+    # a null cell one-hots to all-zero dummies, not nulls (str.get_dummies)
+    pdf = pd.DataFrame({"c": ["a|b", None, "b"], "v": [1, 2, 3]})
+    exp = pdf.expand_column("c", sep="|")
+    out = pj.expand_column(_sdf(spark, pdf), "c", sep="|")
+    compare(spark, exp, out)
+
+
+def test_truncate_datetime_nat_passthrough(spark):
+    pdf = pd.DataFrame({"t": pd.to_datetime(["2020-03-05 10:11:12", None])})
+    exp = pdf.truncate_datetime_dataframe("month")
+    out = pj.truncate_datetime_dataframe(_sdf(spark, pdf), "month")
+    compare(spark, exp, out)
+
+
+def test_factorize_columns_nulls_appearance(spark):
+    # nulls code to -1; order_by reproduces pandas first-appearance codes
+    pdf = pd.DataFrame({"k": ["b", None, "a", "b", None], "o": range(5)})
+    exp = pdf.factorize_columns("k")
+    out = pj.factorize_columns(_sdf(spark, pdf), "k", order_by="o")
+    compare(spark, exp, out)
+
+
+def test_fill_direction_all_null_column(spark):
+    # a column with no non-null values stays all-null under any direction
+    pdf = pd.DataFrame({"x": pd.Series([None, None, None], dtype=object), "o": [1, 2, 3]})
+    exp = pdf.fill_direction(x="down")
+    sdf = spark.createDataFrame(pdf, "x string, o long")
+    out = pj.fill_direction(sdf, x="down", order_by="o")
     compare(spark, exp, out)
 
 
