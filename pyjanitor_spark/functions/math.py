@@ -184,9 +184,21 @@ def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> 
         # single-task stage).  The data side is touched exactly once, by
         # the value-keyed join back — the full rows never pass through a
         # sort, window, or checkpoint.  With k distinct values every
-        # heavy stage is O(k); NULL keeps its sorts-first group (null-
-        # safe join), NaN its sorts-last group, matching cume_dist.
+        # heavy stage is O(k).
+        #
+        # Reference contract (math.py:330-376): non-numeric dtype is a
+        # TypeError at once (free, from the schema); null values raise —
+        # enforced by an inline assert_true that rides the groupBy's own
+        # scan instead of a separate eager count action.
         from pyjanitor_spark.utils.order import partitioned_cumsum
+
+        numeric = ("integer", "long", "double", "float", "short", "byte", "decimal")
+        if df.schema[column_name].dataType.typeName() not in numeric:
+            raise TypeError(f"ecdf: column {column_name!r} dtype should be numeric.")
+        guard = F.assert_true(
+            col.isNotNull(), F.lit(f"ecdf: column {column_name!r} contains nulls; drop them first.")
+        )
+        df = df.withColumn(column_name, F.when(guard.isNull(), col))
 
         total = df.agg(F.count(F.lit(1)).alias("__n"))
         counts = df.groupBy(column_name).agg(F.count(F.lit(1)).alias("__cnt"))

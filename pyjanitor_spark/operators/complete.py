@@ -136,7 +136,16 @@ def complete(
     # presence indicator BEFORE the join (any non-key column could be null
     # legitimately)
     marked = df.withColumn("__present", F.lit(1))
-    joined = grid.join(marked, on=keys, how="left")
+    # null-safe key equality: a null key value is a category of its own in
+    # the expansion (pd.unique keeps NaN), so the original null-keyed rows
+    # must rejoin their grid row instead of dangling
+    tmp = {k: f"__ck_{i}" for i, k in enumerate(keys)}
+    marked = marked.withColumnsRenamed(tmp)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(tmp[k]))
+        cond = c if cond is None else (cond & c)
+    joined = grid.join(marked, cond, how="left").drop(*tmp.values())
     value_cols = [c for c in df.columns if c not in set(keys)]
     out = joined
     if fill_value is not None:

@@ -83,9 +83,14 @@ def filter_string(
 
 def filter_on(df: DataFrame, criteria: str, complement: bool = False) -> DataFrame:
     """Filter with a SQL expression string (ref ``filter.py:114-182``;
-    Spark SQL replaces ``df.query``)."""
+    Spark SQL replaces ``df.query``).
+
+    ``complement=True`` keeps rows where the criteria is NOT TRUE —
+    including rows where it evaluates NULL — matching pandas
+    ``query("not (...)")``, where NaN comparisons are already False
+    before the negation."""
     pred = F.expr(criteria)
-    return df.filter(~pred if complement else pred)
+    return df.filter(~F.coalesce(pred, F.lit(False)) if complement else pred)
 
 
 def filter_date(

@@ -264,6 +264,9 @@ def groupby_topk(
     if dropna:
         for kcol in keys:
             df = df.filter(F.col(kcol).isNotNull())
+    # nlargest/nsmallest never return NaN rows (they rank only non-null
+    # values), so null-ranked rows drop out rather than sorting last
+    df = df.filter(F.col(column).isNotNull())
     order = F.col(column).asc() if ascending else F.col(column).desc()
     w = Window.partitionBy(*keys).orderBy(order)
     return (
@@ -288,7 +291,9 @@ def count_cumulative_unique(
     order_by: str | None = None,
 ) -> DataFrame:
     """Running count of distinct values seen so far (ref
-    ``count_cumulative_unique.py:13-112``).
+    ``count_cumulative_unique.py:13-112``).  Null values never
+    increment the count — the reference's ``groupby(counter)`` drops
+    NaN keys, so a NaN row carries the previous total forward.
 
     Scalable two-stage plan: flag the first occurrence per value
     (parallel window partitioned by the value), then a partition-
@@ -312,7 +317,8 @@ def count_cumulative_unique(
         narrow = df.select(F.col(ocol), val.alias("__v"))
         w_first = Window.partitionBy("__v").orderBy(F.col(ocol))
         flagged = narrow.withColumn(
-            "__is_first", (F.row_number().over(w_first) == 1).cast("long")
+            "__is_first",
+            ((F.row_number().over(w_first) == 1) & F.col("__v").isNotNull()).cast("long"),
         ).drop("__v")
         cum = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name)
         # null-safe equi-join: a (single, per the uniqueness contract)
@@ -326,7 +332,8 @@ def count_cumulative_unique(
         )
     w_first = Window.partitionBy(val).orderBy(F.col(ocol))
     flagged = df.withColumn(
-        "__is_first", (F.row_number().over(w_first) == 1).cast("long")
+        "__is_first",
+        ((F.row_number().over(w_first) == 1) & val.isNotNull()).cast("long"),
     )
     out = partitioned_cumsum(flagged, "__is_first", ocol, dest_column_name).drop(
         "__is_first"

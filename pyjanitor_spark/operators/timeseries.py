@@ -78,7 +78,7 @@ def flag_jumps(
             jump = -delta > threshold
         else:
             jump = F.abs(delta) > threshold
-        updates[f"{c}{suffix}"] = F.when(prev.isNull(), F.lit(0)).otherwise(
-            jump.cast("int")
-        )
+        # null current values (and null deltas generally) flag 0 like the
+        # reference, where a NaN diff compares False against the threshold
+        updates[f"{c}{suffix}"] = F.coalesce(jump.cast("int"), F.lit(0))
     return df.withColumns(updates)

@@ -272,7 +272,12 @@ def process_text(
 
 def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataFrame:
     """Dict-based exact or regex replacement per column (ref
-    ``find_replace.py:18-178``); kwargs are column=dict pairs."""
+    ``find_replace.py:18-178``); kwargs are column=dict pairs.
+
+    Documented superset: a ``None`` key in an exact mapping replaces
+    null cells (the reference raises and redirects to ``fillna`` —
+    ``find_replace.py:157-167``; here the null branch is a plain
+    ``WHEN col IS NULL`` arm, no reason to refuse it)."""
     if match not in ("exact", "regex"):
         raise ValueError("match must be 'exact' or 'regex'")
     updates = {}

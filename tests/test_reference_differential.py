@@ -276,6 +276,89 @@ def test_truncate_datetime_nat_passthrough(spark):
     compare(spark, exp, out)
 
 
+def test_groupby_topk_null_ranked_rows(spark):
+    # nlargest/nsmallest rank only non-null values: a null-ranked row is
+    # never in the top-k output
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [3.0, None, None, 1.0]})
+    exp = pdf.groupby_topk(by="g", column="v", k=1)
+    out = pj.groupby_topk(_sdf(spark, pdf), by="g", column="v", k=1)
+    compare(spark, exp.reset_index(drop=True), out)
+
+
+def test_ecdf_null_and_dtype_contracts(spark):
+    # reference math.ecdf raises on nulls and non-numeric dtype
+    # (math.py:330-376); ours: TypeError eagerly from the schema, nulls
+    # via an inline assert_true that rides the existing scan
+    from pyjanitor_spark.functions.math import apply_math, ecdf as _ecdf
+
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0]})
+    with pytest.raises(ValueError):
+        pdf["x"].ecdf()
+    with pytest.raises(Exception):
+        apply_math(_sdf(spark, pdf), "x", _ecdf, dest="e").collect()
+    pdf2 = pd.DataFrame({"x": ["a", "b"]})
+    with pytest.raises(TypeError):
+        pdf2["x"].ecdf()
+    with pytest.raises(TypeError):
+        apply_math(_sdf(spark, pdf2), "x", _ecdf)
+
+
+def test_count_cumulative_unique_nulls(spark):
+    # null rows never increment: the reference's groupby drops NaN keys
+    pdf = pd.DataFrame({"k": ["a", None, "a", "b", None], "o": range(5)})
+    exp = pdf.count_cumulative_unique("k", "n")
+    out = pj.count_cumulative_unique(_sdf(spark, pdf), "k", "n", order_by="o")
+    compare(spark, exp, out)
+
+
+def test_filter_on_complement_nulls(spark):
+    # complement keeps rows where the criteria is NOT TRUE, including
+    # null-evaluating rows (pandas: NaN > 1 is False before the negation)
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0]})
+    exp = pdf.filter_on("x > 1", complement=True)
+    out = pj.filter_on(_sdf(spark, pdf), "x > 1", complement=True)
+    compare(spark, exp, out)
+    exp2 = pdf.filter_on("x > 1")
+    out2 = pj.filter_on(_sdf(spark, pdf), "x > 1")
+    compare(spark, exp2, out2)
+
+
+def test_complete_null_key_value(spark):
+    # a null key value is a category of its own in the expansion; the
+    # original null-keyed row must rejoin its grid row (null-safe join)
+    pdf = pd.DataFrame({"g": ["a", None, "b"], "k": [1, 2, 1], "v": [9, 8, 7]})
+    exp = pdf.complete("g", "k")
+    out = pj.complete(_sdf(spark, pdf), "g", "k")
+    compare(spark, exp, out)
+
+
+def test_flag_jumps_null_values(spark):
+    import janitor.timeseries  # noqa: F401  (registers the method)
+
+    pdf = pd.DataFrame(
+        {"v": [1.0, None, 10.0]},
+        index=pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03"]),
+    )
+    exp = pdf.flag_jumps(scale="absolute", direction="any", threshold=2).reset_index(
+        names="ts"
+    )
+    sdf = _sdf(spark, pdf.reset_index(names="ts"))
+    out = pj.flag_jumps(sdf, ts_column="ts", scale="absolute", direction="any", threshold=2)
+    compare(spark, exp, out)
+
+
+def test_find_replace_null_key_superset(spark):
+    # documented superset: the reference refuses null keys outright;
+    # ours replaces null cells via a WHEN col IS NULL arm
+    pdf = pd.DataFrame({"c": ["x", None, "y"]})
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        pdf.find_replace(match="exact", c={np.nan: "missing"})
+    out = pj.find_replace(_sdf(spark, pdf), match="exact", c={None: "missing"}).toPandas()
+    assert sorted(out["c"]) == ["missing", "x", "y"]
+
+
 def test_factorize_columns_nulls_appearance(spark):
     # nulls code to -1; order_by reproduces pandas first-appearance codes
     pdf = pd.DataFrame({"k": ["b", None, "a", "b", None], "o": range(5)})
