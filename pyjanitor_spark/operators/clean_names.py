@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyjanitor_spark.utils.select import resolve_columns
-from pyjanitor_spark.utils.strings import clean_name, make_unique
+from pyjanitor_spark.utils.strings import clean_name
 
 __all__ = ["clean_names", "clean_names_expr"]
 
@@ -51,11 +51,12 @@ def clean_names(
         truncate_limit=truncate_limit,
     )
     if axis == "columns":
-        new_names = make_unique([clean_name(c, **kw) for c in df.columns])
-        mapping = {
-            old: new for old, new in zip(df.columns, new_names) if old != new
-        }
-        return df.withColumnsRenamed(mapping) if mapping else df
+        # positional rename via toDF: two raw names cleaning to the same
+        # label keep their duplicate labels exactly like the reference (a
+        # name->name mapping would cascade — {'A B': 'a_b', 'a_b': 'x'}
+        # renames the first column twice)
+        new_names = [clean_name(c, **kw) for c in df.columns]
+        return df.toDF(*new_names) if new_names != df.columns else df
     if axis is None:
         targets = resolve_columns(df, column_names) if column_names else df.columns
         updates = {

@@ -87,6 +87,17 @@ def test_clean_names(spark):
     compare(spark, exp, pj.clean_names(_sdf(spark, pdf)))
 
 
+def test_clean_names_collision_keeps_duplicates(spark):
+    # two raw names cleaning to the same label stay duplicates, like the
+    # reference — no invented _1 suffixes, no cascaded renames
+    pdf = pd.DataFrame({"A B": [1], "a_b": [2], "C": [3]})
+    exp = pdf.clean_names()
+    out = pj.clean_names(_sdf(spark, pdf))
+    assert out.columns == list(exp.columns)
+    got = [r for r in out.collect()[0]]
+    assert got == [1, 2, 3]
+
+
 def test_clean_names_case_and_underscores(spark):
     pdf = pd.DataFrame({"CamelCase Col": [1], "__lead": [2]})
     exp = pdf.clean_names(case_type="snake", strip_underscores=True)
