@@ -47,15 +47,45 @@ __all__ = [
 ]
 
 
-def _as_expr(function: Any, col: Column, elementwise: bool, return_type: str = None):
+def _as_expr(
+    function: Any,
+    col: Column,
+    elementwise: bool,
+    return_type: str = None,
+    input_type: str | None = None,
+):
     """Column-expression fast path, pandas_udf fallback."""
     if isinstance(function, Column):
         return function
     if not elementwise:
-        probe = function(col)
-        if isinstance(probe, Column):
-            return probe
-        raise TypeError("series-wise function must return a Column")
+        # Column->Column callables stay on the JVM fast path; a genuine
+        # series-wise callable (np.sqrt, lambda s: s.str.len(), the
+        # reference's vectorizable form, transform_columns.py:22-60)
+        # runs per Arrow batch.  The batch contract matches the
+        # reference's ("takes a Series, returns a sequence of identical
+        # length"): row-local vectorized functions are exact; a
+        # whole-column statistic does not fit either engine's contract
+        # here (apply_math carries those).  Default return type = the
+        # input column's type (np.sqrt double->double); pass
+        # return_type= when the function changes the type.
+        try:
+            probe = function(col)
+            if isinstance(probe, Column):
+                return probe
+        except Exception:
+            pass
+        from pyspark.sql.functions import pandas_udf
+
+        rt = return_type or input_type or "double"
+
+        @pandas_udf(rt)
+        def _series_udf(s):
+            import pandas as pd  # noqa: F401
+
+            out = function(s)
+            return out if isinstance(out, pd.Series) else pd.Series(list(out))
+
+        return _series_udf(col)
     # even under elementwise=True, a callable that maps Column -> Column
     # (F.sqrt, lambda c: c * 2, ...) IS the expression — use it directly
     # so Spark-native callables ride codegen instead of an Arrow UDF.
@@ -72,7 +102,7 @@ def _as_expr(function: Any, col: Column, elementwise: bool, return_type: str = N
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    rt = return_type or "string"
+    rt = return_type or input_type or "string"
 
     @pandas_udf(rt)
     def _udf(s):
@@ -95,8 +125,9 @@ def transform_column(
     fast JVM path) or an arbitrary scalar callable (``elementwise=True``,
     Arrow pandas_udf)."""
     dest = dest_column_name or column_name
+    in_t = df.schema[column_name].dataType.simpleString() if column_name in df.columns else None
     return df.withColumn(
-        dest, _as_expr(function, F.col(column_name), elementwise, return_type)
+        dest, _as_expr(function, F.col(column_name), elementwise, return_type, in_t)
     )
 
 
@@ -119,7 +150,8 @@ def transform_columns(
             dest = c + suffix
         if new_column_names and c in new_column_names:
             dest = new_column_names[c]
-        updates[dest] = _as_expr(function, F.col(c), elementwise, return_type)
+        in_t = df.schema[c].dataType.simpleString()
+        updates[dest] = _as_expr(function, F.col(c), elementwise, return_type, in_t)
     return df.withColumns(updates)
 
 

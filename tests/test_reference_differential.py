@@ -585,6 +585,34 @@ def test_transform_column(spark):
     compare(spark, exp, out)
 
 
+def test_transform_column_series_wise_ufunc(spark):
+    # the reference's canonical elementwise=False form: a vectorized
+    # Series function (np.sqrt) — runs per Arrow batch on our side, with
+    # the input column's dtype as the default return type
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": [1.0, 4.0, 9.0]})
+    exp = pdf.transform_column("x", np.sqrt, elementwise=False)
+    out = pj.transform_column(_sdf(spark, pdf), "x", np.sqrt, elementwise=False)
+    compare(spark, exp, out)
+    exp2 = pdf.transform_columns(["x"], np.sqrt, suffix="_sq", elementwise=False)
+    out2 = pj.transform_columns(_sdf(spark, pdf), ["x"], np.sqrt, suffix="_sq", elementwise=False)
+    compare(spark, exp2, out2)
+    pdf3 = pd.DataFrame({"t": ["ab", "cde"]})
+    exp3 = pdf3.transform_column("t", lambda s: s.str.upper(), elementwise=False)
+    out3 = pj.transform_column(
+        _sdf(spark, pdf3), "t", lambda s: s.str.upper(), elementwise=False
+    )
+    compare(spark, exp3, out3)
+
+
+def test_currency_column_accounting_style(spark):
+    pdf = pd.DataFrame({"c": ["1,000.50", "(2,500.00)", "3.25"]})
+    exp = pdf.currency_column_to_numeric("c", cleaning_style="accounting")
+    out = pj.currency_column_to_numeric(_sdf(spark, pdf), "c", cleaning_style="accounting")
+    compare(spark, exp, out)
+
+
 def test_label_encode(spark):
     pdf = pd.DataFrame({"s": ["b", "a", "b", "c"]})
     # the reference's codes follow first appearance -> supply the order
