@@ -72,9 +72,26 @@ def expand(df: DataFrame, *specs: Any, by: Any | None = None) -> DataFrame:
 def expand_grid(spark: SparkSession, others: dict[str, Any]) -> DataFrame:
     """Cartesian product of named arrays/frames (ref
     ``expand_grid.py:27-137``).  Spark's crossJoin replaces the
-    mgrid/dtype trick (SURVEY.md §4)."""
+    mgrid/dtype trick (SURVEY.md §4).
+
+    Documented naming divergence: the reference emits MultiIndex
+    columns ``(key, position-or-frame-column)`` (flattened elsewhere as
+    ``v_0`` / ``df_k``); this keeps FLAT names — the dict key for
+    array values, the frame's own column names for DataFrame values —
+    because Spark has no column MultiIndex.  Colliding names raise
+    instead of silently duplicating."""
     if not others:
         raise ValueError("others must be non-empty")
+    out_names = []
+    for name, values in others.items():
+        out_names.extend(values.columns if isinstance(values, DataFrame) else [name])
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"expand_grid output names collide: {sorted(dupes)}; rename the "
+            "frame columns or dict keys (the reference disambiguates via "
+            "MultiIndex columns, which Spark does not have)"
+        )
     frames = []
     for name, values in others.items():
         if isinstance(values, DataFrame):

@@ -129,13 +129,19 @@ def groupby_agg(
     # distinct value in per-window state — unbounded at corpus scale);
     # other named aggs are grouped unless order_by was given (whole-
     # group frames are order-insensitive, but the order_by contract
-    # promises a window for deterministic first/last); callables always
-    # get the window they were written against.
+    # promises a window for deterministic first/last).  1-arg callables
+    # without order_by ALSO go grouped: inside groupBy().agg() a
+    # composite like max(c)-min(c) is natively one aggregate expression,
+    # where the window form's single trailing ``.over`` could never bind
+    # its inner aggregates; 2-arg ``(col, window)`` callables keep the
+    # window they were written against.
     grouped_specs: dict[str, "F.Column"] = {}
     window_specs: dict[str, tuple] = {}
     for name, (col, a) in specs.items():
         if a == "nunique":
             grouped_specs[name] = F.countDistinct(F.col(col))
+        elif callable(a) and order_by is None and _required_params(a) <= 1:
+            grouped_specs[name] = a(F.col(col))
         elif callable(a) or order_by is not None:
             window_specs[name] = (col, a)
         elif a == "approx_nunique":
@@ -205,33 +211,39 @@ def _join_grouped_aggs(
     )
 
 
+def _required_params(fn) -> int:
+    """Count REQUIRED params: builtins like F.first/F.last carry
+    defaulted extras (ignorenulls=True) and must take the 1-arg
+    single-aggregate path, not receive the Window positionally."""
+    import inspect
+
+    try:
+        return sum(
+            1
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            not in (
+                inspect.Parameter.VAR_POSITIONAL,
+                inspect.Parameter.VAR_KEYWORD,
+            )
+        )
+    except (TypeError, ValueError):
+        return 1
+
+
 def _agg_expr(agg, agg_column_name: str, w) -> "F.Column":
     """One windowed aggregate expression (shared by every spec form)."""
     if callable(agg):
         # reference accepts callables (groupby_agg.py agg param).  A
         # 1-arg callable must return a SINGLE aggregate (``.over`` binds
         # to the outermost expression only — a composite like max-min
-        # would leave its inner aggregates group-less); composite
-        # expressions take a 2-arg ``(col, window)`` callable and attach
-        # ``.over`` per aggregate themselves.
-        import inspect
-
-        try:
-            # count only REQUIRED params: builtins like F.first/F.last carry
-            # defaulted extras (ignorenulls=True) and must take the 1-arg
-            # single-aggregate path, not receive the Window positionally
-            nparams = sum(
-                1
-                for p in inspect.signature(agg).parameters.values()
-                if p.default is inspect.Parameter.empty
-                and p.kind
-                not in (
-                    inspect.Parameter.VAR_POSITIONAL,
-                    inspect.Parameter.VAR_KEYWORD,
-                )
-            )
-        except (TypeError, ValueError):
-            nparams = 1
+        # would leave its inner aggregates group-less, which is why the
+        # order_by-free composite form routes through groupBy().agg()
+        # upstream); composite expressions under order_by take a 2-arg
+        # ``(col, window)`` callable and attach ``.over`` per aggregate
+        # themselves.
+        nparams = _required_params(agg)
         if nparams >= 2:
             expr = agg(F.col(agg_column_name), w)
         else:

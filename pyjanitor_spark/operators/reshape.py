@@ -258,7 +258,11 @@ def pivot_longer(
         cols = resolve_columns(df, column_names)
         idx = [c for c in df.columns if c not in set(cols)]
     else:
-        raise ValueError("provide index and/or column_names")
+        # neither given: melt every column, like the reference (its
+        # pandas row index survives as the only id; here the _row_order
+        # contract column, when present, plays that part)
+        idx = [c for c in df.columns if c == "_row_order"]
+        cols = [c for c in df.columns if c != "_row_order"]
     if isinstance(names_pattern, dict):
         vals = list(names_pattern.values())
         if vals and all(isinstance(v, dict) for v in vals):

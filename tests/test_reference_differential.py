@@ -2105,6 +2105,50 @@ def test_complete_scalar_fill_string_column_casts(spark):
     assert got[(2, 2)] == "0"
 
 
+def test_pivot_longer_melt_everything(spark):
+    # neither index nor column_names: every column melts (pandas melt
+    # default), like the reference
+    pdf = pd.DataFrame({"ht1": [2.8], "ht2": [3.4]})
+    exp = pdf.pivot_longer(names_to="m", values_to="v")
+    out = pj.pivot_longer(_sdf(spark, pdf), names_to="m", values_to="v")
+    compare(spark, exp, out)
+
+
+def test_groupby_agg_composite_callable(spark):
+    # a 1-arg callable returning a composite aggregate (max - min) rides
+    # the grouped path, where it is natively one aggregate expression
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]})
+    exp = pdf.groupby_agg(
+        by="g", agg=lambda s: s.max() - s.min(), agg_column_name="v", new_column_name="r"
+    )
+    out = pj.groupby_agg(
+        _sdf(spark, pdf),
+        by="g",
+        agg=lambda c: F.max(c) - F.min(c),
+        agg_column_name="v",
+        new_column_name="r",
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_list_grouping(spark):
+    # a list spec means "observed combinations of these columns" (tidyr
+    # nesting), crossed with the other specs
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": [1, 1, 2], "c": ["p", "q", "p"], "v": [1, 2, 3]}
+    )
+    exp = pdf.complete(["a", "b"], "c")
+    out = pj.complete(_sdf(spark, pdf), ["a", "b"], "c")
+    compare(spark, exp, out)
+
+
+def test_expand_grid_name_collision_raises(spark):
+    with pytest.raises(ValueError, match="collide"):
+        pj.expand_grid(
+            spark, {"v": [1, 2], "d": _sdf(spark, pd.DataFrame({"v": ["x"]}))}
+        )
+
+
 def test_pivot_longer_error_contracts(spark):
     pdf = pd.DataFrame({"famid": [1], "birth": [1], "ht1": [2.8], "ht2": [3.4]})
     sdf = _sdf(spark, pdf)
