@@ -456,16 +456,59 @@ def strftime_to_java(format: str | None) -> str | None:
     return "".join(out)
 
 
-def to_datetime(df: DataFrame, column_name: str, format: str | None = None) -> DataFrame:
-    """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``).
+def to_datetime(
+    df: DataFrame,
+    column_name: str,
+    format: str | None = None,
+    errors: str = "raise",
+    dayfirst: bool = False,
+    unit: str | None = None,
+) -> DataFrame:
+    """``pd.to_datetime`` passthrough (ref ``to_datetime.py:19-69``
+    forwards its kwargs to ``pd.to_datetime``).
 
     Accepts either Spark/Java datetime patterns or the strftime codes the
-    reference's pandas callers use (``%Y-%m-%d`` …)."""
-    format = strftime_to_java(format)
+    reference's pandas callers use (``%Y-%m-%d`` …).  Supported pandas
+    kwargs: ``errors='coerce'`` (unparseable -> null, via
+    ``try_to_timestamp``; the default ``'raise'`` surfaces the ANSI
+    parse error), ``unit`` ('D'/'s'/'ms'/'us'/'ns' epoch numbers —
+    double-precision arithmetic, exact to the microsecond), and
+    ``dayfirst`` (tries day-month-year slash/dash patterns before the
+    ISO default — the common reference usage; pandas' per-row format
+    sniffing has no JVM analogue)."""
+    if errors not in ("raise", "coerce"):
+        raise ValueError(
+            f"errors={errors!r} not supported (pandas deprecated 'ignore'; "
+            "use 'raise' or 'coerce')"
+        )
     col = F.col(column_name)
-    return df.withColumn(
-        column_name, F.to_timestamp(col, format) if format else F.to_timestamp(col)
-    )
+    if unit is not None:
+        scale = {"D": 1.0 / 86400, "s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}
+        if unit not in scale:
+            raise ValueError(f"unsupported unit {unit!r}")
+        expr = F.timestamp_seconds(col.cast("double") / F.lit(scale[unit]))
+        return df.withColumn(column_name, expr)
+    format = strftime_to_java(format)
+    if format:
+        candidates = [format]
+    elif dayfirst:
+        candidates = ["d/M/yyyy HH:mm:ss", "d/M/yyyy", "d-M-yyyy", None]
+    else:
+        candidates = [None]
+    parsed = [
+        F.try_to_timestamp(col, F.lit(f)) if f else F.try_to_timestamp(col)
+        for f in candidates
+    ]
+    expr = F.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
+    if errors == "raise":
+        # fail like pandas when a non-null input parses to nothing; the
+        # guard rides the projection itself (no separate action)
+        guard = F.assert_true(
+            col.isNull() | expr.isNotNull(),
+            F.concat(F.lit(f"to_datetime: unparseable value in {column_name!r}: "), col),
+        )
+        expr = F.when(guard.isNull(), expr)
+    return df.withColumn(column_name, expr)
 
 
 def truncate_datetime_dataframe(df: DataFrame, datepart: str) -> DataFrame:

@@ -2009,6 +2009,31 @@ def test_to_datetime_fmt(spark):
     assert sorted(got, key=repr) == sorted(want, key=repr)
 
 
+def test_to_datetime_pandas_kwargs(spark):
+    # the reference forwards kwargs to pd.to_datetime; errors='coerce',
+    # dayfirst and unit are the ones its callers use
+    pdf = pd.DataFrame({"d": ["2020-01-02", "garbage", "2021-03-04"]})
+    exp = pdf.copy().to_datetime("d", errors="coerce")
+    out = pj.to_datetime(_sdf(spark, pdf), "d", errors="coerce")
+    compare(spark, exp, out)
+    pdf2 = pd.DataFrame({"d": ["02/01/2020", "05/04/2021"]})
+    exp2 = pdf2.copy().to_datetime("d", dayfirst=True)
+    out2 = pj.to_datetime(_sdf(spark, pdf2), "d", dayfirst=True)
+    compare(spark, exp2, out2)
+    pdf3 = pd.DataFrame({"d": [1580000000, 1600000000]})
+    exp3 = pdf3.copy().to_datetime("d", unit="s")
+    out3 = pj.to_datetime(_sdf(spark, pdf3), "d", unit="s")
+    compare(spark, exp3, out3)
+
+
+def test_to_datetime_raise_on_garbage(spark):
+    pdf = pd.DataFrame({"d": ["2020-01-02", "garbage"]})
+    with pytest.raises(Exception):
+        pd.to_datetime(pdf["d"])
+    with pytest.raises(Exception):
+        pj.to_datetime(_sdf(spark, pdf), "d").collect()
+
+
 def test_toset_matches(spark):
     pdf = pd.DataFrame({"v": [1, 2, 3, 5, 5]})
     exp = pdf["v"].toset()
