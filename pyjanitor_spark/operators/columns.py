@@ -42,11 +42,40 @@ __all__ = [
 ]
 
 
-def select(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
-    """Unified column selection (ref ``select.py:332-447``): names, globs,
-    regexes, slices, boolean masks, callables, DropLabel.  Overlapping
-    selectors repeat the column, as the reference's ``select`` does."""
-    return df.select(*resolve_columns(df, *args, invert=invert, dedupe=False))
+def select(
+    df: DataFrame,
+    *args: Any,
+    index: Any = None,
+    columns: Any = None,
+    rows: Any = None,
+    axis: str = "columns",
+    invert: bool = False,
+) -> DataFrame:
+    """Unified row/column selection (ref ``select.py:332-447``): names,
+    globs, regexes, slices, boolean masks, callables, DropLabel.
+    Overlapping selectors repeat the column, as the reference's
+    ``select`` does.  ``index=`` selects rows (``rows=`` is the
+    reference's deprecated alias), ``columns=`` selects columns;
+    variable args route by ``axis``."""
+    if rows is not None and index is None:
+        index = rows  # the reference's deprecated alias
+    if args:
+        if index is not None or columns is not None:
+            raise ValueError(
+                "Either provide variable args with the axis parameter, "
+                "or provide arguments to the index and/or columns parameters."
+            )
+        if axis == "index":
+            return select_rows(df, *args, invert=invert)
+        if axis == "columns":
+            return df.select(*resolve_columns(df, *args, invert=invert, dedupe=False))
+        raise ValueError("axis should be either 'index' or 'columns'.")
+    out = df
+    if index is not None:
+        out = select_rows(out, index, invert=invert)
+    if columns is not None:
+        out = out.select(*resolve_columns(out, columns, invert=invert, dedupe=False))
+    return out
 
 
 def select_columns(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:

@@ -323,6 +323,15 @@ def count_cumulative_unique(
     layout pin.  Without ``order_by`` the generated id is only
     consistent within a single pinned plan, so the full frame takes the
     cumsum path directly."""
+    if not case_sensitive:
+        t = df.schema[column_name].dataType.typeName()
+        if t not in ("string", "varchar", "char"):
+            # matches the reference's contract (count_cumulative_unique.py
+            # :92-105): case folding only means something on strings
+            raise TypeError(
+                "case_sensitive=False can only be used with a string-like "
+                f"type. Column {column_name} is {t} type."
+            )
     df, ocol, added = ensure_order_column(df, order_by)
     val = F.col(column_name) if case_sensitive else F.lower(F.col(column_name))
     if not added:

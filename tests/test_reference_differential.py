@@ -2063,6 +2063,38 @@ def test_unionize_dataframe_categories_values(spark):
     compare(spark, exp_b.astype({"c": str}), out_b)
 
 
+def test_select_index_and_columns_kwargs(spark):
+    # select(index=, columns=) picks rows and columns together; rows= is
+    # the reference's deprecated alias; args + kwargs raise
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [4, 5, 6]})
+    exp = pdf.select(index=pdf["a"] > 1, columns=["b"])
+    out = pj.select(_sdf(spark, pdf), index=F.col("a") > 1, columns=["b"])
+    compare(spark, exp, out)
+    out2 = pj.select(_sdf(spark, pdf), rows=F.col("a") > 1, columns=["b"])
+    compare(spark, exp, out2)
+    with pytest.raises(ValueError):
+        pdf.select("a", columns=["b"])
+    with pytest.raises(ValueError):
+        pj.select(_sdf(spark, pdf), "a", columns=["b"])
+
+
+def test_count_cumulative_unique_case_contract(spark):
+    # case_sensitive=False demands a string-like column in both engines
+    pdf = pd.DataFrame({"k": [1, 2, 1], "o": range(3)})
+    with pytest.raises(TypeError):
+        pdf.count_cumulative_unique("k", "n", case_sensitive=False)
+    with pytest.raises(TypeError):
+        pj.count_cumulative_unique(
+            _sdf(spark, pdf), "k", "n", case_sensitive=False, order_by="o"
+        )
+    pdfs = pd.DataFrame({"k": ["a", "A", "b"], "o": range(3)})
+    exp = pdfs.count_cumulative_unique("k", "n", case_sensitive=False)
+    out = pj.count_cumulative_unique(
+        _sdf(spark, pdfs), "k", "n", case_sensitive=False, order_by="o"
+    )
+    compare(spark, exp, out)
+
+
 def test_select_columns_boolean_mask(spark):
     pdf = pd.DataFrame(
         {"id": [1], "M_start_date_1": [2], "M_end_date_2": [3], "other": [5]}
