@@ -165,7 +165,10 @@ def select_rows(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
     cond = conds[0]
     for c in conds[1:]:
         cond = cond | c
-    out = d.filter(~cond if invert else cond)
+    # invert keeps rows where the selector is NOT TRUE — including rows
+    # where a predicate evaluates NULL, matching pandas boolean masks
+    # (NaN comparisons are already False before the complement)
+    out = d.filter(~F.coalesce(cond, F.lit(False)) if invert else cond)
     return out.drop("__srow") if pos_args else out
 
 

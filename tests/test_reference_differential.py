@@ -2078,6 +2078,15 @@ def test_select_index_and_columns_kwargs(spark):
         pj.select(_sdf(spark, pdf), "a", columns=["b"])
 
 
+def test_select_rows_invert_nulls(spark):
+    # inverted row predicates keep null-evaluating rows, like a pandas
+    # boolean-mask complement
+    pdf = pd.DataFrame({"x": [1.0, None, 3.0]})
+    exp = pdf.select_rows(pdf["x"] > 2, invert=True)
+    out = pj.select_rows(_sdf(spark, pdf), F.col("x") > 2, invert=True)
+    compare(spark, exp, out)
+
+
 def test_count_cumulative_unique_case_contract(spark):
     # case_sensitive=False demands a string-like column in both engines
     pdf = pd.DataFrame({"k": [1, 2, 1], "o": range(3)})
