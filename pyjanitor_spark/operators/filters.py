@@ -78,6 +78,18 @@ def filter_string(
         pred = col.contains(lit)
     if na is not None:
         pred = F.when(F.col(column_name).isNull(), F.lit(bool(na))).otherwise(pred)
+    else:
+        # pandas refuses to mask with an NA-containing boolean array —
+        # the reference raises on null cells unless na= is given; the
+        # guard rides the filter's own scan (no separate action)
+        guard = F.assert_true(
+            F.col(column_name).isNotNull(),
+            F.lit(
+                f"filter_string: column {column_name!r} contains nulls; "
+                "pass na=True/False to choose their fate"
+            ),
+        )
+        pred = F.when(guard.isNull(), pred)
     return df.filter(~pred if complement else pred)
 
 
@@ -156,7 +168,9 @@ def filter_column_isin(
     if not values:
         raise ValueError("iterable must be non-empty")
     pred = F.col(column_name).isin(values)
-    return df.filter(~pred if complement else pred)
+    # complement keeps null rows: pandas isin treats NaN as not-a-member
+    # (False), so ~isin is True for them
+    return df.filter(~F.coalesce(pred, F.lit(False)) if complement else pred)
 
 
 def dropnotnull(df: DataFrame, column_name: str) -> DataFrame:

@@ -179,6 +179,30 @@ def test_filter_string(spark):
     )
 
 
+def test_filter_string_null_contract(spark):
+    # default na: both engines refuse null cells (pandas cannot mask with
+    # an NA boolean array); na=True/False routes them explicitly
+    pdf = pd.DataFrame({"s": ["abc", None, "bcd"]})
+    with pytest.raises(Exception):
+        pdf.filter_string("s", "b")
+    with pytest.raises(Exception):
+        pj.filter_string(_sdf(spark, pdf), "s", "b").collect()
+    exp = pdf.filter_string("s", "b", na=False)
+    out = pj.filter_string(_sdf(spark, pdf), "s", "b", na=False)
+    compare(spark, exp, out)
+    exp2 = pdf.filter_string("s", "b", na=True, complement=True)
+    out2 = pj.filter_string(_sdf(spark, pdf), "s", "b", na=True, complement=True)
+    compare(spark, exp2, out2)
+
+
+def test_filter_column_isin_complement_nulls(spark):
+    # ~isin keeps NaN rows (NaN is not a member, so the complement is True)
+    pdf = pd.DataFrame({"k": ["a", None, "b"]})
+    exp = pdf.filter_column_isin("k", ["a"], complement=True)
+    out = pj.filter_column_isin(_sdf(spark, pdf), "k", ["a"], complement=True)
+    compare(spark, exp, out)
+
+
 def test_filter_on(spark):
     pdf = pd.DataFrame({"a": [1, 5, 10], "b": ["x", "y", "z"]})
     exp = pdf.filter_on("a >= 5", complement=False)
