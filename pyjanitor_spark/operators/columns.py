@@ -354,9 +354,10 @@ def drop_constant_columns(df: DataFrame) -> DataFrame:
         )
         if tot == 0:
             continue
-        if cnt == 0:  # all null
-            drop.append(c)
-        elif cnt == tot and mn == mx:
+        # the reference keeps columns where nunique != 1, and nunique
+        # ignores nulls: an all-null column stays (nunique 0), while one
+        # non-null value repeated stays dropped even among nulls
+        if cnt > 0 and mn == mx:
             drop.append(c)
     return df.drop(*drop) if drop else df
 

@@ -1923,6 +1923,28 @@ def test_data_description_counts(spark):
     compare(spark, exp, out)
 
 
+def test_drop_constant_columns_null_edges(spark):
+    # the reference drops where nunique()==1 with nulls ignored: an
+    # all-null column stays, one repeated non-null value drops even
+    # when nulls sit among the repeats
+    pdf = pd.DataFrame(
+        {
+            "c": [1, 1, 1],
+            "mix": [1.0, None, 2.0],
+            "alln": pd.Series([None] * 3, dtype=object),
+            "constnull": [5.0, 5.0, None],
+            "d": ["x", "y", "z"],
+        }
+    )
+    exp = pdf.drop_constant_columns()
+    sdf = spark.createDataFrame(
+        [(1, 1.0, None, 5.0, "x"), (1, None, None, 5.0, "y"), (1, 2.0, None, None, "z")],
+        "c long, mix double, alln string, constnull double, d string",
+    )
+    out = pj.drop_constant_columns(sdf)
+    assert sorted(out.columns) == sorted(exp.columns)
+
+
 def test_drop_duplicate_columns_first_and_second(spark):
     pdf = pd.concat(
         [
