@@ -364,7 +364,11 @@ def drop_constant_columns(df: DataFrame) -> DataFrame:
 
 def limit_column_characters(df: DataFrame, column_length: int, col_separator: str = "_") -> DataFrame:
     """Truncate names to N chars, de-dup with numeric suffixes (ref
-    ``limit_column_characters.py:10-92``)."""
+    ``limit_column_characters.py:10-92``).
+
+    Documented divergence: the reference forwards negative lengths into
+    a Python slice (``name[:-1]`` chops one char — an accident of its
+    implementation); here non-positive lengths raise."""
     if column_length < 1:
         raise ValueError("column_length must be >= 1")
     truncated = [c[:column_length] for c in df.columns]
