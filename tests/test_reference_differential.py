@@ -81,6 +81,43 @@ def _sdf(spark, pdf: pd.DataFrame, schema=None):
     return spark.createDataFrame(pdf, schema)
 
 
+def test_chained_pipeline_eight_verbs(spark):
+    # integration: the reference's method-chaining style, eight verbs
+    # deep, compared end-to-end — catches schema-propagation and
+    # ordering interactions no single-verb test sees
+    raw = pd.DataFrame(
+        {
+            "Customer Name": ["Ann B", "Bo C", None, "Dee E", "Ed F"],
+            "Sale Amount$": ["1,100.50", "(20.00)", "30", None, "55.25"],
+            "Region": ["east", "west", "east", None, "west"],
+            "Qty": [1.0, None, 3.0, 4.0, 5.0],
+        }
+    )
+    exp = (
+        raw.clean_names()
+        .rename_column("customer_name", "cust")
+        .currency_column_to_numeric("sale_amount$", cleaning_style="accounting")
+        .fill_empty(column_names=["region"], value="unknown")
+        .impute("qty", statistic_column_name="mean")
+        .update_where("qty > 3", "region", "bulk")
+        .add_column("src", "crm")
+        .flag_nulls(column_name="has_null")
+    )
+    pj.register_dataframe_methods()
+    out = (
+        _sdf(spark, raw)
+        .clean_names()
+        .rename_column("customer_name", "cust")
+        .currency_column_to_numeric("sale_amount$", cleaning_style="accounting")
+        .fill_empty(column_names=["region"], value="unknown")
+        .impute("qty", statistic_column_name="mean")
+        .update_where("qty > 3", "region", "bulk")
+        .add_column("src", "crm")
+        .flag_nulls(column_name="has_null")
+    )
+    compare(spark, exp, out)
+
+
 def test_clean_names(spark):
     pdf = pd.DataFrame({"Aloha Ole": [1], "Bell  Chart%": [2], "Animals@#$%^": [3]})
     exp = pdf.clean_names()
