@@ -1442,15 +1442,15 @@ def q_also_then(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
-    # entries in insertion order.  Round-7 window: (a) the 6 NEW long-tail
-    # gates (VERDICT r6 task 2 — first-ever driver rows), (b) every verb
-    # riding code changed this round (utils/order.py's analyzed-tree
-    # determinism probe feeds partitioned_cumsum/positional_index; the
-    # math whole-column trio's bare forms now refuse) plus the r6 bench
-    # regressions to re-time, (c) the ~30 oldest attestations (r4-era).
-    # Rotated-out entries are r05/r06 driver-green with unchanged code
-    # and stay replica-covered (tools/check_correctness.py).
-    return {
+    # entries in insertion order; the _WINDOW list below (applied at the
+    # return) defines the round-7 window.  Composition: (a) the 6 NEW
+    # long-tail gates (VERDICT r6 task 2 — first-ever driver rows),
+    # (b) every verb whose code changed in the round-7 null-semantics /
+    # keyword-surface wave (changed code must out-rank stale-but-green
+    # attestations), (c) the oldest (r4-era) attestations that still
+    # fit.  Rotated-out entries are driver-green on unchanged code and
+    # stay replica-covered (tools/check_correctness.py).
+    q = {
         # ==== round-7 first-50 driver window ====
         # (a) new gates — never driver-attested
         "row_to_names": q_row_to_names,
@@ -1612,6 +1612,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_commandline": q_read_commandline,
         "also_then": q_also_then,
     }
+    _WINDOW = [
+        # (a) new round-7 gates — first-ever driver rows
+        "row_to_names", "drop_duplicate_columns", "to_datetime",
+        "sort_timestamps_monotonically", "get_join_indices", "read_csvs",
+        # (b) verbs whose code changed in the round-7 third wave
+        "filter_on", "filter_string", "filter_column_isin", "complete",
+        "expand", "expand_grid", "expand_column", "bin_numeric",
+        "clean_names", "transform_column", "change_type", "jitter",
+        "encode_categorical", "groupby_agg", "groupby_agg_multi",
+        "groupby_agg_nunique", "groupby_topk", "count_cumulative_unique",
+        "ecdf", "flag_jumps", "drop_constant_columns", "pivot_longer",
+        "column_ops",
+        # (c) oldest attestations that still fit
+        "z_score", "softmax", "quantile_bin", "winsorize", "robust_scale",
+        "take_token_budget", "assign_packs", "move_rows",
+        "factorize_appearance", "shuffle", "get_dupes", "take_first",
+        "xlsx_table", "xlsx_cells", "fill_direction", "exp", "logit",
+        "normal_cdf", "probit", "dedupe_exact", "fingerprint",
+    ]
+    assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+    ordered = {k: q[k] for k in _WINDOW}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
