@@ -219,7 +219,9 @@ def _str_fallback(string_function: str, return_type: str = "string", **kwargs):
 _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "lower": lambda col: F.lower(col),
     "upper": lambda col: F.upper(col),
-    "title": lambda col: F.initcap(col),
+    # NOTE: no "title" entry — pandas str.title() restarts a word after
+    # ANY non-alpha ("a-b-c" -> "A-B-C", tabs too) while initcap only
+    # splits on spaces; title takes the exact pandas fallback instead
     "capitalize": lambda col: F.concat(
         F.upper(F.substring(col, 1, 1)), F.lower(col.substr(F.lit(2), F.length(col)))
     ),

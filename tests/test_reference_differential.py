@@ -1553,6 +1553,36 @@ def test_encode_categorical_error_contracts(spark):
         compare(spark, exp, pj.encode_categorical(sdf, **kwargs))
 
 
+def test_process_text_title_word_boundaries(spark):
+    # str.title() restarts a word after ANY non-alpha, not just spaces —
+    # "a-b-c" -> "A-B-C"; routed through the pandas fallback, not initcap
+    pdf = pd.DataFrame({"t": ["a-b-c", "tab\there", "MiXeD 123x", "plain words"]})
+    exp = pdf.process_text("t", string_function="title")
+    out = pj.process_text(_sdf(spark, pdf), "t", "title")
+    compare(spark, exp, out)
+
+
+def test_process_text_methods_sweep(spark):
+    # one pass over the dispatch table's hot methods vs the live
+    # reference on boundary-rich strings (empties, padding, mixed case)
+    texts = ["Hello World", "  padded  ", "UPPER", "lower", "MiXeD 123", "a-b-c", ""]
+    cases = [
+        ("lower", {}, "string"), ("upper", {}, "string"),
+        ("capitalize", {}, "string"), ("strip", {}, "string"),
+        ("lstrip", {}, "string"), ("rstrip", {}, "string"),
+        ("swapcase", {}, "string"), ("casefold", {}, "string"),
+        ("removeprefix", {"prefix": "He"}, "string"),
+        ("removesuffix", {"suffix": "c"}, "string"),
+        ("repeat", {"repeats": 2}, "string"),
+        ("replace", {"pat": "l", "repl": "L"}, "string"),
+    ]
+    for m, kw, rt in cases:
+        pdf = pd.DataFrame({"t": texts})
+        exp = pdf.process_text("t", string_function=m, **kw)
+        out = pj.process_text(_sdf(spark, pdf), "t", m, return_type=rt, **kw)
+        compare(spark, exp, out)
+
+
 def test_process_text_more_methods(spark):
     pdf = pd.DataFrame({"s": ["  pad  ", "x  ", " y"]})
     exp = pdf.process_text("s", string_function="strip")
