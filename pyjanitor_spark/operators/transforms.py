@@ -158,7 +158,10 @@ def transform_columns(
 # --- process_text: pandas .str method name -> Spark builtin dispatch -----
 # (ref ``process_text.py:25-115`` exposes any pd.Series.str method by name)
 
-def _pt_replace(col, pat, repl, regex=True, **_):
+def _pt_replace(col, pat, repl, regex=True, n=-1, **_):
+    if n is not None and n >= 0:
+        # occurrence-limited replace has no JVM builtin — exact fallback
+        return _str_fallback("replace", pat=pat, repl=repl, regex=regex, n=n)(col)
     return F.regexp_replace(col, pat if regex else F.lit(pat), repl)
 
 
@@ -216,7 +219,66 @@ def _str_fallback(string_function: str, return_type: str = "string", **kwargs):
     return apply
 
 
+def _pt_slice(col, start=None, stop=None, step=None):
+    """pandas str.slice with negative bounds (python slicing); step!=1
+    keeps the exact pandas fallback."""
+    if step not in (None, 1):
+        return _str_fallback("slice", start=start, stop=stop, step=step)(col)
+    n = F.length(col)
+    start = 0 if start is None else int(start)
+    s = F.lit(start) if start >= 0 else F.greatest(n + F.lit(start), F.lit(0))
+    e = n if stop is None else (F.lit(int(stop)) if stop >= 0 else n + F.lit(int(stop)))
+    e = F.least(e, n)
+    return col.substr(s + 1, F.greatest(e - s, F.lit(0)))
+
+
+def _pt_contains(col, pat, regex=True, case=True, flags=0, **kw):
+    if flags:
+        return _str_fallback("contains", pat=pat, regex=regex, case=case, flags=flags)(col)
+    if regex:
+        return col.rlike(("(?i)" if not case else "") + pat)
+    if not case:
+        return F.lower(col).contains(pat.lower())
+    return col.contains(pat)
+
+
+def _pt_split(col, pat=" ", n=-1, regex=None, **kw):
+    """pandas treats a 1-char pat as a LITERAL unless regex=True; its
+    ``n`` is max splits (Spark's limit = n+1)."""
+    import re as _re
+
+    if regex is False or (regex is None and len(pat) == 1):
+        pat = _re.escape(pat)
+    limit = -1 if n is None or n < 0 else n + 1
+    return F.split(col, pat, limit)
+
+
+def _pt_zfill(col, width):
+    """pandas zfill pads AFTER a leading sign ("-7".zfill(4) == "-007")
+    and never truncates beyond-width strings."""
+    body_pad = F.concat(
+        col.substr(1, 1),
+        F.lpad(col.substr(F.lit(2), F.length(col)), width - 1, "0"),
+    )
+    return F.when(F.length(col) >= width, col).otherwise(
+        F.when(col.rlike(r"^[+-]"), body_pad).otherwise(F.lpad(col, width, "0"))
+    )
+
+
+def _pt_affix(side):
+    def apply(col, pat):
+        pats = pat if isinstance(pat, (tuple, list)) else (pat,)
+        cond = None
+        for p_ in pats:
+            c = col.startswith(p_) if side == "start" else col.endswith(p_)
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    return apply
+
+
 _STR_DISPATCH: dict[str, Callable[..., Column]] = {
+
     "lower": lambda col: F.lower(col),
     "upper": lambda col: F.upper(col),
     # NOTE: no "title" entry — pandas str.title() restarts a word after
@@ -229,20 +291,18 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "lstrip": lambda col: F.ltrim(col),
     "rstrip": lambda col: F.rtrim(col),
     "len": lambda col: F.length(col),
-    "contains": lambda col, pat, regex=True, **kw: col.rlike(pat) if regex else col.contains(pat),
-    "startswith": lambda col, pat: col.startswith(pat),
-    "endswith": lambda col, pat: col.endswith(pat),
+    "contains": _pt_contains,
+    "startswith": _pt_affix("start"),
+    "endswith": _pt_affix("end"),
     "replace": _pt_replace,
     "count": lambda col, pat, **kw: F.regexp_count(col, F.lit(pat)),
     "findall": lambda col, pat, **kw: F.regexp_extract_all(col, F.lit(pat), F.lit(0)),
-    "split": lambda col, pat=" ", **kw: F.split(col, pat),
-    "slice": lambda col, start=0, stop=None: col.substr(F.lit(start + 1), F.lit((stop - start) if stop is not None else 1 << 30)),
+    "split": _pt_split,
+    "slice": _pt_slice,
     # "get" is dtype-aware (string vs array) — handled in process_text
     # pandas pad/zfill never TRUNCATE a string longer than width;
-    # Spark's lpad/rpad do — guard on length
-    "zfill": lambda col, width: F.when(
-        F.length(col) >= width, col
-    ).otherwise(F.lpad(col, width, "0")),
+    # Spark's lpad/rpad do — guard on length (zfill is also sign-aware)
+    "zfill": _pt_zfill,
     "pad": lambda col, width, side="left", fillchar=" ": F.when(
         F.length(col) >= width, col
     ).otherwise(

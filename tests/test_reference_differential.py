@@ -1583,6 +1583,37 @@ def test_process_text_methods_sweep(spark):
         compare(spark, exp, out)
 
 
+def test_process_text_kwarg_edges(spark):
+    # keyword surfaces pandas honors that naive Spark mappings drop:
+    # negative slice bounds, case=False contains, literal 1-char split
+    # pats with n= max-splits, sign-aware zfill, tuple prefixes,
+    # occurrence-limited replace
+    cases = [
+        ("slice", {"start": -3}, ["abcdef", "ab"], "string"),
+        ("slice", {"start": 1, "stop": -1}, ["abcdef", "ab"], "string"),
+        ("contains", {"pat": "HELLO", "case": False}, ["hello world", "bye"], "boolean"),
+        ("zfill", {"width": 4}, ["-7", "+7", "7", "longer"], "string"),
+        ("replace", {"pat": "a", "repl": "X", "n": 1}, ["banana"], "string"),
+    ]
+    for m, kw, texts, rt in cases:
+        pdf = pd.DataFrame({"t": texts})
+        exp = pdf.process_text("t", string_function=m, **kw)
+        out = pj.process_text(_sdf(spark, pdf), "t", m, return_type=rt, **kw)
+        got = out.toPandas()["t"].tolist()
+        want = exp["t"].tolist()
+        assert [bool(x) if isinstance(w, bool) else x for x, w in zip(got, want)] == want, (m, got, want)
+    # split with n= compares element-wise (array column)
+    pdf = pd.DataFrame({"t": ["a-b-c", "x"]})
+    exp = pdf.process_text("t", string_function="split", pat="-", n=1)["t"].tolist()
+    got = pj.process_text(_sdf(spark, pdf), "t", "split", pat="-", n=1).toPandas()["t"].tolist()
+    assert [list(v) for v in got] == [list(v) for v in exp]
+    # tuple prefixes
+    pdf2 = pd.DataFrame({"t": ["apple", "beta", "cat"]})
+    exp2 = pdf2.process_text("t", string_function="startswith", pat=("a", "b"))["t"].tolist()
+    got2 = pj.process_text(_sdf(spark, pdf2), "t", "startswith", return_type="boolean", pat=("a", "b")).toPandas()["t"].tolist()
+    assert [bool(v) for v in got2] == exp2
+
+
 def test_process_text_more_methods(spark):
     pdf = pd.DataFrame({"s": ["  pad  ", "x  ", " y"]})
     exp = pdf.process_text("s", string_function="strip")
