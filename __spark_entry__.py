@@ -1629,7 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_token_budget", "assign_packs", "move_rows",
         "factorize_appearance", "shuffle", "get_dupes", "take_first",
         "xlsx_table", "xlsx_cells", "fill_direction", "exp", "logit",
-        "normal_cdf", "probit", "dedupe_exact", "fingerprint",
+        "normal_cdf", "probit", "process_text", "process_text_fallback",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
