@@ -63,12 +63,22 @@ def _build_condition(lcol: Column, rcol: Column, op: str) -> Column:
     raise ValueError(f"unsupported operator {op!r}")
 
 
-def _left_range(left: DataFrame, lo_col: str) -> tuple[float, float] | None:
+def _num_cast(col: "F.Column", dtype: str) -> "F.Column":
+    """Order-preserving numeric view for bucketization.  DATE cannot
+    cast to double directly (ANSI suggests UNIX_DATE); route it through
+    timestamp like asof_join does — both operands shift identically so
+    bucket membership is exact."""
+    if dtype.startswith("date"):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
+def _left_range(left: DataFrame, lo_col: str, dtype: str = "") -> tuple[float, float] | None:
     """Min/max of the left point column: one bounded agg action (parquet
     footer stats make this a metadata scan on unfiltered reads)."""
     row = left.agg(
-        F.min(F.col(lo_col).cast("double")).alias("mn"),
-        F.max(F.col(lo_col).cast("double")).alias("mx"),
+        F.min(_num_cast(F.col(lo_col), dtype)).alias("mn"),
+        F.max(_num_cast(F.col(lo_col), dtype)).alias("mx"),
     ).first()
     if row["mn"] is None or row["mx"] is None:
         return None
@@ -276,12 +286,12 @@ def _bucketized_join(
     lo_expr = None  # lower bound for left.x from right side
     hi_expr = None
     for lc, rc, op in range_ops:
-        r = F.col(rname(rc)).cast("double")
+        r = _num_cast(F.col(rname(rc)), dtypes.get(rname(rc), ""))
         if op in (">", ">="):  # x > r  -> r is a lower bound
             lo_expr = r if lo_expr is None else F.greatest(lo_expr, r)
         else:  # x < r -> upper bound
             hi_expr = r if hi_expr is None else F.least(hi_expr, r)
-    rng = _left_range(left, lcol)
+    rng = _left_range(left, lcol, dtypes.get(lcol, ""))
     if rng is None:
         # left point column all-NULL: no row can satisfy a range
         # predicate, so the plain join is a no-match (or null-padded
@@ -302,7 +312,9 @@ def _bucketized_join(
         hi_expr = F.lit(mx)
     span = mx - mn
     w = width or (span / 256.0 if span > 0 else 1.0)
-    lb = left.withColumn("__cj_bkt", F.floor(F.col(lcol).cast("double") / F.lit(w)))
+    lb = left.withColumn(
+        "__cj_bkt", F.floor(_num_cast(F.col(lcol), dtypes.get(lcol, "")) / F.lit(w))
+    )
     glo = F.greatest(lo_expr, F.lit(mn))
     ghi = F.least(hi_expr, F.lit(mx))
     rb = rgt.withColumn(

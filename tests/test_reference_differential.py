@@ -1637,6 +1637,35 @@ def test_transform_columns_suffix(spark):
     compare(spark, exp, out)
 
 
+def test_conditional_join_date_typed_range(spark):
+    # DATE columns cannot cast to double directly (ANSI suggests
+    # UNIX_DATE) — the bucketizer routes them through timestamp; the
+    # reference only accepts datetime64, so expected values come from
+    # that and our DATE output is timestamp-normalized for compare
+    L = pd.DataFrame(
+        {"d": pd.to_datetime(["2020-01-05", "2020-03-01", "2021-01-01"]), "lid": [0, 1, 2]}
+    )
+    R = pd.DataFrame(
+        {
+            "lo": pd.to_datetime(["2020-01-01", "2020-02-01"]),
+            "hi": pd.to_datetime(["2020-01-31", "2020-06-30"]),
+            "rid": [10, 11],
+        }
+    )
+    sl = spark.createDataFrame(L).withColumn("d", F.col("d").cast("date"))
+    sr = (
+        spark.createDataFrame(R)
+        .withColumn("lo", F.col("lo").cast("date"))
+        .withColumn("hi", F.col("hi").cast("date"))
+    )
+    for how in ("inner", "left", "right", "outer"):
+        exp = L.conditional_join(R, ("d", "lo", ">="), ("d", "hi", "<="), how=how)
+        out = pj.conditional_join(sl, sr, ("d", "lo", ">="), ("d", "hi", "<="), how=how)
+        for c in ("d", "lo", "hi"):
+            out = out.withColumn(c, F.col(c).cast("timestamp"))
+        compare(spark, exp, out)
+
+
 def test_conditional_join_timestamp_range(spark):
     # non-numeric (timestamp) range conditions: the bucketizer casts
     # timestamps to seconds; semantics must match pandas datetime compare
