@@ -1628,8 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_score", "softmax", "quantile_bin", "winsorize", "robust_scale",
         "take_token_budget", "assign_packs", "move_rows",
         "factorize_appearance", "shuffle", "get_dupes", "take_first",
-        "xlsx_table", "xlsx_cells", "fill_direction", "exp", "logit",
-        "normal_cdf", "probit", "process_text", "process_text_fallback",
+        "xlsx_table", "xlsx_cells", "fill_direction",
+        "process_text", "process_text_fallback",
+        # (b continued) the round-7 DATE-bucketizer change rides these
+        "conditional_join_range", "conditional_join_range_open",
+        "conditional_join_left", "conditional_join_right",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
