@@ -64,11 +64,12 @@ def _build_condition(lcol: Column, rcol: Column, op: str) -> Column:
 
 
 def _num_cast(col: "F.Column", dtype: str) -> "F.Column":
-    """Order-preserving numeric view for bucketization.  DATE cannot
-    cast to double directly (ANSI suggests UNIX_DATE); route it through
-    timestamp like asof_join does — both operands shift identically so
-    bucket membership is exact."""
-    if dtype.startswith("date"):
+    """Order-preserving numeric view for bucketization.  DATE and
+    TIMESTAMP_NTZ cannot cast to double directly (ANSI suggests
+    UNIX_DATE); route every datetime type through timestamp like
+    asof_join does — both operands shift identically so bucket
+    membership is exact."""
+    if dtype.startswith(("date", "timestamp")):
         return col.cast("timestamp").cast("double")
     return col.cast("double")
 

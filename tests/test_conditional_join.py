@@ -347,3 +347,60 @@ class TestAsofJoin:
         import pytest as _pt
         with _pt.raises(ValueError, match="direction"):
             pj.asof_join(left, right, on="t", by="g", direction="sideways")
+
+
+class TestDatetimeTypedRangeJoins:
+    """DATE and TIMESTAMP_NTZ cannot cast straight to double — the
+    bucketizer routes every datetime type through timestamp.  NTZ is the
+    driver testdata's native timestamp type, so this is the path a plain
+    `events x window` range join takes."""
+
+    def test_timestamp_ntz_range_bucketizes(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        l = spark.createDataFrame(
+            [(dt.datetime(2020, 1, 5),), (dt.datetime(2021, 1, 1),)], "t timestamp_ntz"
+        )
+        r = spark.createDataFrame(
+            [(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 31), 1)],
+            "lo timestamp_ntz, hi timestamp_ntz, rid int",
+        )
+        out = pj.conditional_join(l, r, ("t", "lo", ">="), ("t", "hi", "<="))
+        assert out.count() == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_date_range_bucketizes(self, spark):
+        import datetime as dt
+
+        l = spark.createDataFrame(
+            [(dt.date(2020, 1, 5),), (dt.date(2021, 1, 1),)], "t date"
+        )
+        r = spark.createDataFrame(
+            [(dt.date(2020, 1, 1), dt.date(2020, 1, 31), 1)],
+            "lo date, hi date, rid int",
+        )
+        out = pj.conditional_join(l, r, ("t", "lo", ">="), ("t", "hi", "<="))
+        assert out.count() == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_native_ntz_parquet_range(self, spark):
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        ors = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        r = ors.select(
+            F.col("o_orderdate").alias("lo"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("hi"),
+        ).limit(50)
+        out = pj.conditional_join(
+            li.select("l_orderkey", "l_shipdate"), r,
+            ("l_shipdate", "lo", ">="), ("l_shipdate", "hi", "<"),
+        )
+        bad = out.where(
+            (F.col("l_shipdate") < F.col("lo")) | (F.col("l_shipdate") >= F.col("hi"))
+        ).count()
+        assert bad == 0 and out.count() > 0
