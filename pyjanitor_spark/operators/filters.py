@@ -275,7 +275,10 @@ def flag_nulls(
     columns: Any | None = None,
 ) -> DataFrame:
     """0/1 flag: any-null across the chosen columns (ref
-    ``flag_nulls.py:13-85``)."""
+    ``flag_nulls.py:13-85``; a pre-existing flag column raises like the
+    reference instead of silently overwriting)."""
+    if column_name in df.columns:
+        raise ValueError(f"{column_name} column already exists!")
     subset = resolve_columns(df, columns) if columns else df.columns
     pred = F.lit(False)
     for c in subset:

@@ -1779,6 +1779,14 @@ def test_pivot_longer_multi_index(spark):
     compare(spark, exp, out)
 
 
+def test_flag_nulls_existing_column_raises(spark):
+    pdf = pd.DataFrame({"x": [1], "null_flag": [0]})
+    with pytest.raises(ValueError):
+        pdf.flag_nulls()
+    with pytest.raises(ValueError):
+        pj.flag_nulls(_sdf(spark, pdf))
+
+
 def test_flag_nulls_subset(spark):
     pdf = pd.DataFrame(
         {"a": [1.0, None, 3.0], "b": [None, None, "x"], "c": [1, 2, 3]}
