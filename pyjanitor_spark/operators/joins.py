@@ -118,7 +118,12 @@ def conditional_join(
     (any select syntax; conditions may reference unselected columns —
     they join and are then projected away).  ``use_numba``/``force``
     (ref ``conditional_join.py:38-40``) pick pandas physical strategies;
-    Catalyst owns that choice here, so they are accepted no-ops."""
+    Catalyst owns that choice here, so they are accepted no-ops.
+
+    Documented superset: equality-ONLY condition lists work (null-safe
+    hash join, same '==' null-pairing as the mixed form); the reference
+    rejects them outright ("Equality only joins are not supported") and
+    redirects to pd.merge."""
     if not conditions:
         raise ValueError("provide at least one (left, right, op) condition")
     if how not in ("inner", "left", "right", "outer", "full"):

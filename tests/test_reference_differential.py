@@ -1666,6 +1666,18 @@ def test_conditional_join_date_typed_range(spark):
         compare(spark, exp, out)
 
 
+def test_conditional_join_equality_only_superset(spark):
+    # documented superset: the reference refuses equality-only condition
+    # lists; ours runs them as a null-safe hash join (same '==' pairing
+    # as the mixed form)
+    L = pd.DataFrame({"k": [1.0, 2.0, None], "lid": [0, 1, 2]})
+    R = pd.DataFrame({"k": [1.0, None], "rid": [10, 11]})
+    with pytest.raises(ValueError):
+        L.conditional_join(R, ("k", "k", "=="))
+    out = pj.conditional_join(_sdf(spark, L), _sdf(spark, R), ("k", "k", "==")).toPandas()
+    assert sorted(out["lid"].tolist()) == [0, 2]
+
+
 def test_conditional_join_timestamp_range(spark):
     # non-numeric (timestamp) range conditions: the bucketizer casts
     # timestamps to seconds; semantics must match pandas datetime compare
