@@ -14,6 +14,7 @@ Spark logical plan; Catalyst does the optimization.  Three usage forms:
 from __future__ import annotations
 
 from pyjanitor_spark import functions  # noqa: F401
+from pyjanitor_spark.errors import JanitorError  # noqa: F401
 from pyjanitor_spark.functions.math import (  # noqa: F401
     ecdf,
     exp,

@@ -13,6 +13,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyjanitor_spark.errors import JanitorError
 from pyjanitor_spark.utils.select import resolve_columns
 
 __all__ = ["sort_timestamps_monotonically", "flag_jumps"]
@@ -52,11 +53,11 @@ def flag_jumps(
     ∈ increasing|decreasing|any.  Pure ``lag`` windows ordered by the
     timestamp; ``by`` partitions the window (the scale path)."""
     if threshold < 0:
-        raise ValueError("threshold must be >= 0 (deltas compare on magnitude)")
+        raise JanitorError("threshold must be >= 0 (deltas compare on magnitude)")
     if scale not in ("absolute", "percentage"):
-        raise ValueError(f"bad scale {scale!r}")
+        raise JanitorError(f"bad scale {scale!r}")
     if direction not in ("increasing", "decreasing", "any"):
-        raise ValueError(f"bad direction {direction!r}")
+        raise JanitorError(f"bad direction {direction!r}")
     part = resolve_columns(df, by) if by is not None else []
     w = Window.partitionBy(*part).orderBy(F.col(ts_column))
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}

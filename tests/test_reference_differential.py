@@ -851,6 +851,25 @@ def test_get_dupes_subset(spark):
     compare(spark, exp, pj.get_dupes(_sdf(spark, pdf), "a"))
 
 
+def test_janitor_error_type_parity(spark):
+    # the reference's timeseries contracts raise janitor.JanitorError;
+    # ours raises pj.JanitorError (a ValueError subclass, so both catch
+    # styles work)
+    import janitor
+    import janitor.timeseries  # noqa: F401
+
+    pdf = pd.DataFrame(
+        {"v": [1.0]}, index=pd.to_datetime(["2020-01-01"])
+    )
+    with pytest.raises(janitor.errors.JanitorError):
+        pdf.flag_jumps(scale="bogus")
+    sdf = spark.createDataFrame([(1, 1.0)], "ts int, v double")
+    with pytest.raises(pj.JanitorError):
+        pj.flag_jumps(sdf, ts_column="ts", scale="bogus")
+    with pytest.raises(ValueError):
+        pj.flag_jumps(sdf, ts_column="ts", direction="sideways")
+
+
 def test_timeseries_flag_jumps(spark):
     try:
         import janitor.timeseries  # noqa: F401  (registers the methods)
