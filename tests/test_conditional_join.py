@@ -404,3 +404,34 @@ class TestDatetimeTypedRangeJoins:
             (F.col("l_shipdate") < F.col("lo")) | (F.col("l_shipdate") >= F.col("hi"))
         ).count()
         assert bad == 0 and out.count() > 0
+
+
+def test_decimal_typed_verbs_sweep(spark):
+    """Decimal columns flow through the numeric verb family without ANSI
+    cast errors (the datetime analogue of this sweep caught two real
+    bucketizer holes)."""
+    from decimal import Decimal
+
+    from pyjanitor_spark.functions.math import apply_math
+
+    d = spark.createDataFrame(
+        [
+            (Decimal("1.25"), "a"),
+            (Decimal("3.75"), "a"),
+            (None, "b"),
+            (Decimal("10.00"), "b"),
+        ],
+        "x decimal(10,2), g string",
+    )
+    assert pj.impute(d, "x", statistic_column_name="mean").count() == 4
+    assert pj.min_max_scale(d, column_name="x").count() == 4
+    assert pj.bin_numeric(d, "x", "b", bins=[0, 5, 20]).count() == 4
+    assert apply_math(d, "x", pj.z_score).count() == 4
+    assert pj.groupby_agg(d, by="g", agg="mean", agg_column_name="x", new_column_name="m").count() == 4
+    assert pj.quantile_bin(d, "x", "qb", q=2).count() == 4
+    assert pj.winsorize(d, "x", lower=0.1, upper=0.9).count() == 4
+    assert pj.conditional_join(
+        d.select("x"), spark.createDataFrame(
+            [(Decimal("1.00"), Decimal("4.00"))], "lo decimal(10,2), hi decimal(10,2)"),
+        ("x", "lo", ">="), ("x", "hi", "<="),
+    ).count() == 2
