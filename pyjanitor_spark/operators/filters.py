@@ -222,10 +222,19 @@ def update_where(
 ) -> DataFrame:
     """Conditional update: ``df.loc[cond, col] = val`` (ref
     ``update_where.py:14-92``).  The reference's own Spark port compiles
-    to CASE WHEN SQL (``spark/functions.py:92-174``); same here."""
+    to CASE WHEN SQL (``spark/functions.py:92-174``); same here.
+
+    A string value written into a numeric column widens the column to
+    STRING — Spark's nearest analogue of the object column pandas
+    widens to (surviving numerics render as their string form; without
+    this the ANSI runtime cast of the string to the numeric type
+    throws mid-job)."""
     cond = F.expr(conditions) if isinstance(conditions, str) else conditions
     if target_column_name in df.columns:
         base = F.col(target_column_name)
+        t = df.schema[target_column_name].dataType.typeName()
+        if isinstance(target_val, str) and t not in ("string", "varchar", "char"):
+            base = base.cast("string")
     else:
         base = F.lit(None)
     val = target_val if isinstance(target_val, Column) else F.lit(target_val)
@@ -249,23 +258,37 @@ def case_when(
         *args, default = args
     if len(args) < 2 or len(args) % 2 != 0:
         raise ValueError("provide (condition, value) pairs")
-    expr = None
+    pairs = []
     for cond, value in zip(args[::2], args[1::2]):
         if callable(cond) and not isinstance(cond, Column):
             cond = cond(df)
         if callable(value) and not isinstance(value, Column):
             value = value(df)
         c = F.expr(cond) if isinstance(cond, str) else cond
-        v = value if isinstance(value, Column) else F.lit(value)
-        expr = F.when(c, v) if expr is None else expr.when(c, v)
+        pairs.append((c, value))
     if default is None and column_name in df.columns:
         default_col = F.col(column_name)
+        default_is_str = False
     elif isinstance(default, Column):
-        default_col = default
+        default_col, default_is_str = default, False
     elif isinstance(default, str) and default in df.columns:
-        default_col = F.col(default)
+        default_col, default_is_str = F.col(default), False
     else:
-        default_col = F.lit(default)
+        default_col, default_is_str = F.lit(default), isinstance(default, str)
+    # mixed branch types: a python-str literal next to a Column or
+    # non-str branch would make Spark runtime-cast the string to the
+    # numeric type (ANSI throw mid-job); pandas widens to object — the
+    # Spark analogue is the string supertype, so widen every branch
+    branch_is_str = [isinstance(v, str) for _, v in pairs] + [default_is_str]
+    widen = any(branch_is_str) and not all(branch_is_str)
+    expr = None
+    for c, value in pairs:
+        v = value if isinstance(value, Column) else F.lit(value)
+        if widen:
+            v = v.cast("string")
+        expr = F.when(c, v) if expr is None else expr.when(c, v)
+    if widen:
+        default_col = default_col.cast("string")
     return df.withColumn(column_name, expr.otherwise(default_col))
 
 

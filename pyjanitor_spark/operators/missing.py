@@ -39,8 +39,21 @@ def coalesce(
 
 
 def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
-    """Fill nulls in selected columns (ref ``fill.py:137-206``)."""
+    """Fill nulls in selected columns (ref ``fill.py:137-206``).
+
+    A string fill into a numeric column widens that column to STRING
+    (Spark's analogue of the object column pandas widens to) —
+    ``na.fill`` would silently SKIP type-mismatched columns, losing the
+    fill with no error."""
     cols = resolve_columns(df, column_names)
+    if isinstance(value, str):
+        widen = {
+            c: F.col(c).cast("string")
+            for c in cols
+            if df.schema[c].dataType.typeName() not in ("string", "varchar", "char")
+        }
+        if widen:
+            df = df.withColumns(widen)
     return df.na.fill(value, subset=cols)
 
 

@@ -246,6 +246,27 @@ def test_filter_on(spark):
     compare(spark, exp, pj.filter_on(_sdf(spark, pdf), "a >= 5"))
 
 
+def test_string_into_numeric_widens(spark):
+    # pandas widens to an object column when a string lands in a numeric
+    # one; Spark's analogue is the string supertype (numerics render as
+    # their string form) — without this, update_where/case_when ANSI-throw
+    # mid-job and na.fill silently SKIPS the mismatched column
+    pdf = pd.DataFrame({"x": [1, 5]})
+    exp = pdf.update_where("x > 2", "x", "BIG")
+    exp["x"] = exp["x"].astype(str)
+    out = pj.update_where(_sdf(spark, pdf), "x > 2", "x", "BIG")
+    compare(spark, exp, out)
+    pdf2 = pd.DataFrame({"x": [1.0, None]})
+    exp2 = pdf2.fill_empty(column_names="x", value="missing")
+    exp2["x"] = exp2["x"].astype(str)
+    out2 = pj.fill_empty(_sdf(spark, pdf2), column_names="x", value="missing")
+    compare(spark, exp2, out2)
+    exp3 = pdf.case_when(pdf["x"] > 2, "big", pdf["x"], column_name="lab")
+    exp3["lab"] = exp3["lab"].astype(str)
+    out3 = pj.case_when(_sdf(spark, pdf), F.col("x") > 2, "big", F.col("x"), column_name="lab")
+    compare(spark, exp3, out3)
+
+
 def test_update_where(spark):
     pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": [5.0, 6.0, 7.0, 8.0]})
     exp = pdf.update_where((pdf.a > 2), target_column_name="b", target_val=0.0)
