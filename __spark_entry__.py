@@ -1625,8 +1625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecdf", "flag_jumps", "drop_constant_columns", "pivot_longer",
         "column_ops",
         # (c) oldest attestations that still fit
-        "z_score", "softmax", "quantile_bin", "winsorize", "robust_scale",
-        "take_token_budget", "assign_packs", "move_rows",
+        "z_score", "softmax", "quantile_bin",
+        "update_where", "case_when", "fill_empty",
+        "assign_packs", "move_rows",
         "factorize_appearance", "shuffle", "get_dupes", "take_first",
         "xlsx_table", "xlsx_cells", "fill_direction",
         "process_text", "process_text_fallback",
