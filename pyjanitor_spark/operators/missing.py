@@ -86,7 +86,9 @@ def impute(
     if (value is None) == (statistic_column_name is None):
         raise ValueError("exactly one of value / statistic_column_name")
     if value is not None:
-        return df.na.fill(value, subset=cols)
+        # same widening contract as fill_empty: a string fill into a
+        # numeric column widens it (na.fill would silently skip it)
+        return fill_empty(df, cols, value)
     stat = _STATS.get(statistic_column_name)
     if stat is None:
         raise KeyError(f"unknown statistic {statistic_column_name!r}")

@@ -379,10 +379,21 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
         col = F.col(colname)
         expr = None
         if match == "exact":
+            # a string replacement landing in a numeric column widens
+            # the OUTPUT to the string supertype (pandas object-column
+            # analogue); the match itself still compares on the typed
+            # column, so numeric keys keep exact-equality semantics
+            numeric_col = (
+                colname in df.columns
+                and df.schema[colname].dataType.typeName()
+                not in ("string", "varchar", "char")
+            )
+            widen = numeric_col and any(isinstance(v, str) for v in mapping.values())
             for old, new in mapping.items():
                 cond = col.isNull() if old is None else (col == F.lit(old))
-                expr = (F.when(cond, F.lit(new)) if expr is None else expr.when(cond, F.lit(new)))
-            updates[colname] = expr.otherwise(col)
+                rep = F.lit(new).cast("string") if widen else F.lit(new)
+                expr = F.when(cond, rep) if expr is None else expr.when(cond, rep)
+            updates[colname] = expr.otherwise(col.cast("string") if widen else col)
         else:
             out = col
             for pat, new in mapping.items():

@@ -267,6 +267,25 @@ def test_string_into_numeric_widens(spark):
     compare(spark, exp3, out3)
 
 
+def test_find_replace_impute_widen(spark):
+    # same widening contract in find_replace (string replacement into a
+    # numeric column; match still compares on the typed column) and
+    # impute's value form (the reference mutates in place — copy first)
+    pdf = pd.DataFrame({"x": [1, 2, 3]})
+    sdf = _sdf(spark, pdf.copy())
+    exp = pdf.copy().find_replace(match="exact", x={1: "one"})
+    exp["x"] = exp["x"].astype(str)
+    compare(spark, exp, pj.find_replace(sdf, match="exact", x={1: "one"}))
+    pdf2 = pd.DataFrame({"x": [1.0, None]})
+    sdf2 = _sdf(spark, pdf2.copy())
+    exp2 = pdf2.copy().impute("x", value="zz")
+    exp2["x"] = exp2["x"].astype(str)
+    compare(spark, exp2, pj.impute(sdf2, "x", value="zz"))
+    # numeric mappings keep the column type
+    out = pj.find_replace(_sdf(spark, pdf.copy()), match="exact", x={1: 100})
+    assert out.schema["x"].dataType.typeName() == "long"
+
+
 def test_update_where(spark):
     pdf = pd.DataFrame({"a": [1, 2, 3, 4], "b": [5.0, 6.0, 7.0, 8.0]})
     exp = pdf.update_where((pdf.a > 2), target_column_name="b", target_val=0.0)
