@@ -1627,7 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) oldest attestations that still fit
         "z_score", "softmax", "quantile_bin",
         "update_where", "case_when", "fill_empty",
-        "assign_packs", "move_rows",
+        "find_replace", "impute",
         "factorize_appearance", "shuffle", "get_dupes", "take_first",
         "xlsx_table", "xlsx_cells", "fill_direction",
         "process_text", "process_text_fallback",
