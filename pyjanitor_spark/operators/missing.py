@@ -27,11 +27,19 @@ def coalesce(
     default_value: Any | None = None,
 ) -> DataFrame:
     """First non-null across N columns (ref ``coalesce.py:14-134``) —
-    maps to the exact built-in ``F.coalesce``."""
+    maps to the exact built-in ``F.coalesce``.
+
+    A string ``default_value`` falling back into numeric source columns
+    widens the result to the string supertype (same contract as
+    ``fill_empty``; the reference's fillna widens to object)."""
     cols = resolve_columns(df, column_names)
     if len(cols) < 2 and default_value is None:
         raise ValueError("provide >= 2 columns (or a default_value)")
-    exprs = [F.col(c) for c in cols]
+    widen = isinstance(default_value, str) and any(
+        df.schema[c].dataType.typeName() not in ("string", "varchar", "char")
+        for c in cols
+    )
+    exprs = [F.col(c).cast("string") if widen else F.col(c) for c in cols]
     if default_value is not None:
         exprs.append(F.lit(default_value))
     target = target_column_name or cols[0]

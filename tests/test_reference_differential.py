@@ -877,6 +877,15 @@ def test_pivot_longer_single_name(spark):
     compare(spark, exp, out)
 
 
+def test_coalesce_string_default_widens(spark):
+    pdf = pd.DataFrame({"a": [None, 2.0], "b": [None, None]})
+    exp = pdf.copy().coalesce("a", "b", target_column_name="t", default_value="none")
+    exp["t"] = exp["t"].astype(str)
+    sdf = spark.createDataFrame([(None, None), (2.0, None)], "a double, b double")
+    out = pj.coalesce(sdf, ["a", "b"], target_column_name="t", default_value="none")
+    compare(spark, exp, out)
+
+
 def test_coalesce_default_value(spark):
     pdf = pd.DataFrame({"a": [None, 2.0], "b": [None, None]})
     sdf = _sdf(spark, pdf, "a double, b double")
