@@ -1627,8 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) oldest attestations that still fit
         "z_score", "softmax", "quantile_bin",
         "update_where", "case_when", "fill_empty",
-        "find_replace", "impute",
-        "factorize_appearance", "shuffle", "get_dupes", "take_first",
+        "find_replace", "impute", "coalesce",
+        "factorize_appearance", "shuffle", "get_dupes",
         "xlsx_table", "xlsx_cells", "fill_direction",
         "process_text", "process_text_fallback",
         # (b continued) the round-7 DATE-bucketizer change rides these
