@@ -386,7 +386,7 @@ def limit_column_characters(df: DataFrame, column_length: int, col_separator: st
 
 def row_to_names(
     df: DataFrame,
-    row_numbers: int | list[int] = 0,
+    row_numbers: int | slice | list[int] = 0,
     remove_rows: bool = False,
     remove_rows_above: bool = False,
     reset_index: bool = False,
@@ -396,11 +396,46 @@ def row_to_names(
     ``reset_index`` is accepted for API parity and is a no-op — Spark
     frames carry no index (the ``_row_order`` contract).
 
+    ``row_numbers`` may be an int, a bounded non-negative slice (step
+    must be None, like the reference, ``row_to_names.py:147-150``; start/
+    stop must be concrete non-negative positions — an open or negative
+    slice would force an unbounded collect at scale), or a list of ints.
+    ``remove_rows_above`` is valid only with an int or slice — the
+    reference raises for list-valued ``row_numbers``
+    (``row_to_names.py:189-194``) because non-contiguous promoted rows
+    have no well-defined "above".
+
     Needs an order column ("row k" is positional).  One bounded driver
     action collects just the designated row(s) (LIMIT k+1 under the order
     — cheap)."""
+    if isinstance(row_numbers, slice):
+        if row_numbers.step is not None:
+            raise ValueError(
+                "The step argument for slice is not supported in row_to_names."
+            )
+        start = 0 if row_numbers.start is None else row_numbers.start
+        stop = row_numbers.stop
+        if stop is None or start < 0 or stop < 0:
+            raise ValueError(
+                "row_to_names: slice start/stop must be concrete non-negative "
+                "positions (an open or negative slice would require scanning "
+                "the whole frame to resolve)"
+            )
+        rows = list(range(start, stop))
+        if not rows:
+            raise ValueError(f"row_to_names: empty slice {row_numbers!r}")
+    elif isinstance(row_numbers, int):
+        rows = [row_numbers]
+    else:
+        if remove_rows_above:
+            # ref row_to_names.py:189-194 — contiguity is not guaranteed
+            raise ValueError(
+                "The remove_rows_above argument is applicable "
+                "only if the row_numbers argument is an integer "
+                "or a slice."
+            )
+        rows = list(row_numbers)
     df, ocol, added = ensure_order_column(df, order_by)
-    rows = [row_numbers] if isinstance(row_numbers, int) else list(row_numbers)
     k = max(rows) + 1
     head = df.orderBy(F.col(ocol)).limit(k).collect()
     if len(head) <= max(rows):

@@ -276,10 +276,23 @@ def groupby_topk(
     if dropna:
         for kcol in keys:
             df = df.filter(F.col(kcol).isNotNull())
-    # nlargest/nsmallest never return NaN rows (they rank only non-null
-    # values), so null-ranked rows drop out rather than sorting last
-    df = df.filter(F.col(column).isNotNull())
-    order = F.col(column).asc() if ascending else F.col(column).desc()
+    # the reference tries nlargest/nsmallest first (numeric/temporal
+    # dtypes — those never return NaN rows, they rank only non-null
+    # values) and falls back to sort_values().head(k) on TypeError
+    # (object/bool dtypes — there NaN sorts LAST and can still appear
+    # when a group has fewer than k non-null values), groupby_topk.py:112-119
+    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[column].dataType
+    if isinstance(dtype, (NumericType, DateType, TimestampType, TimestampNTZType)):
+        df = df.filter(F.col(column).isNotNull())
+        order = F.col(column).asc() if ascending else F.col(column).desc()
+    else:
+        order = (
+            F.col(column).asc_nulls_last()
+            if ascending
+            else F.col(column).desc_nulls_last()
+        )
     w = Window.partitionBy(*keys).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -47,6 +47,26 @@ __all__ = [
 ]
 
 
+_NUMERIC_SIMPLE_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _default_return_type(input_type: str | None, fallback: str) -> str:
+    """Default pandas_udf return type when the caller didn't pin one.
+
+    Numeric inputs default to ``double``: pandas itself widens — np.sqrt
+    on an int64 Series returns float64 — and declaring the input's exact
+    integer type makes Arrow fail mid-job with an unsafe-cast error for
+    any type-changing callable.  Widening int->double is value-preserving
+    for the Arrow batch sizes in play (pass ``return_type=`` explicitly
+    for int64 values beyond 2**53 or to pin a non-default type)."""
+    if input_type is None:
+        return fallback
+    t = input_type.lower()
+    if t in _NUMERIC_SIMPLE_TYPES or t.startswith("decimal"):
+        return "double"
+    return input_type
+
+
 def _as_expr(
     function: Any,
     col: Column,
@@ -65,9 +85,10 @@ def _as_expr(
         # reference's ("takes a Series, returns a sequence of identical
         # length"): row-local vectorized functions are exact; a
         # whole-column statistic does not fit either engine's contract
-        # here (apply_math carries those).  Default return type = the
-        # input column's type (np.sqrt double->double); pass
-        # return_type= when the function changes the type.
+        # here (apply_math carries those).  Default return type: numeric
+        # inputs widen to double (np.sqrt int->float64, exactly as pandas
+        # computes it), other inputs keep their type; pass return_type=
+        # when the function changes the type some other way.
         try:
             probe = function(col)
             if isinstance(probe, Column):
@@ -76,7 +97,7 @@ def _as_expr(
             pass
         from pyspark.sql.functions import pandas_udf
 
-        rt = return_type or input_type or "double"
+        rt = return_type or _default_return_type(input_type, "double")
 
         @pandas_udf(rt)
         def _series_udf(s):
@@ -102,7 +123,7 @@ def _as_expr(
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
-    rt = return_type or input_type or "string"
+    rt = return_type or _default_return_type(input_type, "string")
 
     @pandas_udf(rt)
     def _udf(s):
@@ -162,7 +183,16 @@ def _pt_replace(col, pat, repl, regex=True, n=-1, **_):
     if n is not None and n >= 0:
         # occurrence-limited replace has no JVM builtin — exact fallback
         return _str_fallback("replace", pat=pat, repl=repl, regex=regex, n=n)(col)
-    return F.regexp_replace(col, pat if regex else F.lit(pat), repl)
+    if not regex:
+        # pandas str.replace(regex=False) is a LITERAL replacement on both
+        # sides; regexp_replace always regex-interprets its pattern (even
+        # a Column pattern) and treats $/\ specially in the replacement
+        import re as _re
+
+        return F.regexp_replace(
+            col, _re.escape(pat), repl.replace("\\", "\\\\").replace("$", "\\$")
+        )
+    return F.regexp_replace(col, pat, repl)
 
 
 def _pt_translate(col, table):

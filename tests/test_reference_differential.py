@@ -2610,3 +2610,79 @@ def test_process_text_count_findall_wrap(spark):
     assert sorted(map(repr, got)) == sorted(
         repr(None if pd.isna(v) else v) for v in exp
     )
+
+
+def test_transform_column_type_changing_ufunc_on_int(spark):
+    # ADVICE r7 (medium): np.sqrt on an INT column — pandas widens to
+    # float64; the Arrow fallback must not pin the input's int type
+    # (transforms.py _default_return_type widens numeric -> double)
+    import numpy as np
+
+    pdf = pd.DataFrame({"x": [1, 4, 9]})
+    sdf = _sdf(spark, pdf)
+    exp = pdf.copy().transform_column("x", np.sqrt, elementwise=False)
+    out = pj.transform_column(sdf, "x", np.sqrt, elementwise=False)
+    assert dict(out.dtypes)["x"] == "double"
+    compare(spark, exp, out)
+    # elementwise scalar callable that cannot ride the Column probe
+    # (math.sqrt rejects Columns) — same widening on the map path
+    exp2 = pdf.copy().transform_column("x", lambda v: math.sqrt(v) + 0.25)
+    out2 = pj.transform_column(sdf, "x", lambda v: math.sqrt(v) + 0.25)
+    compare(spark, exp2, out2)
+
+
+def test_groupby_topk_non_numeric_nulls_sort_last(spark):
+    # ADVICE r7: non-numeric ranking columns take the reference's
+    # sort_values().head(k) fallback (groupby_topk.py:118-119) where NaN
+    # sorts LAST and still appears when a group has < k non-null values;
+    # numeric columns keep the nlargest/nsmallest null-drop semantics
+    pdf = pd.DataFrame(
+        {"g": ["a", "a", "b", "b", "c"], "s": ["x", None, None, "q", None]}
+    )
+    sdf = _sdf(spark, pdf)
+    for k, ascending in [(2, True), (1, False), (1, True)]:
+        exp = pdf.groupby_topk(by="g", column="s", k=k, ascending=ascending)
+        out = pj.groupby_topk(sdf, by="g", column="s", k=k, ascending=ascending)
+        compare(spark, exp.reset_index(drop=True), out)
+
+
+def test_process_text_replace_literal(spark):
+    # ADVICE r7: regex=False is a LITERAL replacement — 'a.b' must not
+    # match 'axb', and '$'/'\' in the replacement are not group refs
+    pdf = pd.DataFrame({"s": ["a.b", "axb", "ca.bd", None]})
+    sdf = _sdf(spark, pdf)
+    exp = pdf.copy().process_text(
+        "s", string_function="replace", pat="a.b", repl="$Z\\w", regex=False
+    )
+    out = pj.process_text(sdf, "s", "replace", pat="a.b", repl="$Z\\w", regex=False)
+    compare(spark, exp, out)
+
+
+def test_row_to_names_slice_and_list_validation(spark):
+    pdf = pd.DataFrame(
+        {"a": ["h", "x", "y", "z"], "b": ["i", "p", "q", "r"]}
+    )
+    sdf = _sdf(spark, pdf.reset_index(names="_row_order"))
+    # slice promotion (step=None): rows 1..2 -> two-level names, our flat
+    # stand-in joins with '_' (same convention as the [0,1] list test)
+    exp = pdf.row_to_names(slice(1, 3), remove_rows=True, remove_rows_above=True)
+    exp.columns = ["_".join(map(str, c)) for c in exp.columns]
+    out = pj.row_to_names(
+        sdf,
+        slice(1, 3),
+        remove_rows=True,
+        remove_rows_above=True,
+        order_by="_row_order",
+    ).drop("_row_order")
+    compare(spark, exp, out)
+    # ADVICE r7: list + remove_rows_above raises in BOTH engines
+    # (ref row_to_names.py:189-194)
+    with pytest.raises(ValueError, match="applicable"):
+        pdf.row_to_names([0, 2], remove_rows_above=True)
+    with pytest.raises(ValueError, match="applicable"):
+        pj.row_to_names(sdf, [0, 2], remove_rows_above=True, order_by="_row_order")
+    # slice with a step raises in both
+    with pytest.raises(ValueError, match="step"):
+        pdf.row_to_names(slice(0, 3, 2))
+    with pytest.raises(ValueError, match="step"):
+        pj.row_to_names(sdf, slice(0, 3, 2), order_by="_row_order")
