@@ -49,6 +49,7 @@ from pyjanitor_spark.utils import (  # noqa: F401
     count_distinct_exact,
     ensure_order_column,
     get_index_labels,
+    patterns,
     resolve_columns,
     skew_join,
 )

@@ -22,7 +22,26 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-__all__ = ["DropLabel", "resolve_columns", "get_index_labels"]
+__all__ = ["DropLabel", "patterns", "resolve_columns", "get_index_labels"]
+
+
+def patterns(regex_pattern: str | re.Pattern) -> re.Pattern:
+    """Compile a string into a regex Pattern usable as a column selector
+    (ref ``functions/utils.py:140-164``).  Deprecated there and here —
+    pass ``re.compile(...)`` directly; kept for drop-in API parity."""
+    import warnings
+
+    warnings.warn(
+        "This function is deprecated. Kindly use `re.compile` instead.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    if not isinstance(regex_pattern, (str, re.Pattern)):
+        raise TypeError(
+            "regular expression should be one of str, Pattern; "
+            f"instead got type {type(regex_pattern).__name__}"
+        )
+    return re.compile(regex_pattern)
 
 
 @dataclass(frozen=True)

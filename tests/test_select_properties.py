@@ -74,3 +74,23 @@ def test_slice_label_bounds(cols):
         out = resolve_columns(cols, slice(cols[1], cols[-1]))
         assert out == cols[1:]
 
+
+
+def test_patterns_helper_parity():
+    # ref functions/utils.py:140-164 — deprecated compile wrapper
+    import re
+    import warnings
+
+    import pyjanitor_spark as pj
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pat = pj.patterns("^a_")
+    assert isinstance(pat, re.Pattern) and pat.pattern == "^a_"
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pytest
+
+        with pytest.raises(TypeError):
+            pj.patterns(3)
