@@ -1440,6 +1440,62 @@ def q_also_then(spark, sf):
     return out.select("o_orderkey", "o_totalprice")
 
 
+def q_toset(spark, sf):
+    # toset() is a bounded driver action by design (ref toset.py:18-51 —
+    # a Python set of distinct values); re-framed as rows for the gate.
+    # o_orderpriority has 5 distinct values at any SF.
+    o = _t(spark, sf, "orders")
+    vals = pj.toset(o, "o_orderpriority")
+    assert isinstance(vals, set)
+    return spark.createDataFrame([(v,) for v in sorted(vals)], "val string")
+
+
+def q_get_columns(spark, sf):
+    # get_index_labels resolves mixed selectors (glob + compiled regex,
+    # ref select.py:450-474); get_columns projects them (select.py:477-497)
+    import re as _re
+
+    li = _t(spark, sf, "lineitem")
+    labels = pj.get_index_labels(li, ["l_orderkey", "l_*price", _re.compile("quantity$")])
+    assert labels == ["l_orderkey", "l_extendedprice", "l_quantity"], labels
+    return pj.get_columns(li, labels)
+
+
+def q_pq_encode(spark, sf):
+    # product quantization: deterministic per-subspace Lloyd (m=2 sub-
+    # codebooks of k=2, 1 round) then quantize every vector to 2 codes;
+    # the oracle unrolls the identical per-subspace arithmetic in SQL
+    e, _ = _query_vec(spark, sf)
+    cb = pj.pq_train(e, "embedding", "vec_id", m=2, k=2, iters=1)
+    return pj.pq_encode(e, "embedding", cb).select("vec_id", "pq_code")
+
+
+def q_pq_topk(spark, sf):
+    # end-to-end ADC search: train + encode inline, score via the literal
+    # m*k distance-table lookup, TakeOrdered top-20
+    e, qv = _query_vec(spark, sf)
+    return pj.pq_topk(
+        e, qv, "embedding", "vec_id", k=20, m=2, codebook_k=2, iters=1
+    )
+
+
+def q_unionize_categories(spark, sf):
+    # unionize_dataframe_categories validates + reconciles category sets
+    # before concatenation (ref functions/utils.py:40-137); Spark
+    # categoricals are plain strings so the frames pass through — the
+    # gate proves the reference pipeline (unionize -> concat -> groupby)
+    # runs verbatim and the union loses no category values
+    c = _t(spark, sf, "customer")
+    lo = c.filter(F.col("c_acctbal") < 0)
+    hi = c.filter(F.col("c_acctbal") >= 0)
+    a, b = pj.unionize_dataframe_categories(lo, hi, column_names="c_mktsegment")
+    return (
+        a.unionByName(b)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate samples the FIRST 50
     # entries in insertion order; the _WINDOW list below (applied at the
@@ -1611,6 +1667,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_index_dtype": q_change_index_dtype,
         "read_commandline": q_read_commandline,
         "also_then": q_also_then,
+        # round-8: the last gateable §2 verbs — only xarray stays ungated
+        "toset": q_toset,
+        "get_columns": q_get_columns,
+        "unionize_categories": q_unionize_categories,
+        # round-8 new similarity-scale ops
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
     }
     _WINDOW = [
         # (a) new round-7 gates — first-ever driver rows
@@ -1664,6 +1727,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "also_then": (
             "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000"
+        ),
+        # ---- round-8 last gateable verbs ----
+        "toset": "SELECT DISTINCT o_orderpriority AS val FROM orders",
+        "get_columns": "SELECT l_orderkey, l_extendedprice, l_quantity FROM lineitem",
+        "unionize_categories": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
         ),
         # ---- round-7 long-tail gates ----
         "row_to_names": (
@@ -2357,6 +2426,80 @@ def _kmeans_sql(k: int, iters: int) -> str:
     )
 
 
+def _pq_sql(m: int, k: int, iters: int, what: str, topn: int = 20) -> str:
+    """Generated oracle for pq_encode / pq_topk: per-subspace Lloyd with
+    the same hash-seeded init (k global seed rows, sliced per subspace),
+    DECIMAL-exact means, first-min tie-break, then either the code array
+    (``what='encode'``) or the summed ADC distances to vec_id 0's query
+    vector (``what='topk'``).  Mirrors ``_kmeans_sql`` unrolled per
+    subspace (dim=64 in the embeddings table)."""
+    dsub = 64 // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> (x[1]-x[2])*(x[1]-x[2])))"
+        )
+
+    def sl(expr: str, s: int) -> str:
+        return f"{expr}[{s * dsub + 1}:{(s + 1) * dsub}]"
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), ",
+        "sd AS (SELECT row_number() OVER (ORDER BY "
+        "md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS c, v FROM "
+        "(SELECT vec_id, v FROM e ORDER BY "
+        f"md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k})), ",
+    ]
+    prevs = []
+    for s in range(m):
+        parts.append(f"s0_{s} AS (SELECT c, {sl('v', s)} AS v FROM sd), ")
+        prevs.append(f"s0_{s}")
+    for it in range(1, iters + 1):
+        for s in range(m):
+            prev = prevs[s]
+            parts.append(
+                f"a{it}_{s} AS (SELECT e.vec_id, {sl('e.v', s)} AS sv, "
+                f"(SELECT s.c FROM {prev} s ORDER BY "
+                f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1) AS c FROM e), "
+            )
+            parts.append(
+                f"m{it}_{s} AS (SELECT c, i, "
+                "CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS m "
+                f"FROM (SELECT a.c, t.i AS i, a.sv[t.i] AS val FROM a{it}_{s} a, "
+                "UNNEST(generate_series(1, len(a.sv))) AS t(i)) GROUP BY c, i), "
+            )
+            parts.append(
+                f"g{it}_{s} AS (SELECT c, list(m ORDER BY i) AS v "
+                f"FROM m{it}_{s} GROUP BY c), "
+            )
+            parts.append(
+                f"s{it}_{s} AS (SELECT p.c, COALESCE(g.v, p.v) AS v FROM {prev} p "
+                f"LEFT JOIN g{it}_{s} g ON p.c = g.c), "
+            )
+            prevs[s] = f"s{it}_{s}"
+    body = "".join(parts)
+    if what == "encode":
+        codes = ", ".join(
+            f"(SELECT CAST(s.c AS INT) FROM {prevs[s]} s ORDER BY "
+            f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1)"
+            for s in range(m)
+        )
+        return body.rstrip(", ") + (
+            f" SELECT e.vec_id, [{codes}] AS pq_code FROM e"
+        )
+    terms = " + ".join(
+        f"(SELECT {d2(sl('(SELECT v FROM e WHERE vec_id = 0)', s), 's.v')} "
+        f"FROM {prevs[s]} s ORDER BY "
+        f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1)"
+        for s in range(m)
+    )
+    return body.rstrip(", ") + (
+        f" SELECT e.vec_id, {terms} AS adc_dist FROM e "
+        f"ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {topn}"
+    )
+
+
 def _cos(a: str, b: str) -> str:
     return (
         f"list_dot_product({a}, {b}) / "
@@ -2748,6 +2891,8 @@ def _pipeline_oracles() -> dict[str, str]:
         ),
         "semdedup": semdd,
         "kmeans_assign": _kmeans_sql(4, 2),
+        "pq_encode": _pq_sql(2, 2, 1, "encode"),
+        "pq_topk": _pq_sql(2, 2, 1, "topk", 20),
         "normalize_text": _normalize_text_sql(),
         # cutpoint = smallest v with cnt_le(v)/n >= q (inclusive ECDF,
         # the quantile_bin tie-safe contract)

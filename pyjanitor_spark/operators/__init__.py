@@ -67,6 +67,9 @@ from pyjanitor_spark.operators.similarity import (
     ivf_topk,
     kmeans_assign,
     lsh_bucket_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
     semdedup,
 )
 from pyjanitor_spark.operators.sampling import (

@@ -33,6 +33,9 @@ __all__ = [
     "semdedup",
     "centroids",
     "kmeans_assign",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -530,3 +533,265 @@ def kmeans_assign(
         got = {r["__c"]: list(r["cv"]) for r in rows}
         cents = [got.get(i, cents[i]) for i in range(k)]
     return _with_cluster(df, v, cents, dest)
+
+
+# --- Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the compressed-domain ANN scale path:
+# m sub-codebooks of k centroids quantize each vector to m small codes
+# (dim*4 bytes -> m bytes), and queries score candidates through
+# asymmetric distance computation (ADC): a tiny m*k lookup table built
+# once per query, folded into the plan as literals.  At 100 TB the
+# embedding column is the dominant payload; scanning codes instead of
+# raw floats is a ~dim*4/m reduction in bytes moved.
+
+
+def _pq_slices(v: Column, m: int, dsub: int) -> list[Column]:
+    return [F.slice(v, s * dsub + 1, dsub) for s in range(m)]
+
+
+def _pq_train_cents(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    k: int,
+    iters: int,
+    seed: str,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd, all ``m`` subspaces in ONE scan
+    per round.  Same reproducibility contract as :func:`kmeans_assign`:
+    k global seed rows by ``md5(seed:id)`` (each subspace initializes
+    from the same rows' slices), DECIMAL-exact per-(subspace, cluster,
+    position) means, first-min tie-break, empty clusters keep their
+    previous centroid.  Bounded collects only (k seed rows; m*k centroid
+    rows per round)."""
+    if m < 1 or k < 1 or iters < 0:
+        raise ValueError("m >= 1, k >= 1 and iters >= 0 required")
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (
+        df.select(
+            v.alias("__v"),
+            F.md5(
+                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)  # bounded: k rows
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_train: input DataFrame is empty")
+    k = min(k, len(seeds))
+    dim = len(seeds[0]["__v"])
+    if dim % m:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    dsub = dim // m
+    cents = [
+        [list(r["__v"][s * dsub : (s + 1) * dsub]) for r in seeds[:k]]
+        for s in range(m)
+    ]
+    if iters:
+        # one broadcast row carries all m codebooks; the per-row subspace
+        # explode keys every Lloyd statistic by (subspace, cluster, pos)
+        # so a single shuffle per round updates every codebook
+        spark = df.sparkSession
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                [(cents,)], "__cb array<array<array<double>>>"
+            )
+            assigned = (
+                df.select(F.posexplode(F.array(*_pq_slices(v, m, dsub))))
+                .withColumnRenamed("pos", "__s")
+                .withColumnRenamed("col", "__sv")
+                .crossJoin(F.broadcast(cdf))
+                .select(
+                    "__s",
+                    "__sv",
+                    _argmin_cluster_data(
+                        F.col("__sv"),
+                        F.element_at(F.col("__cb"), F.col("__s") + 1),
+                    ).alias("__c"),
+                )
+            )
+            rows = (
+                assigned.select("__s", "__c", F.posexplode(F.col("__sv")))
+                .groupBy("__s", "__c", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("col").cast("decimal(27,10)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("m")
+                )
+                .groupBy("__s", "__c")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ).alias("__pm")
+                )
+                .select(
+                    "__s",
+                    "__c",
+                    F.transform(F.col("__pm"), lambda x: x["m"]).alias("cv"),
+                )
+                .collect()  # bounded: m*k rows
+            )
+            got = {(r["__s"], r["__c"]): list(r["cv"]) for r in rows}
+            cents = [
+                [got.get((s, c), cents[s][c]) for c in range(k)] for s in range(m)
+            ]
+    return cents
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    seed: str = "pq",
+) -> DataFrame:
+    """Train product-quantization codebooks; returns a BOUNDED frame of
+    ``m * k`` rows ``(sub, code, centroid array<double>)`` — persistable
+    to parquet and accepted by :func:`pq_encode` / :func:`pq_topk`
+    (the :func:`bpe_train` model-table pattern)."""
+    cents = _pq_train_cents(df, vec_col, id_col, m, k, iters, seed)
+    rows = [
+        (s, c, list(map(float, cents[s][c])))
+        for s in range(len(cents))
+        for c in range(len(cents[s]))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    )
+
+
+def _pq_collect_cents(codebooks: DataFrame) -> list[list[list[float]]]:
+    rows = codebooks.collect()  # bounded: m*k rows by construction
+    m = 1 + max(r["sub"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    cents = [[None] * k for _ in range(m)]
+    for r in rows:
+        cents[r["sub"]][r["code"]] = list(r["centroid"])
+    if any(c is None for sub in cents for c in sub):
+        raise ValueError("codebooks frame is missing (sub, code) entries")
+    return cents
+
+
+def _pq_codes(v: Column, cents: list[list[list[float]]]) -> Column:
+    """array<int> of length m: per-subspace nearest-centroid index.
+    Small codebooks (total centroids <= _KMEANS_LITERAL_MAX) fold into
+    the plan as literals — a pure scan-time projection."""
+    m = len(cents)
+    dsub = len(cents[0][0])
+    return F.array(
+        *[
+            _argmin_cluster(sv, cents[s])
+            for s, sv in enumerate(_pq_slices(v, m, dsub))
+        ]
+    )
+
+
+def _pq_codes_data(v: Column, cb: Column, m: int, dsub: int) -> Column:
+    """Data-driven twin of :func:`_pq_codes`: codebooks arrive as one
+    broadcast ``array<array<array<double>>>`` row, keeping the
+    expression tree O(1) for large ``m * k``."""
+    return F.array(
+        *[
+            _argmin_cluster_data(sv, F.element_at(cb, s + 1))
+            for s, sv in enumerate(_pq_slices(v, m, dsub))
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: DataFrame,
+    dest: str = "pq_code",
+) -> DataFrame:
+    """Quantize ``vec_col`` to ``m`` codebook indices (``array<int>``) —
+    the compressed representation ADC search scans instead of raw
+    vectors.  Pure projection: literal codebooks up to
+    ``_KMEANS_LITERAL_MAX`` total centroids, one broadcast row beyond
+    (the documented 1-row attach)."""
+    cents = _pq_collect_cents(codebooks)
+    v = F.col(vec_col).cast("array<double>")
+    total = sum(len(sub) for sub in cents)
+    if total <= _KMEANS_LITERAL_MAX:
+        return df.withColumn(dest, _pq_codes(v, cents))
+    m, dsub = len(cents), len(cents[0][0])
+    cdf = df.sparkSession.createDataFrame(
+        [(cents,)], "__cb array<array<array<double>>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .withColumn(dest, _pq_codes_data(v, F.col("__cb"), m, dsub))
+        .drop("__cb")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    codebooks: DataFrame | None = None,
+    code_col: str | None = None,
+    seed: str = "pq",
+) -> DataFrame:
+    """ADC top-k: approximate nearest neighbors of ``query`` by summed
+    per-subspace distances to each row's quantized code.
+
+    The query-side distance table (``m * codebook_k`` floats) is
+    computed on the driver and folded into the plan as literals, so the
+    scan does ``m`` array lookups + adds per row — no join, no shuffle;
+    top-k is TakeOrdered exactly like :func:`cosine_topk`.  Pass
+    ``codebooks`` (from :func:`pq_train`) to reuse a trained model and
+    ``code_col`` to score pre-encoded rows (the compressed-scan path —
+    at scale you encode once and drop the raw vectors); otherwise
+    trains + encodes inline.  Returns ``(id, adc_dist)`` ascending,
+    ties by id."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if codebooks is not None:
+        cents = _pq_collect_cents(codebooks)
+    else:
+        cents = _pq_train_cents(df, vec_col, id_col, m, codebook_k, iters, seed)
+    mm = len(cents)
+    if len(query) != mm * len(cents[0][0]):
+        raise ValueError(
+            f"query dim {len(query)} != codebook dim {mm * len(cents[0][0])}"
+        )
+    dsub = len(cents[0][0])
+    # ADC table: table[s][c] = ||q_s - cent[s][c]||^2, tiny and literal
+    table = [
+        [
+            sum(
+                (float(query[s * dsub + i]) - float(cent[i])) ** 2
+                for i in range(dsub)
+            )
+            for cent in cents[s]
+        ]
+        for s in range(mm)
+    ]
+    if code_col is not None:
+        codes = F.col(code_col)
+    else:
+        codes = _pq_codes(F.col(vec_col).cast("array<double>"), cents)
+    dist = None
+    for s in range(mm):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in table[s]]),
+            F.element_at(codes, s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        df.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

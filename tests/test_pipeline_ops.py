@@ -1625,3 +1625,167 @@ def test_scalers_constant_column_null_not_throw(spark):
     ok = spark.createDataFrame([(0.0,), (10.0,)], ["x"])
     vals = sorted(r["x"] for r in pj.min_max_scale(ok, column_name="x").collect())
     assert vals == [0.0, 1.0]
+
+
+class TestProductQuantization:
+    def test_train_shape_and_layout_determinism(self, spark, embeddings):
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=4, k=4, iters=1)
+        rows = cb.collect()
+        assert len(rows) == 16
+        assert {(r["sub"], r["code"]) for r in rows} == {
+            (s, c) for s in range(4) for c in range(4)
+        }
+        assert all(len(r["centroid"]) == 16 for r in rows)
+        # decimal-exact means + hash-seeded init -> layout-independent
+        cb1 = pj.pq_train(
+            embeddings.repartition(1), "embedding", "vec_id", m=4, k=4, iters=1
+        )
+        cb7 = pj.pq_train(
+            embeddings.repartition(7), "embedding", "vec_id", m=4, k=4, iters=1
+        )
+        assert sorted(map(repr, cb1.collect())) == sorted(map(repr, cb7.collect()))
+
+    def test_encode_codes_and_determinism(self, spark, embeddings):
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=4, k=4, iters=1)
+        a = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pj.pq_encode(embeddings.repartition(1), "embedding", cb).collect()
+        }
+        b = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pj.pq_encode(embeddings.repartition(7), "embedding", cb).collect()
+        }
+        assert a == b
+        assert all(len(v) == 4 and all(0 <= c < 4 for c in v) for v in a.values())
+
+    def test_topk_recall_on_clustered_data(self, spark):
+        # genuinely clustered data (the parquet embeddings are near-
+        # uniform in L2): 4 tight clusters, PQ cells must isolate them
+        import random
+
+        rng = random.Random(21)
+        centers = [[c] * 8 for c in (-6.0, -2.0, 2.0, 6.0)]
+        rows = [
+            (i, [centers[i % 4][j] + rng.gauss(0, 0.3) for j in range(8)])
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        q = rows[0][1]  # a cluster-0 member
+        v = F.col("embedding").cast("array<double>")
+        d2 = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in q]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        brute = {
+            r["vec_id"]
+            for r in df.select("vec_id", d2.alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        }
+        got = pj.pq_topk(
+            df, q, "embedding", "vec_id", k=10, m=2, codebook_k=8, iters=2
+        ).collect()
+        ids = {r["vec_id"] for r in got}
+        assert len(got) == 10
+        # every ADC hit is a cluster-0 member and the query row is one
+        assert all(i % 4 == 0 for i in ids)
+        assert 0 in ids
+        # within the isolated cluster, cell resolution still recovers a
+        # meaningful share of exact neighbors (plain ADC, no re-rank:
+        # same-cell ties resolve by id, so full recall needs the usual
+        # ADC -> exact re-rank step, not asserted here)
+        assert len(brute & ids) >= 3
+
+    def test_topk_contracts_true_distance(self, spark, embeddings):
+        # on weakly-structured data ADC can't match exact top-k, but its
+        # picks must still be systematically nearer than a random row:
+        # mean TRUE distance of the ADC top-10 well below the corpus median
+        q = [
+            float(v)
+            for v in embeddings.filter(F.col("vec_id") == 5).first()["embedding"]
+        ]
+        got = pj.pq_topk(
+            embeddings, q, "embedding", "vec_id", k=10, m=8, codebook_k=8, iters=2
+        ).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 5  # the query's own row quantizes to distance ~min
+        v = F.col("embedding").cast("array<double>")
+        d2 = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in q]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        med = embeddings.select(
+            F.median(d2).alias("m")
+        ).first()["m"]
+        picked = embeddings.filter(F.col("vec_id").isin(ids)).select(
+            F.avg(d2).alias("a")
+        ).first()["a"]
+        assert picked < 0.95 * med, (picked, med)
+
+    def test_topk_precoded_matches_inline(self, spark, embeddings):
+        q = [
+            float(v)
+            for v in embeddings.filter(F.col("vec_id") == 2).first()["embedding"]
+        ]
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=4, k=4, iters=1)
+        inline = pj.pq_topk(
+            embeddings, q, "embedding", "vec_id", k=8, codebooks=cb
+        ).collect()
+        enc = pj.pq_encode(embeddings, "embedding", cb)
+        coded = pj.pq_topk(
+            enc, q, "embedding", "vec_id", k=8, codebooks=cb, code_col="pq_code"
+        ).collect()
+        assert [(r["vec_id"], r["adc_dist"]) for r in inline] == [
+            (r["vec_id"], r["adc_dist"]) for r in coded
+        ]
+
+    def test_codebook_parquet_roundtrip(self, spark, tmp_path, embeddings):
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=2, k=4, iters=1)
+        path = str(tmp_path / "pq_codebook")
+        cb.write.parquet(path)
+        cb2 = spark.read.parquet(path)
+        a = pj.pq_encode(embeddings, "embedding", cb).collect()
+        b = pj.pq_encode(embeddings, "embedding", cb2).collect()
+        assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+    def test_large_codebook_rides_broadcast_row(self, spark, embeddings):
+        # 8*16 = 128 > _KMEANS_LITERAL_MAX: encode must use the 1-row
+        # broadcast attach and still match the literal arithmetic
+        from pyjanitor_spark.operators.similarity import (
+            _pq_codes,
+            _pq_collect_cents,
+        )
+
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=8, k=16, iters=0)
+        out = pj.pq_encode(embeddings, "embedding", cb)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
+        cents = _pq_collect_cents(cb)
+        lit = embeddings.withColumn(
+            "pq_code", _pq_codes(F.col("embedding").cast("array<double>"), cents)
+        )
+        assert sorted(map(repr, out.select("vec_id", "pq_code").collect())) == sorted(
+            map(repr, lit.select("vec_id", "pq_code").collect())
+        )
+
+    def test_error_contracts(self, spark, embeddings):
+        with pytest.raises(ValueError, match="divisible"):
+            pj.pq_train(embeddings, "embedding", "vec_id", m=7, k=2, iters=0)
+        with pytest.raises(ValueError, match="m >= 1"):
+            pj.pq_train(embeddings, "embedding", "vec_id", m=0, k=2)
+        cb = pj.pq_train(embeddings, "embedding", "vec_id", m=2, k=2, iters=0)
+        with pytest.raises(ValueError, match="query dim"):
+            pj.pq_topk(embeddings, [1.0, 2.0], "embedding", "vec_id", codebooks=cb)
+        with pytest.raises(ValueError, match="k must be"):
+            pj.pq_topk(embeddings, [0.0] * 64, "embedding", "vec_id", k=0)
