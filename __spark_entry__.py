@@ -695,7 +695,12 @@ def q_resize_payload(spark, sf):
 def q_flag_jumps(spark, sf):
     ev = _t(spark, sf, "events")
     out = pj.flag_jumps(
-        ev, ts_column="event_id", columns="value", by=["user_id"], threshold=5.0
+        ev,
+        ts_column="event_id",
+        columns="value",
+        by=["user_id"],
+        scale="absolute",
+        threshold=5.0,
     )
     return out.select("event_id", "value_jump_flag")
 

@@ -2686,3 +2686,58 @@ def test_row_to_names_slice_and_list_validation(spark):
         pdf.row_to_names(slice(0, 3, 2))
     with pytest.raises(ValueError, match="step"):
         pj.row_to_names(sdf, slice(0, 3, 2), order_by="_row_order")
+
+
+def test_flag_jumps_dict_and_strict_forms(spark):
+    # per-column dict criteria + strict (ref timeseries.py:355-392):
+    # missing dict keys take the reference defaults percentage/any/0.0
+    try:
+        import janitor.timeseries  # noqa: F401  (registers the methods)
+    except Exception:
+        pytest.skip("reference timeseries module not importable")
+    ts = pd.DataFrame(
+        {
+            "t": pd.date_range("2020-01-01", periods=6, freq="h"),
+            "c1": [1.0, 1.1, 3.0, 2.9, 0.5, 0.6],
+            "c2": [10.0, 9.0, 9.1, 20.0, 19.0, 2.0],
+        }
+    )
+    kw = dict(
+        scale=dict(c1="absolute", c2="percentage"),
+        direction=dict(c1="increasing", c2="any"),
+        threshold=dict(c1=1, c2=0.5),
+    )
+    exp = ts.set_index("t").flag_jumps(**kw).reset_index()
+    out = pj.flag_jumps(
+        _sdf(spark, ts), ts_column="t", columns=["c1", "c2"], **kw
+    ).toPandas()
+    for c in ("c1_jump_flag", "c2_jump_flag"):
+        assert list(out.sort_values("t")[c].astype(int)) == list(
+            exp.sort_values("t")[c].astype(int)
+        ), c
+    # strict=True flags ONLY dict-named columns
+    exp_s = ts.set_index("t").flag_jumps(
+        scale=dict(c2="absolute"), threshold=2, strict=True
+    ).reset_index()
+    out_s = pj.flag_jumps(
+        _sdf(spark, ts), ts_column="t", scale=dict(c2="absolute"),
+        threshold=2, strict=True,
+    ).toPandas()
+    assert [c for c in out_s.columns if c.endswith("_jump_flag")] == ["c2_jump_flag"]
+    assert list(out_s.sort_values("t")["c2_jump_flag"].astype(int)) == list(
+        exp_s.sort_values("t")["c2_jump_flag"].astype(int)
+    )
+    # strict with no dict raises in BOTH engines
+    with pytest.raises(Exception, match="strict"):
+        ts.set_index("t").flag_jumps(scale="absolute", strict=True)
+    with pytest.raises(pj.JanitorError, match="strict"):
+        pj.flag_jumps(_sdf(spark, ts), ts_column="t", scale="absolute", strict=True)
+    # reference DEFAULT scale is percentage — parity on the bare call
+    exp_d = ts.set_index("t").flag_jumps(threshold=0.5).reset_index()
+    out_d = pj.flag_jumps(
+        _sdf(spark, ts), ts_column="t", columns=["c1", "c2"], threshold=0.5
+    ).toPandas()
+    for c in ("c1_jump_flag", "c2_jump_flag"):
+        assert list(out_d.sort_values("t")[c].astype(int)) == list(
+            exp_d.sort_values("t")[c].astype(int)
+        ), c
