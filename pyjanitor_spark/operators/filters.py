@@ -229,7 +229,17 @@ def update_where(
     widens to (surviving numerics render as their string form; without
     this the ANSI runtime cast of the string to the numeric type
     throws mid-job)."""
-    cond = F.expr(conditions) if isinstance(conditions, str) else conditions
+    if isinstance(conditions, str):
+        cond = F.expr(conditions)
+    elif isinstance(conditions, Column):
+        cond = conditions
+    else:
+        # same contract the reference enforces on non-boolean conditions
+        # (update_where.py:82-88), stated for the Spark model
+        raise ValueError(
+            "conditions should be a Column expression or a SQL string "
+            f"evaluating to boolean; got {type(conditions).__name__}"
+        )
     if target_column_name in df.columns:
         base = F.col(target_column_name)
         t = df.schema[target_column_name].dataType.typeName()

@@ -307,6 +307,23 @@ def _pt_affix(side):
     return apply
 
 
+# fallback-only .str methods that return non-strings: declare the Arrow
+# type pandas produces, or the batch transfer dies with a cryptic cast
+# error ("Expected a string or bytes dtype, got int64").  Numeric ones
+# declare double because pandas itself widens to float64 whenever a null
+# row is present (and int64 -> double is an Arrow-safe cast when not).
+_STR_FALLBACK_TYPES = {
+    "rfind": "double",
+    "index": "double",
+    "rindex": "double",
+    "istitle": "boolean",
+    "isnumeric": "boolean",
+    "isdecimal": "boolean",
+    "isidentifier": "boolean",
+    "match": "boolean",
+    "fullmatch": "boolean",
+}
+
 _STR_DISPATCH: dict[str, Callable[..., Column]] = {
 
     "lower": lambda col: F.lower(col),
@@ -333,10 +350,32 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     # pandas pad/zfill never TRUNCATE a string longer than width;
     # Spark's lpad/rpad do — guard on length (zfill is also sign-aware)
     "zfill": _pt_zfill,
+    # side='both' follows CPython str.center (what pandas calls): left
+    # margin = floor(marg/2) PLUS one extra when both the margin and the
+    # width are odd — the legacy `marg // 2 + (marg & width & 1)` rule
     "pad": lambda col, width, side="left", fillchar=" ": F.when(
         F.length(col) >= width, col
     ).otherwise(
-        F.lpad(col, width, fillchar) if side == "left" else F.rpad(col, width, fillchar)
+        F.lpad(col, width, fillchar)
+        if side == "left"
+        else F.rpad(col, width, fillchar)
+        if side == "right"
+        else F.rpad(
+            F.lpad(
+                col,
+                (
+                    F.length(col)
+                    + F.floor((F.lit(width) - F.length(col)) / 2)
+                    + ((F.lit(width) - F.length(col)) % 2) * (width % 2)
+                ).cast("int"),
+                fillchar,
+            ),
+            width,
+            fillchar,
+        )
+    ),
+    "center": lambda col, width, fillchar=" ": _STR_DISPATCH["pad"](
+        col, width, side="both", fillchar=fillchar
     ),
     "extract": lambda col, pat, group=1, **kw: F.regexp_extract(col, pat, group),
     "find": lambda col, sub: F.instr(col, sub) - 1,
@@ -389,6 +428,8 @@ def process_text(
         )
     fn = _STR_DISPATCH.get(string_function)
     if fn is None:
+        if return_type == "string":
+            return_type = _STR_FALLBACK_TYPES.get(string_function, "string")
         fn = _str_fallback(string_function, return_type=return_type, **kwargs)
         return df.withColumn(column_name, fn(F.col(column_name)))
     return df.withColumn(column_name, fn(F.col(column_name), **kwargs))

@@ -2741,3 +2741,41 @@ def test_flag_jumps_dict_and_strict_forms(spark):
         assert list(out_d.sort_values("t")[c].astype(int)) == list(
             exp_d.sort_values("t")[c].astype(int)
         ), c
+
+
+def test_process_text_typed_fallbacks_and_center(spark):
+    # fallback-only .str methods that return non-strings must declare
+    # the pandas dtype (rfind/index -> numeric, istitle/match -> bool) —
+    # previously the string default died in the Arrow batch transfer;
+    # pad(side='both')/center follow CPython str.center's odd-margin rule
+    pdf = pd.DataFrame({"s": ["cat", "a-b", "Hello World", None, "xx", "abcd"]})
+    sdf_ = _sdf(spark, pdf)
+
+    def norm(v):
+        if v is None or (not isinstance(v, str) and pd.isna(v)):
+            return None
+        if isinstance(v, (bool,)):
+            return v
+        if isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    for fn, kw in [
+        ("rfind", dict(sub="l")),
+        ("istitle", {}),
+        ("isnumeric", {}),
+        ("match", dict(pat="[a-z]+")),
+        ("pad", dict(width=7, side="both", fillchar="-")),
+        ("pad", dict(width=6, side="both", fillchar="*")),
+        ("center", dict(width=9, fillchar="=")),
+        ("center", dict(width=6)),
+    ]:
+        exp = [
+            norm(v)
+            for v in pdf.copy().process_text("s", string_function=fn, **kw)["s"]
+        ]
+        got = [
+            norm(r["s"])
+            for r in pj.process_text(sdf_, "s", fn, **kw).collect()
+        ]
+        assert sorted(map(repr, exp)) == sorted(map(repr, got)), (fn, kw, exp, got)
