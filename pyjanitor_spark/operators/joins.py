@@ -387,6 +387,7 @@ def asof_join(
     tolerance: float | None = None,
     right_columns: list[str] | None = None,
     suffix: str = "_right",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """As-of join (pandas ``merge_asof`` semantics): for every left row,
     attach the single right row whose ``on`` value is the nearest
@@ -410,6 +411,10 @@ def asof_join(
     matches farther than the bound.  Right rows sharing an ``on`` value
     within a group resolve deterministically by payload content hash
     (the repo's ``keep`` tie-break convention).
+
+    ``allow_exact_matches=False`` (merge_asof parity) makes the match
+    strict: the plan is identical — equal-``on`` right rows just sort on
+    the other side of the left row, falling out of the window frame.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"bad direction {direction!r}")
@@ -444,17 +449,24 @@ def asof_join(
     bys = [F.col(f"__by{i}") for i in range(len(by_cols))]
     tie = F.md5(F.to_json(F.col("__r")))
     # backward: right rows sort BEFORE left at equal `on` (side 0 < 1)
-    # so the preceding frame includes exact-equality matches
+    # so the preceding frame includes exact-equality matches; with
+    # allow_exact_matches=False they sort AFTER and fall out of it
+    back_side = (
+        F.col("__side").asc() if allow_exact_matches else F.col("__side").desc()
+    )
     w_back = (
         Window.partitionBy(*bys)
-        .orderBy(F.col("__on").asc(), F.col("__side").asc(), tie.asc())
+        .orderBy(F.col("__on").asc(), back_side, tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # forward: flip the side order so equal-`on` right rows land in the
-    # following frame (same exchange, second sort)
+    # following frame (same exchange, second sort); strict mode flips back
+    fwd_side = (
+        F.col("__side").desc() if allow_exact_matches else F.col("__side").asc()
+    )
     w_fwd = (
         Window.partitionBy(*bys)
-        .orderBy(F.col("__on").asc(), F.col("__side").desc(), tie.asc())
+        .orderBy(F.col("__on").asc(), fwd_side, tie.asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     # deltas in `on` units; timestamps (incl. NTZ, which cannot cast to

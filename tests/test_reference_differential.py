@@ -2779,3 +2779,43 @@ def test_process_text_typed_fallbacks_and_center(spark):
             for r in pj.process_text(sdf_, "s", fn, **kw).collect()
         ]
         assert sorted(map(repr, exp)) == sorted(map(repr, got)), (fn, kw, exp, got)
+
+
+def test_asof_join_allow_exact_matches_false(spark):
+    # merge_asof(allow_exact_matches=False) differential: equal-`on`
+    # right rows must NOT match; all three directions + tolerance
+    left = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "t": [1.0, 3.0, 5.0, 2.0, 4.0],
+         "lv": [10, 20, 30, 40, 50]}
+    )
+    right = pd.DataFrame(
+        {"g": ["a", "a", "a", "b", "b"], "t": [1.0, 3.0, 4.5, 2.0, 3.5],
+         "rv": [1.1, 3.3, 4.4, 2.2, 3.6]}
+    )
+    sl, sr = _sdf(spark, left), _sdf(spark, right)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 1.0):
+            kw = dict(tolerance=tol) if tol is not None else {}
+            exp = pd.merge_asof(
+                left.sort_values("t"), right.sort_values("t"),
+                on="t", by="g", direction=direction,
+                allow_exact_matches=False, **kw,
+            )
+            out = pj.asof_join(
+                sl, sr, on="t", by="g", direction=direction,
+                allow_exact_matches=False, tolerance=tol,
+            ).toPandas()
+            e = sorted(
+                (r.g, r.t, r.lv, None if pd.isna(r.rv) else r.rv)
+                for r in exp.itertuples(index=False)
+            )
+            g = sorted(
+                (r.g, r.t, r.lv, None if pd.isna(r.rv) else r.rv)
+                for r in out[["g", "t", "lv", "rv"]].itertuples(index=False)
+            )
+            assert e == g, (direction, tol, e, g)
+    # allow_exact_matches=True unchanged (regression guard)
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"),
+                        on="t", by="g", direction="backward")
+    out = pj.asof_join(sl, sr, on="t", by="g", direction="backward").toPandas()
+    assert sorted(exp["rv"].fillna(-1)) == sorted(out["rv"].fillna(-1))
