@@ -30,7 +30,8 @@ __all__ = [
 _AGGS = {
     "mean": F.avg, "average": F.avg, "avg": F.avg,
     "sum": F.sum, "min": F.min, "max": F.max,
-    "count": F.count, "size": F.count,
+    # pandas count is non-null only; size counts every row incl. nulls
+    "count": F.count, "size": lambda c: F.count(F.lit(1)),
     "std": F.stddev, "var": F.variance,
     "median": lambda c: F.percentile_approx(c, 0.5),
     "first": lambda c: F.first(c, ignorenulls=True),

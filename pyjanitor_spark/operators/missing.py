@@ -49,19 +49,36 @@ def coalesce(
 def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
     """Fill nulls in selected columns (ref ``fill.py:137-206``).
 
-    A string fill into a numeric column widens that column to STRING
-    (Spark's analogue of the object column pandas widens to) —
-    ``na.fill`` would silently SKIP type-mismatched columns, losing the
-    fill with no error."""
+    A type-mismatched fill never gets lost (``na.fill`` would silently
+    SKIP mismatched columns): a string fill into a numeric column widens
+    that column to STRING (Spark's analogue of the object column pandas
+    widens to), and a numeric fill into a string column lands as its
+    string rendering (pandas stores the number in the object column;
+    a Spark column holds one type, so the stringified value is the
+    nearest faithful form)."""
     cols = resolve_columns(df, column_names)
+    str_types = ("string", "varchar", "char")
     if isinstance(value, str):
         widen = {
             c: F.col(c).cast("string")
             for c in cols
-            if df.schema[c].dataType.typeName() not in ("string", "varchar", "char")
+            if df.schema[c].dataType.typeName() not in str_types
         }
         if widen:
             df = df.withColumns(widen)
+        return df.na.fill(value, subset=cols)
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        str_cols = [
+            c for c in cols if df.schema[c].dataType.typeName() in str_types
+        ]
+        if str_cols:
+            sval = str(value)
+            df = df.withColumns(
+                {c: F.coalesce(F.col(c), F.lit(sval)) for c in str_cols}
+            )
+            cols = [c for c in cols if c not in str_cols]
+            if not cols:
+                return df
     return df.na.fill(value, subset=cols)
 
 

@@ -473,21 +473,47 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
     return df.withColumns(updates)
 
 
+_PYTYPE_TO_SPARK = {
+    "int": "bigint",  # pandas astype(int) -> int64
+    "float": "double",
+    "str": "string",
+    "bool": "boolean",
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "float32": "float", "float64": "double",
+    "object": "string",
+    "datetime64[ns]": "timestamp",
+}
+
+
+def _spark_dtype(dtype: Any) -> str:
+    """Accept the reference's astype surface — python types (``float``),
+    numpy dtypes / dtype strings — alongside Spark type strings."""
+    if isinstance(dtype, type):
+        name = dtype.__name__
+    elif not isinstance(dtype, str):
+        name = str(dtype)  # np.dtype and friends stringify canonically
+    else:
+        name = dtype
+    return _PYTYPE_TO_SPARK.get(name, name)
+
+
 def change_type(
     df: DataFrame,
     column_name: Any,
-    dtype: str,
+    dtype: Any,
     ignore_exception: bool | str = False,
 ) -> DataFrame:
     """astype on column(s) (ref ``change_type.py:19-113`` — the
     reference's ``column_name`` accepts a single label or a list, so
-    does this).
+    does this).  ``dtype`` takes python types (``float``, ``str``),
+    numpy dtype names, or Spark type strings.
 
     ``ignore_exception='fillna'`` == try_cast (bad values -> null);
     ``'keep_values'`` keeps originals where the cast fails (string
     supertype)."""
     if ignore_exception and ignore_exception not in ("fillna", "keep_values"):
         raise ValueError("Unknown option for ignore_exception")
+    dtype = _spark_dtype(dtype)
     cols = resolve_columns(df, column_name)
     updates = {}
     for c in cols:

@@ -2819,3 +2819,55 @@ def test_asof_join_allow_exact_matches_false(spark):
                         on="t", by="g", direction="backward")
     out = pj.asof_join(sl, sr, on="t", by="g", direction="backward").toPandas()
     assert sorted(exp["rv"].fillna(-1)) == sorted(out["rv"].fillna(-1))
+
+
+def test_groupby_agg_size_counts_null_rows(spark):
+    # pandas size counts every row incl. null agg values; count does not
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, None, 2.0]})
+    sdf_ = _sdf(spark, pdf)
+    for agg in ("size", "count"):
+        exp = pdf.copy().groupby_agg(
+            by="g", agg=agg, agg_column_name="v", new_column_name="n"
+        )
+        out = pj.groupby_agg(
+            sdf_, by="g", agg=agg, agg_column_name="v", new_column_name="n"
+        )
+        compare(spark, exp, out)
+
+
+def test_change_type_python_and_numpy_dtypes(spark):
+    # the reference's astype surface: python types and numpy dtype names
+    import numpy as np
+
+    pdf = pd.DataFrame({"s": ["1", "2", "3"], "v": [1.5, 2.5, 3.5]})
+    sdf_ = _sdf(spark, pdf)
+    exp = pdf.copy().change_type("s", dtype=float)
+    out = pj.change_type(sdf_, "s", dtype=float)
+    compare(spark, exp, out)
+    exp2 = pdf.copy().change_type("v", dtype=str)
+    out2 = pj.change_type(sdf_, "v", dtype=str)
+    compare(spark, exp2, out2)
+    exp3 = pdf.copy().change_type("s", dtype=np.int64)
+    out3 = pj.change_type(sdf_, "s", dtype=np.int64)
+    compare(spark, exp3, out3)
+    # bad cast still raises without ignore_exception
+    bad = pd.DataFrame({"s": ["1", "x"]})
+    with pytest.raises(Exception):
+        bad.copy().change_type("s", dtype=float)
+    with pytest.raises(Exception):
+        pj.change_type(_sdf(spark, bad), "s", dtype=float).collect()
+
+
+def test_fill_empty_numeric_into_string_column(spark):
+    # pandas fillna(0) stores the number in the object column; a Spark
+    # string column takes its string rendering rather than LOSING the
+    # fill (na.fill silently skips mismatched columns)
+    pdf = pd.DataFrame({"a": [1.0, None], "s": ["x", None]})
+    out = pj.fill_empty(
+        _sdf(spark, pdf, "a double, s string"), ["a", "s"], value=0
+    ).toPandas()
+    assert sorted(out["a"].tolist()) == [0.0, 1.0]
+    assert sorted(out["s"].tolist()) == ["0", "x"]
+    # pure-numeric fills keep their dtypes (no accidental widening)
+    out2 = pj.fill_empty(_sdf(spark, pdf, "a double, s string"), "a", value=0)
+    assert dict(out2.dtypes)["a"] == "double"
