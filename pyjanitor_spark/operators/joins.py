@@ -120,10 +120,13 @@ def conditional_join(
     (ref ``conditional_join.py:38-40``) pick pandas physical strategies;
     Catalyst owns that choice here, so they are accepted no-ops.
 
-    Documented superset: equality-ONLY condition lists work (null-safe
-    hash join, same '==' null-pairing as the mixed form); the reference
-    rejects them outright ("Equality only joins are not supported") and
-    redirects to pd.merge."""
+    Documented supersets: (1) equality-ONLY condition lists work
+    (null-safe hash join, same '==' null-pairing as the mixed form); the
+    reference rejects them outright ("Equality only joins are not
+    supported") and redirects to pd.merge.  (2) cross-numeric-dtype
+    conditions work (int vs double compares exactly under Spark's type
+    coercion); the reference's search kernels demand identical dtypes
+    and raise TypeError (``conditional_join.py:423-444``)."""
     if not conditions:
         raise ValueError("provide at least one (left, right, op) condition")
     if how not in ("inner", "left", "right", "outer", "full"):

@@ -2871,3 +2871,21 @@ def test_fill_empty_numeric_into_string_column(spark):
     # pure-numeric fills keep their dtypes (no accidental widening)
     out2 = pj.fill_empty(_sdf(spark, pdf, "a double, s string"), "a", value=0)
     assert dict(out2.dtypes)["a"] == "double"
+
+
+def test_conditional_join_cross_dtype_superset(spark):
+    # documented superset #2: the reference's search kernels require
+    # identical dtypes on both sides of a condition and raise TypeError
+    # (conditional_join.py:423-444); Spark's coercion compares int vs
+    # double exactly, so ours returns the correct interval join
+    left = pd.DataFrame({"li": [1, 5, 9], "lv": ["a", "b", "c"]})
+    right = pd.DataFrame({"rlo": [0.5, 4.0], "rhi": [2.5, 6.0], "rv": [100, 200]})
+    with pytest.raises(TypeError, match="same type"):
+        left.conditional_join(right, ("li", "rlo", ">="), ("li", "rhi", "<="))
+    out = pj.conditional_join(
+        _sdf(spark, left), _sdf(spark, right),
+        ("li", "rlo", ">="), ("li", "rhi", "<="),
+    ).toPandas()
+    got = sorted((r.li, r.rv) for r in out[["li", "rv"]].itertuples(index=False))
+    # brute-force expectation: 1 in [0.5, 2.5], 5 in [4, 6]
+    assert got == [(1, 100), (5, 200)], got
