@@ -15,7 +15,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyjanitor_spark.utils.order import ensure_order_column
+from pyjanitor_spark.utils.order import ORDER_COL, ensure_order_column
 from pyjanitor_spark.utils.select import resolve_columns
 from pyjanitor_spark.utils.strings import make_unique
 
@@ -96,16 +96,30 @@ def select_rows(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
       no single-task stage).  Negative positions and open-ended or
       negative slice bounds need the row count: ONE bounded ``count()``
       action, only when such a selector appears.
+    * a slice with NON-int bounds (``slice("b", "d")``) is a LABEL
+      slice on the ``_row_order`` column, inclusive of BOTH endpoints
+      like pandas ``.loc`` (ref ``select.py:300-316``) — a pure range
+      predicate on the order column (pushes down to the scan; no
+      positional machinery).  Needs a monotonic unique order column,
+      the same precondition pandas puts on label slices; step is not
+      supported.
 
     Multiple selectors OR together, matching label-list union semantics.
     """
     if not args:
         return df
 
+    def is_label_slice(a: Any) -> bool:
+        return isinstance(a, slice) and any(
+            x is not None and not isinstance(x, int)
+            for x in (a.start, a.stop)
+        )
+
     def is_pos(a: Any) -> bool:
         return (
             isinstance(a, (int, slice))
             and not isinstance(a, bool)
+            and not is_label_slice(a)
             or (
                 isinstance(a, (list, tuple))
                 and bool(a)
@@ -113,10 +127,28 @@ def select_rows(df: DataFrame, *args: Any, invert: bool = False) -> DataFrame:
             )
         )
 
+    label_slices = [a for a in args if is_label_slice(a)]
     pos_args = [a for a in args if is_pos(a)]
-    pred_args = [a for a in args if not is_pos(a)]
+    pred_args = [a for a in args if not is_pos(a) and not is_label_slice(a)]
     conds = [F.expr(a) if isinstance(a, str) else a for a in pred_args]
     d = df
+    for a in label_slices:
+        if a.step is not None:
+            raise ValueError(
+                "select_rows: step is not supported in a label slice"
+            )
+        if ORDER_COL not in df.columns:
+            raise KeyError(
+                "select_rows: a label slice addresses the _row_order "
+                "column, which this frame does not carry"
+            )
+        lab = F.col(ORDER_COL)
+        c = F.lit(True)
+        if a.start is not None:
+            c = c & (lab >= F.lit(a.start))
+        if a.stop is not None:
+            c = c & (lab <= F.lit(a.stop))  # .loc slices include the stop
+        conds.append(c)
     if pos_args:
         from pyjanitor_spark.utils.order import positional_index
 

@@ -2889,3 +2889,29 @@ def test_conditional_join_cross_dtype_superset(spark):
     got = sorted((r.li, r.rv) for r in out[["li", "rv"]].itertuples(index=False))
     # brute-force expectation: 1 in [0.5, 2.5], 5 in [4, 6]
     assert got == [(1, 100), (5, 200)], got
+
+
+def test_select_rows_label_slice(spark):
+    # a slice with string bounds is a LABEL slice, inclusive of both
+    # endpoints like .loc (ref select.py:300-316); ours predicates on
+    # the _row_order column (pushdown-friendly, no positional machinery)
+    pdf = pd.DataFrame({"v": [10, 20, 30, 40]}, index=["a", "b", "c", "d"])
+    exp = pdf.select_rows(slice("b", "d"))
+    sdf_ = _sdf(spark, pdf.reset_index(names="_row_order"))
+    out = pj.select_rows(sdf_, slice("b", "d")).drop("_row_order")
+    compare(spark, exp, out)
+    # open-ended label slices
+    exp2 = pdf.select_rows(slice(None, "c"))
+    out2 = pj.select_rows(sdf_, slice(None, "c")).drop("_row_order")
+    compare(spark, exp2, out2)
+    # stepped label slices are not supported here (the reference resolves
+    # them positionally via the index — no scalable analogue)
+    with pytest.raises(ValueError, match="step"):
+        pj.select_rows(sdf_, slice("a", "d", 2))
+    # int slices keep the package's documented iloc-position contract
+    # (the reference reads them as inclusive label slices on a range
+    # index — that divergence predates this test and is documented in
+    # the select_rows docstring)
+    exp3 = pdf.reset_index(drop=True).iloc[1:3]
+    out3 = pj.select_rows(sdf_, slice(1, 3)).drop("_row_order")
+    compare(spark, exp3, out3)
