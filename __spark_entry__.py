@@ -1680,28 +1680,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
     }
+    # Round-8 window.  Composition rule (unchanged from r7): changed
+    # code out-ranks stale-but-green attestations; rotated-out entries
+    # stay replica-covered (tools/check_correctness.py).
     _WINDOW = [
-        # (a) new round-7 gates — first-ever driver rows
-        "row_to_names", "drop_duplicate_columns", "to_datetime",
-        "sort_timestamps_monotonically", "get_join_indices", "read_csvs",
-        # (b) verbs whose code changed in the round-7 third wave
-        "filter_on", "filter_string", "filter_column_isin", "complete",
-        "expand", "expand_grid", "expand_column", "bin_numeric",
-        "clean_names", "transform_column", "change_type", "jitter",
-        "encode_categorical", "groupby_agg", "groupby_agg_multi",
-        "groupby_agg_nunique", "groupby_topk", "count_cumulative_unique",
-        "ecdf", "flag_jumps", "drop_constant_columns", "pivot_longer",
-        "column_ops",
-        # (c) oldest attestations that still fit
-        "z_score", "softmax", "quantile_bin",
-        "update_where", "case_when", "fill_empty",
-        "find_replace", "impute", "coalesce",
-        "factorize_appearance", "shuffle", "get_dupes",
-        "xlsx_table", "xlsx_cells", "fill_direction",
-        "process_text", "process_text_fallback",
-        # (b continued) the round-7 DATE-bucketizer change rides these
-        "conditional_join_range", "conditional_join_range_open",
-        "conditional_join_left", "conditional_join_right",
+        # (a) never driver-attested: the r7 second-wave gates + the r8
+        # long-tail gates + the new PQ ops
+        "collapse_levels", "explode_index", "join_apply",
+        "change_index_dtype", "read_commandline", "also_then",
+        "toset", "get_columns", "unionize_categories",
+        "pq_encode", "pq_topk",
+        # (b) verbs whose code changed in round 8 (ADVICE fixes + probe
+        # wave: UDF return widening, topk nulls-last, literal replace,
+        # row_to_names slice, flag_jumps dicts/default, strict asof,
+        # agg size semantics, change_type dtypes, fill_empty widening,
+        # update_where validation)
+        "transform_column", "process_text", "process_text_fallback",
+        "change_type", "groupby_topk", "take_first",
+        "groupby_agg", "groupby_agg_multi", "groupby_agg_nunique",
+        "row_to_names", "flag_jumps", "asof_join",
+        "fill_empty", "update_where",
+        # (c) oldest attestations: all 14 r3-era rows
+        "add_columns", "bloom_dedupe_against", "dedupe_against",
+        "deterministic_sample", "exp", "logit", "move_reorder",
+        "pii_redact", "pivot_longer_spec", "repetition_score",
+        "sort_column_value_order", "split_train_holdout",
+        "stratified_sample", "top_ngrams",
+        # (c continued) 11 oldest r4-era rows (the rest rotate in r9)
+        "binary_metadata", "bm25_score", "bpe_encode",
+        "cartesian_product", "chunk_text", "contamination",
+        "cosine_topk", "dedupe_exact", "dedupe_near",
+        "dedupe_near_best", "dup_span_fraction",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
