@@ -409,6 +409,20 @@ def process_text(
     Arrow-batched pandas_udf on the real pandas implementation.
     ``return_type`` sets the fallback's Spark result type (default
     string — pass e.g. ``'int'`` for ``count``)."""
+    col_t = dict(df.dtypes).get(column_name)
+    if col_t is None:
+        raise KeyError(f"{column_name!r} not present")
+    if not (col_t in ("string", "varchar", "char") or col_t.startswith("array")):
+        # the reference's .str accessor refuses non-string values
+        # ("Can only use .str accessor with string values!"); arrays
+        # stay allowed — pandas .str methods work on object lists
+        raise TypeError(
+            f"process_text: column {column_name!r} has type {col_t}; "
+            ".str methods apply to string (or array) columns only"
+        )
+    if string_function == "len" and col_t.startswith("array"):
+        # pandas .str.len on object lists returns element counts
+        return df.withColumn(column_name, F.size(F.col(column_name)))
     if string_function == "get":
         # pandas .str.get works on strings (char at python index, NaN
         # out-of-bounds, negatives from the end) AND on list values.

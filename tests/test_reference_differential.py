@@ -2915,3 +2915,17 @@ def test_select_rows_label_slice(spark):
     exp3 = pdf.reset_index(drop=True).iloc[1:3]
     out3 = pj.select_rows(sdf_, slice(1, 3)).drop("_row_order")
     compare(spark, exp3, out3)
+
+
+def test_process_text_non_string_column_raises(spark):
+    # the reference's .str accessor refuses non-string values; ours
+    # raises eagerly from the schema instead of silently casting
+    pdf = pd.DataFrame({"n": [1, 22, 333]})
+    with pytest.raises(AttributeError, match="str accessor"):
+        pdf.process_text("n", string_function="len")
+    with pytest.raises(TypeError, match="string"):
+        pj.process_text(_sdf(spark, pdf), "n", "len")
+    # array columns stay allowed (pandas .str works on object lists)
+    adf = spark.createDataFrame([([1, 2],), ([3],)], "n array<int>")
+    got = [r["n"] for r in pj.process_text(adf, "n", "len").collect()]
+    assert sorted(got) == [1, 2]
