@@ -1484,6 +1484,16 @@ def q_pq_topk(spark, sf):
     )
 
 
+def q_ivf_pq_topk(spark, sf):
+    # IVF routing (decimal-exact label centroids, nprobe=2) + global PQ
+    # codebooks + ADC scan of the probed clusters only
+    e, qv = _query_vec(spark, sf)
+    return pj.ivf_pq_topk(
+        e, qv, "embedding", "vec_id", "label",
+        k=10, nprobe=2, m=2, codebook_k=2, iters=1,
+    )
+
+
 def q_unionize_categories(spark, sf):
     # unionize_dataframe_categories validates + reconciles category sets
     # before concatenation (ref functions/utils.py:40-137); Spark
@@ -1679,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 new similarity-scale ops
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
     # Round-8 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
@@ -1689,7 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_levels", "explode_index", "join_apply",
         "change_index_dtype", "read_commandline", "also_then",
         "toset", "get_columns", "unionize_categories",
-        "pq_encode", "pq_topk",
+        "pq_encode", "pq_topk", "ivf_pq_topk",
         # (b) verbs whose code changed in round 8 (ADVICE fixes + probe
         # wave: UDF return widening, topk nulls-last, literal replace,
         # row_to_names slice, flag_jumps dicts/default, strict asof,
@@ -1710,7 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metadata", "bm25_score", "bpe_encode",
         "cartesian_product", "chunk_text", "contamination",
         "cosine_topk", "dedupe_exact", "dedupe_near",
-        "dedupe_near_best", "dup_span_fraction",
+        "dedupe_near_best",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -2440,12 +2451,17 @@ def _kmeans_sql(k: int, iters: int) -> str:
     )
 
 
-def _pq_sql(m: int, k: int, iters: int, what: str, topn: int = 20) -> str:
-    """Generated oracle for pq_encode / pq_topk: per-subspace Lloyd with
-    the same hash-seeded init (k global seed rows, sliced per subspace),
-    DECIMAL-exact means, first-min tie-break, then either the code array
-    (``what='encode'``) or the summed ADC distances to vec_id 0's query
-    vector (``what='topk'``).  Mirrors ``_kmeans_sql`` unrolled per
+def _pq_sql(
+    m: int, k: int, iters: int, what: str, topn: int = 20, nprobe: int = 0
+) -> str:
+    """Generated oracle for pq_encode / pq_topk / ivf_pq_topk:
+    per-subspace Lloyd with the same hash-seeded init (k global seed
+    rows, sliced per subspace), DECIMAL-exact means, first-min
+    tie-break, then either the code array (``what='encode'``) or the
+    summed ADC distances to vec_id 0's query vector (``what='topk'``).
+    ``nprobe > 0`` adds the IVF routing CTEs (decimal-exact label
+    centroids ranked by cosine, same as the ivf_topk oracle) and scores
+    only the probed clusters.  Mirrors ``_kmeans_sql`` unrolled per
     subspace (dim=64 in the embeddings table)."""
     dsub = 64 // m
 
@@ -2459,12 +2475,27 @@ def _pq_sql(m: int, k: int, iters: int, what: str, topn: int = 20) -> str:
         return f"{expr}[{s * dsub + 1}:{(s + 1) * dsub}]"
 
     parts = [
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), ",
+        "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
+        "FROM embeddings), ",
         "sd AS (SELECT row_number() OVER (ORDER BY "
         "md5('pq:' || CAST(vec_id AS VARCHAR))) - 1 AS c, v FROM "
         "(SELECT vec_id, v FROM e ORDER BY "
         f"md5('pq:' || CAST(vec_id AS VARCHAR)) LIMIT {k})), ",
     ]
+    if nprobe:
+        parts.append(
+            "px AS (SELECT label, t.i AS i, v[t.i] AS val FROM e, "
+            "UNNEST(generate_series(1, len(v))) AS t(i)), "
+            "cent AS (SELECT label, i, "
+            "CAST(SUM(CAST(val AS DECIMAL(27,10))) AS DOUBLE)/COUNT(*) AS c "
+            "FROM px GROUP BY label, i), "
+            "carr AS (SELECT label, list(c ORDER BY i) AS cv FROM cent "
+            "GROUP BY label), "
+            "probe AS (SELECT label FROM carr, "
+            "(SELECT v AS qv FROM e WHERE vec_id = 0) q ORDER BY "
+            + _cos("carr.cv", "q.qv")
+            + f" DESC, label LIMIT {nprobe}), "
+        )
     prevs = []
     for s in range(m):
         parts.append(f"s0_{s} AS (SELECT c, {sl('v', s)} AS v FROM sd), ")
@@ -2508,8 +2539,9 @@ def _pq_sql(m: int, k: int, iters: int, what: str, topn: int = 20) -> str:
         f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1)"
         for s in range(m)
     )
+    src = "e JOIN probe USING (label)" if nprobe else "e"
     return body.rstrip(", ") + (
-        f" SELECT e.vec_id, {terms} AS adc_dist FROM e "
+        f" SELECT e.vec_id, {terms} AS adc_dist FROM {src} "
         f"ORDER BY adc_dist ASC, e.vec_id ASC LIMIT {topn}"
     )
 
@@ -2907,6 +2939,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "kmeans_assign": _kmeans_sql(4, 2),
         "pq_encode": _pq_sql(2, 2, 1, "encode"),
         "pq_topk": _pq_sql(2, 2, 1, "topk", 20),
+        "ivf_pq_topk": _pq_sql(2, 2, 1, "topk", 10, nprobe=2),
         "normalize_text": _normalize_text_sql(),
         # cutpoint = smallest v with cnt_le(v)/n >= q (inclusive ECDF,
         # the quantile_bin tie-safe contract)

@@ -65,6 +65,7 @@ from pyjanitor_spark.operators.similarity import (
     cosine_topk,
     hyperplane_bucket,
     ivf_topk,
+    ivf_pq_topk,
     kmeans_assign,
     lsh_bucket_topk,
     pq_encode,

@@ -36,6 +36,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -794,4 +795,60 @@ def pq_topk(
         df.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str,
+    id_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 8,
+    codebook_k: int = 16,
+    iters: int = 2,
+    codebooks: DataFrame | None = None,
+    code_col: str | None = None,
+    centroids_df: DataFrame | None = None,
+    seed: str = "pq",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN recipe — centroid-ranked
+    cluster pruning (:func:`ivf_topk`'s routing) feeding the compressed
+    ADC scan (:func:`pq_topk`).
+
+    Codebooks are GLOBAL (trained on the full frame when not given), so
+    one stored codebook + stored codes serve every query; only the
+    ``nprobe`` nearest clusters are scanned, and inside them the scan
+    reads ``m`` bytes per row instead of ``dim*4``.  The deployment
+    pattern: persist :func:`centroids` + :func:`pq_train` outputs once
+    per corpus version, :func:`pq_encode` on write — per-query cost is
+    two tiny bounded actions (cluster ranking, codebook collect) plus
+    the pruned compressed scan."""
+    cents = (
+        centroids_df
+        if centroids_df is not None
+        else centroids(df, vec_col, cluster_col)
+    )
+    ranked = (
+        cents.select(
+            F.col(cluster_col),
+            cosine_sim(F.col("centroid"), _qvec(query)).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col(cluster_col).asc())
+        .limit(nprobe)
+        .collect()
+    )
+    probe = [r[cluster_col] for r in ranked]
+    if codebooks is None:
+        codebooks = pq_train(df, vec_col, id_col, m, codebook_k, iters, seed)
+    return pq_topk(
+        df.filter(F.col(cluster_col).isin(probe)),
+        query,
+        vec_col,
+        id_col,
+        k=k,
+        codebooks=codebooks,
+        code_col=code_col,
     )

@@ -1789,3 +1789,42 @@ class TestProductQuantization:
             pj.pq_topk(embeddings, [1.0, 2.0], "embedding", "vec_id", codebooks=cb)
         with pytest.raises(ValueError, match="k must be"):
             pj.pq_topk(embeddings, [0.0] * 64, "embedding", "vec_id", k=0)
+
+
+def test_ivf_pq_topk_prunes_and_matches_full_pq(spark, embeddings):
+    q = [
+        float(v)
+        for v in embeddings.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    cb = pj.pq_train(embeddings, "embedding", "vec_id", m=4, k=4, iters=1)
+    # with nprobe = all clusters, IVF-PQ equals plain PQ over the frame
+    nclusters = embeddings.select("label").distinct().count()
+    full = pj.pq_topk(
+        embeddings, q, "embedding", "vec_id", k=10, codebooks=cb
+    ).collect()
+    allprobe = pj.ivf_pq_topk(
+        embeddings, q, "embedding", "vec_id", "label",
+        k=10, nprobe=nclusters, codebooks=cb,
+    ).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in allprobe
+    ]
+    # with nprobe=2, every result row comes from one of the two probed
+    # clusters (the centroid ranking), and the scan was genuinely pruned
+    pruned = pj.ivf_pq_topk(
+        embeddings, q, "embedding", "vec_id", "label",
+        k=10, nprobe=2, codebooks=cb,
+    )
+    ids = [r["vec_id"] for r in pruned.collect()]
+    labs = {
+        r["label"]
+        for r in embeddings.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert len(labs) <= 2
+    # pre-encoded compressed-scan path matches
+    enc = pj.pq_encode(embeddings, "embedding", cb)
+    coded = pj.ivf_pq_topk(
+        enc, q, "embedding", "vec_id", "label",
+        k=10, nprobe=2, codebooks=cb, code_col="pq_code",
+    ).collect()
+    assert [r["vec_id"] for r in pruned.collect()] == [r["vec_id"] for r in coded]
