@@ -298,3 +298,35 @@ def test_keep_with_right_and_outer_joins_matches_brute_force(spark, keep, how):
             exp.append((None, r["rid"]))
     exp.sort(key=lambda p: (p[0] is None, p[0] or 0, p[1] is None, p[1] or 0))
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_cross_dtype_conditions_match_brute_force(spark, seed, how):
+    # documented superset #2: int columns against double bounds (the
+    # reference's kernels raise TypeError on mixed dtypes; Spark's
+    # coercion compares exactly) — brute force evaluates in Python,
+    # where int/float comparison is also exact for these magnitudes
+    rng = np.random.default_rng(seed)
+    left = [
+        {"a": int(rng.integers(0, 20)), "b": int(rng.integers(0, 4)), "lid": i}
+        for i in range(40)
+    ]
+    right = [
+        {
+            "x": float(rng.integers(0, 40)) / 2.0,
+            "y": float(rng.integers(-10, 30)) / 2.0,
+            "k": int(rng.integers(0, 4)),
+            "rid": i,
+        }
+        for i in range(30)
+    ]
+    conds = [("a", "x", "<"), ("a", "y", ">")]
+    ldf = spark.createDataFrame(left, "a int, b int, lid int")
+    rdf = spark.createDataFrame(right, "x double, y double, k int, rid int")
+    out = pj.conditional_join(ldf, rdf, *conds, how=how)
+    got = sorted(
+        (tuple(sorted(r.asDict().items())) for r in out.collect()), key=_row_key
+    )
+    exp = _brute(left, right, conds, how)
+    assert got == exp
