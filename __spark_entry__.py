@@ -1494,6 +1494,15 @@ def q_ivf_pq_topk(spark, sf):
     )
 
 
+def q_nb_classify(spark, sf):
+    # train the multinomial NB on the corpus labels, score the same
+    # corpus (self-classification — the standard quality-filter loop);
+    # decimal llk sums make the argmax layout-independent
+    d = _t(spark, sf, "documents")
+    model = pj.nb_train(d, "text", "lang", k=1.0, min_count=2)
+    return pj.nb_score(d, model, "text", "doc_id").select("doc_id", "nb_pred")
+
+
 def q_unionize_categories(spark, sf):
     # unionize_dataframe_categories validates + reconciles category sets
     # before concatenation (ref functions/utils.py:40-137); Spark
@@ -1690,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "nb_classify": q_nb_classify,
     }
     # Round-8 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
@@ -1700,7 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_levels", "explode_index", "join_apply",
         "change_index_dtype", "read_commandline", "also_then",
         "toset", "get_columns", "unionize_categories",
-        "pq_encode", "pq_topk", "ivf_pq_topk",
+        "pq_encode", "pq_topk", "ivf_pq_topk", "nb_classify",
         # (b) verbs whose code changed in round 8 (ADVICE fixes + probe
         # wave: UDF return widening, topk nulls-last, literal replace,
         # row_to_names slice, flag_jumps dicts/default, strict asof,
@@ -1721,7 +1731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_metadata", "bm25_score", "bpe_encode",
         "cartesian_product", "chunk_text", "contamination",
         "cosine_topk", "dedupe_exact", "dedupe_near",
-        "dedupe_near_best",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -2940,6 +2949,38 @@ def _pipeline_oracles() -> dict[str, str]:
         "pq_encode": _pq_sql(2, 2, 1, "encode"),
         "pq_topk": _pq_sql(2, 2, 1, "topk", 20),
         "ivf_pq_topk": _pq_sql(2, 2, 1, "topk", 10, nprobe=2),
+        # multinomial NB self-classification: identical tokenize, add-1
+        # smoothing over a min_count=2 vocabulary, decimal llk sums,
+        # argmax ties to the first label
+        "nb_classify": (
+            "WITH d AS (SELECT doc_id, lang, list_filter("
+            "string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS t "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, lang, unnest(t) AS token FROM d), "
+            "cnt AS (SELECT lang AS label, token, count(*) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "voc AS (SELECT token FROM cnt GROUP BY token HAVING sum(c) >= 2), "
+            "labs AS (SELECT DISTINCT lang AS label FROM documents), "
+            "grid AS (SELECT v.token, l.label, COALESCE(c.c, 0) AS c "
+            "FROM voc v CROSS JOIN labs l "
+            "LEFT JOIN cnt c ON c.token = v.token AND c.label = l.label), "
+            "tot AS (SELECT label, SUM(c) AS n FROM grid GROUP BY label), "
+            "mod AS (SELECT g.token, g.label, "
+            "ln((g.c + 1.0) / (t.n + 1.0 * (SELECT COUNT(*) FROM voc))) AS llk "
+            "FROM grid g JOIN tot t USING (label)), "
+            "pri AS (SELECT lang AS label, ln(COUNT(*) * 1.0 / "
+            "(SELECT COUNT(*) FROM documents)) AS p FROM documents GROUP BY lang), "
+            "sc AS (SELECT tok.doc_id, m.label, "
+            "SUM(CAST(m.llk AS DECIMAL(27,18))) AS s "
+            "FROM tok JOIN mod m ON tok.token = m.token GROUP BY 1, 2), "
+            "fl AS (SELECT d.doc_id, p.label, "
+            "COALESCE(CAST(sc.s AS DOUBLE), 0.0) + p.p AS score "
+            "FROM d CROSS JOIN pri p "
+            "LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = p.label) "
+            "SELECT doc_id, label AS nb_pred FROM "
+            "(SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, label ASC) AS rn FROM fl) WHERE rn = 1"
+        ),
         "normalize_text": _normalize_text_sql(),
         # cutpoint = smallest v with cnt_le(v)/n >= q (inclusive ECDF,
         # the quantile_bin tie-safe contract)

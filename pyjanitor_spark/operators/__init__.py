@@ -102,6 +102,7 @@ from pyjanitor_spark.operators.timeseries import (
     flag_jumps,
     sort_timestamps_monotonically,
 )
+from pyjanitor_spark.operators.classify import nb_score, nb_train
 from pyjanitor_spark.operators.privacy import hash_columns
 from pyjanitor_spark.operators.tokenize import (
     bpe_encode,

@@ -1,0 +1,169 @@
+"""Text classification for corpus filtering: multinomial Naive Bayes.
+
+The classic training-data quality/domain classifier (the linear-model
+family CCNet/fastText-style filters come from), expressed entirely as
+DataFrame aggregations — no iterative optimization, so training is two
+shuffles and scoring is one join + one pivot regardless of corpus size.
+
+The reference has no classifier; this is a training-data pipeline
+extension (see build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyjanitor_spark.operators.text_analysis import tokens
+
+__all__ = ["nb_train", "nb_score"]
+
+# decimal type for order-independent exact summation of per-token log
+# likelihoods (double addition is order-dependent across partitions)
+_DEC = "decimal(27,18)"
+
+
+def _toks(col):
+    t = tokens(F.lower(col))
+    return F.filter(t, lambda x: x != "")
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    k: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes model over lowercased whitespace
+    tokens with add-``k`` smoothing.
+
+    Returns a persistable MODEL FRAME: one row per (token, label) for
+    every vocabulary token × label — ``llk = ln((c(token,label) + k) /
+    (n_label + k·V))`` — plus one PRIOR row per label with
+    ``token = NULL`` and ``llk = ln(docs_label / docs_total)``.
+    ``min_count`` prunes vocabulary by total corpus count (hapax tokens
+    dominate model size at corpus scale, same rationale as
+    ``ngram_lm_score``).
+
+    Plan: one tokenize pass → (label, token) counts (partial-aggregated
+    shuffle); the dense vocab × label grid is an ``explode`` over the
+    driver-known label list (bounded collect, one row per class) — no
+    cross join; class totals join back by label (tiny, broadcast).
+    ``V`` is one bounded scalar action.
+    """
+    if k <= 0:
+        raise ValueError("smoothing k must be > 0")
+    lab = F.col(label_col).cast("string")
+    toks = df.select(lab.alias("label"), F.explode(_toks(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.groupBy("token")
+        .agg(F.sum("c").alias("tc"))
+        .filter(F.col("tc") >= min_count)
+        .select("token")
+    )
+    # bounded: one row per class
+    labels = sorted(
+        r["label"] for r in df.select(lab.alias("label")).distinct().collect()
+    )
+    if not labels:
+        raise ValueError("nb_train: input DataFrame is empty")
+    V = vocab.count()  # bounded scalar action
+    dense = vocab.select(
+        "token", F.explode(F.array(*[F.lit(x) for x in labels])).alias("label")
+    )
+    grid = dense.join(counts, ["token", "label"], "left").na.fill(0, ["c"])
+    totals = grid.groupBy("label").agg(F.sum("c").alias("n"))
+    model = (
+        grid.join(F.broadcast(totals), "label")
+        .select(
+            "token",
+            "label",
+            F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.lit(float(k * V)))).alias("llk"),
+        )
+    )
+    ndocs = df.groupBy(lab.alias("label")).agg(F.count(F.lit(1)).alias("d"))
+    total_docs = df.count()  # bounded scalar action
+    priors = ndocs.select(
+        F.lit(None).cast("string").alias("token"),
+        "label",
+        F.log(F.col("d") / F.lit(float(total_docs))).alias("llk"),
+    )
+    return model.unionByName(priors)
+
+
+def nb_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+    dest: str = "nb_pred",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """Score documents against an :func:`nb_train` model frame and
+    attach the argmax-class prediction (ties break to the first label
+    in sorted order — fully deterministic: per-class scores sum the
+    token log-likelihoods in DECIMAL, so they are independent of row
+    order and partitioning).
+
+    Tokens outside the model vocabulary are skipped (the smoothed model
+    is dense over vocabulary × labels, so every known token scores
+    every class); a document with no known tokens gets the prior-only
+    argmax.  ``keep_scores=True`` additionally attaches one
+    ``nb_score_<label>`` double column per class.
+
+    Plan: ONE equi-join of exploded tokens against the model (the model
+    side shuffles once; Spark broadcasts it when small) and ONE pivot
+    on the driver-known label list — no per-class scans, no nested
+    loops."""
+    # bounded: one row per class
+    prior_rows = model.filter(F.col("token").isNull()).collect()
+    if not prior_rows:
+        raise ValueError("model frame carries no prior rows (token IS NULL)")
+    priors = {r["label"]: r["llk"] for r in prior_rows}
+    labels = sorted(priors)
+    mtok = model.filter(F.col("token").isNotNull())
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(_toks(F.col(text_col))).alias("token")
+    )
+    pivoted = (
+        toks.join(mtok, "token")
+        .groupBy("__id")
+        .pivot("label", labels)
+        .agg(F.sum(F.col("llk").cast(_DEC)))
+    )
+    # shield against label values colliding with payload column names
+    pivoted = pivoted.select(
+        "__id", *[F.col(lab).alias(f"__nb_{lab}") for lab in labels]
+    )
+    out = df.join(
+        pivoted.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+    scores = {
+        lab: (
+            F.coalesce(F.col(f"__nb_{lab}").cast("double"), F.lit(0.0))
+            + F.lit(float(priors[lab]))
+        )
+        for lab in labels
+    }
+    # argmax with ties to the FIRST label: array_max over (score, -index)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    scores[lab].alias("s"), F.lit(-i).alias("r")
+                )
+                for i, lab in enumerate(labels)
+            ]
+        )
+    )
+    idx_to_label = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), -best["r"] + 1
+    )
+    out = out.withColumn(dest, idx_to_label)
+    if keep_scores:
+        out = out.withColumns(
+            {f"nb_score_{lab}": scores[lab] for lab in labels}
+        )
+    return out.drop(*[f"__nb_{lab}" for lab in labels])

@@ -422,3 +422,46 @@ class TestTakeTokenBudget:
             pj.take_token_budget(df, "text", -1, "doc_id")
         with pytest.raises(KeyError, match="nope"):
             pj.take_token_budget(df, "text", 10, "nope")
+
+
+class TestNaiveBayes:
+    def test_separable_classes_classify_perfectly(self, spark):
+        rows = [(i, "spam buy now cheap pills", "spam") for i in range(20)]
+        rows += [(100 + i, "meeting notes quarterly report", "ham") for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        out = pj.nb_score(df, model, "text", "doc_id")
+        assert out.filter(F.col("nb_pred") == F.col("lang")).count() == 40
+
+    def test_unknown_tokens_fall_back_to_prior(self, spark):
+        # 3:1 priors; a doc of only-unknown tokens predicts the majority
+        rows = [(i, "alpha beta", "a") for i in range(3)] + [(9, "gamma delta", "b")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        probe = spark.createDataFrame(
+            [(1, "zzz qqq never seen")], "doc_id int, text string"
+        )
+        got = pj.nb_score(probe, model, "text", "doc_id").first()["nb_pred"]
+        assert got == "a"
+
+    def test_scores_columns_and_model_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y", "a"), (2, "y z", "b")], "doc_id int, text string, lang string"
+        )
+        model = pj.nb_train(df, "text", "lang")
+        # dense: 3 vocab tokens x 2 labels + 2 priors
+        assert model.count() == 8
+        out = pj.nb_score(df, model, "text", "doc_id", keep_scores=True)
+        assert {"nb_score_a", "nb_score_b"} <= set(out.columns)
+        r = out.filter(F.col("doc_id") == 1).first()
+        assert r["nb_score_a"] > r["nb_score_b"]
+
+    def test_error_contracts(self, spark):
+        df = spark.createDataFrame([(1, "x", "a")], "doc_id int, text string, lang string")
+        with pytest.raises(ValueError, match="k must be"):
+            pj.nb_train(df, "text", "lang", k=0)
+        with pytest.raises(ValueError, match="prior rows"):
+            pj.nb_score(df, df.select(F.lit("x").alias("token"),
+                                      F.lit("a").alias("label"),
+                                      F.lit(0.0).alias("llk")),
+                        "text", "doc_id")
