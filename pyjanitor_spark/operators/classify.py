@@ -46,30 +46,46 @@ def nb_train(
     dominate model size at corpus scale, same rationale as
     ``ngram_lm_score``).
 
-    Plan: one tokenize pass → (label, token) counts (partial-aggregated
-    shuffle); the dense vocab × label grid is an ``explode`` over the
-    driver-known label list (bounded collect, one row per class) — no
-    cross join; class totals join back by label (tiny, broadcast).
-    ``V`` is one bounded scalar action.
+    Null-labeled rows are DROPPED from training (the pandas groupby
+    convention this package follows everywhere: NaN keys form no group).
+
+    Plan: two corpus scans total — one per-class doc-count aggregate
+    (its bounded one-row-per-class collect also yields the label list
+    and the doc total) and one tokenize pass into (label, token) counts
+    (partial-aggregated shuffle, lazily checkpointed so ``V`` and the
+    grid share it); the dense vocab × label grid is an ``explode`` over
+    the driver-known label list — no cross join; class totals join back
+    by label (tiny, broadcast).
     """
     if k <= 0:
         raise ValueError("smoothing k must be > 0")
     lab = F.col(label_col).cast("string")
-    toks = df.select(lab.alias("label"), F.explode(_toks(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("c"))
+    labeled = df.filter(lab.isNotNull())
+    # bounded: one row per class; also carries the label list + doc total
+    ndoc_rows = (
+        labeled.groupBy(lab.alias("label"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    if not ndoc_rows:
+        raise ValueError("nb_train: no non-null-labeled rows to train on")
+    labels = sorted(r["label"] for r in ndoc_rows)
+    total_docs = sum(r["d"] for r in ndoc_rows)
+    toks = labeled.select(
+        lab.alias("label"), F.explode(_toks(F.col(text_col))).alias("token")
+    )
+    counts = (
+        toks.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # V-count and the grid share one pass
+    )
     vocab = (
         counts.groupBy("token")
         .agg(F.sum("c").alias("tc"))
         .filter(F.col("tc") >= min_count)
         .select("token")
     )
-    # bounded: one row per class
-    labels = sorted(
-        r["label"] for r in df.select(lab.alias("label")).distinct().collect()
-    )
-    if not labels:
-        raise ValueError("nb_train: input DataFrame is empty")
-    V = vocab.count()  # bounded scalar action
+    V = vocab.count()  # bounded scalar action over the checkpointed counts
     dense = vocab.select(
         "token", F.explode(F.array(*[F.lit(x) for x in labels])).alias("label")
     )
@@ -83,9 +99,11 @@ def nb_train(
             F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.lit(float(k * V)))).alias("llk"),
         )
     )
-    ndocs = df.groupBy(lab.alias("label")).agg(F.count(F.lit(1)).alias("d"))
-    total_docs = df.count()  # bounded scalar action
-    priors = ndocs.select(
+    # priors from the already-collected per-class counts; ln stays on
+    # the JVM so the value matches the oracle's ln bit-for-bit
+    priors = df.sparkSession.createDataFrame(
+        [(r["label"], r["d"]) for r in ndoc_rows], "label string, d long"
+    ).select(
         F.lit(None).cast("string").alias("token"),
         "label",
         F.log(F.col("d") / F.lit(float(total_docs))).alias("llk"),
@@ -121,6 +139,8 @@ def nb_score(
     prior_rows = model.filter(F.col("token").isNull()).collect()
     if not prior_rows:
         raise ValueError("model frame carries no prior rows (token IS NULL)")
+    if any(r["label"] is None for r in prior_rows):
+        raise ValueError("model frame carries a null label")
     priors = {r["label"]: r["llk"] for r in prior_rows}
     labels = sorted(priors)
     mtok = model.filter(F.col("token").isNotNull())
@@ -133,19 +153,20 @@ def nb_score(
         .pivot("label", labels)
         .agg(F.sum(F.col("llk").cast(_DEC)))
     )
-    # shield against label values colliding with payload column names
-    pivoted = pivoted.select(
-        "__id", *[F.col(lab).alias(f"__nb_{lab}") for lab in labels]
-    )
+    # rename the pivot columns POSITIONALLY (pivot emits them in the
+    # given label order): label values may contain dots or collide with
+    # payload column names, so they never pass through F.col parsing
+    safe = [f"__nb_{i}" for i in range(len(labels))]
+    pivoted = pivoted.toDF("__id", *safe)
     out = df.join(
         pivoted.withColumnRenamed("__id", id_col), id_col, "left"
     )
     scores = {
         lab: (
-            F.coalesce(F.col(f"__nb_{lab}").cast("double"), F.lit(0.0))
+            F.coalesce(F.col(safe[i]).cast("double"), F.lit(0.0))
             + F.lit(float(priors[lab]))
         )
-        for lab in labels
+        for i, lab in enumerate(labels)
     }
     # argmax with ties to the FIRST label: array_max over (score, -index)
     best = F.array_max(
@@ -166,4 +187,4 @@ def nb_score(
         out = out.withColumns(
             {f"nb_score_{lab}": scores[lab] for lab in labels}
         )
-    return out.drop(*[f"__nb_{lab}" for lab in labels])
+    return out.drop(*safe)

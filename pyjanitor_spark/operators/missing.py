@@ -49,15 +49,17 @@ def coalesce(
 def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
     """Fill nulls in selected columns (ref ``fill.py:137-206``).
 
-    A type-mismatched fill never gets lost (``na.fill`` would silently
-    SKIP mismatched columns): a string fill into a numeric column widens
-    that column to STRING (Spark's analogue of the object column pandas
-    widens to), and a numeric fill into a string column lands as its
-    string rendering (pandas stores the number in the object column;
-    a Spark column holds one type, so the stringified value is the
-    nearest faithful form)."""
+    A type-mismatched fill never gets lost or corrupted (``na.fill``
+    would silently SKIP mismatched columns, and silently TRUNCATE a
+    float into an integer column): a string fill into a numeric column
+    widens that column to STRING (Spark's analogue of the object column
+    pandas widens to); a numeric or boolean fill into a string column
+    lands as its string rendering; a fractional float fill into an
+    integer column widens the column to DOUBLE (pandas keeps 2.5 in the
+    float64 column an int-with-NaN column already is)."""
     cols = resolve_columns(df, column_names)
     str_types = ("string", "varchar", "char")
+    int_types = ("byte", "short", "integer", "long")
     if isinstance(value, str):
         widen = {
             c: F.col(c).cast("string")
@@ -67,7 +69,21 @@ def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
         if widen:
             df = df.withColumns(widen)
         return df.na.fill(value, subset=cols)
-    if isinstance(value, (int, float)) and not isinstance(value, bool):
+    if isinstance(value, bool):
+        other = [
+            c for c in cols if df.schema[c].dataType.typeName() != "boolean"
+        ]
+        if other:
+            # pandas stores the bool in the object column; the string
+            # rendering is the typed-column analogue (same family as the
+            # string-widening above)
+            sval = str(value)
+            df = df.withColumns(
+                {c: F.coalesce(F.col(c).cast("string"), F.lit(sval)) for c in other}
+            )
+            cols = [c for c in cols if c not in other]
+        return df.na.fill(value, subset=cols) if cols else df
+    if isinstance(value, (int, float)):
         str_cols = [
             c for c in cols if df.schema[c].dataType.typeName() in str_types
         ]
@@ -77,8 +93,16 @@ def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
                 {c: F.coalesce(F.col(c), F.lit(sval)) for c in str_cols}
             )
             cols = [c for c in cols if c not in str_cols]
-            if not cols:
-                return df
+        if isinstance(value, float) and not value.is_integer():
+            widen = {
+                c: F.col(c).cast("double")
+                for c in cols
+                if df.schema[c].dataType.typeName() in int_types
+            }
+            if widen:
+                df = df.withColumns(widen)
+        if not cols:
+            return df
     return df.na.fill(value, subset=cols)
 
 

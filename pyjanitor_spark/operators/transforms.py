@@ -487,11 +487,19 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
     return df.withColumns(updates)
 
 
+# python TYPE objects map to the pandas-equivalent Spark type; applied
+# only to non-string dtype arguments so the valid Spark type strings
+# "int" and "float" keep their Spark meaning for existing callers
 _PYTYPE_TO_SPARK = {
     "int": "bigint",  # pandas astype(int) -> int64
     "float": "double",
     "str": "string",
     "bool": "boolean",
+}
+
+# numpy/pandas dtype NAMES that are not valid Spark type strings — safe
+# to remap even when passed as strings
+_NPNAME_TO_SPARK = {
     "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
     "float32": "float", "float64": "double",
     "object": "string",
@@ -501,14 +509,16 @@ _PYTYPE_TO_SPARK = {
 
 def _spark_dtype(dtype: Any) -> str:
     """Accept the reference's astype surface — python types (``float``),
-    numpy dtypes / dtype strings — alongside Spark type strings."""
+    numpy dtypes / dtype strings — alongside Spark type strings (which
+    pass through untouched: ``'float'`` as a STRING stays Spark
+    FloatType; pass the python type ``float`` for pandas semantics)."""
     if isinstance(dtype, type):
         name = dtype.__name__
-    elif not isinstance(dtype, str):
+        return _PYTYPE_TO_SPARK.get(name, _NPNAME_TO_SPARK.get(name, name))
+    if not isinstance(dtype, str):
         name = str(dtype)  # np.dtype and friends stringify canonically
-    else:
-        name = dtype
-    return _PYTYPE_TO_SPARK.get(name, name)
+        return _NPNAME_TO_SPARK.get(name, name)
+    return _NPNAME_TO_SPARK.get(dtype, dtype)
 
 
 def change_type(

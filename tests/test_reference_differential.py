@@ -2929,3 +2929,34 @@ def test_process_text_non_string_column_raises(spark):
     adf = spark.createDataFrame([([1, 2],), ([3],)], "n array<int>")
     got = [r["n"] for r in pj.process_text(adf, "n", "len").collect()]
     assert sorted(got) == [1, 2]
+
+
+def test_fill_empty_fractional_and_bool_fills_widen(spark):
+    # a fractional float into an int column widens to double (pandas
+    # keeps 2.5 — int-with-NaN is float64 there); a bool fill lands as
+    # its string rendering on non-boolean columns instead of being
+    # silently skipped by na.fill
+    sdf_ = spark.createDataFrame([(1, "x"), (None, None)], "v int, s string")
+    out = pj.fill_empty(sdf_, "v", value=2.5)
+    assert dict(out.dtypes)["v"] == "double"
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 2.5]
+    # integral floats keep the int dtype (no gratuitous widening)
+    out2 = pj.fill_empty(sdf_, "v", value=2.0)
+    assert dict(out2.dtypes)["v"] == "int"
+    out3 = pj.fill_empty(sdf_, ["s"], value=True)
+    assert sorted(out3.toPandas()["s"].tolist()) == ["True", "x"]
+
+
+def test_change_type_spark_strings_not_hijacked(spark):
+    # 'float'/'int' as STRINGS keep their Spark meaning; the python
+    # TYPES give pandas semantics; numpy dtype names map either way
+    import numpy as np
+
+    pdf = pd.DataFrame({"v": [1.5, 2.5]})
+    sdf_ = _sdf(spark, pdf)
+    assert dict(pj.change_type(sdf_, "v", "float").dtypes)["v"] == "float"
+    assert dict(pj.change_type(sdf_, "v", "int").dtypes)["v"] == "int"
+    assert dict(pj.change_type(sdf_, "v", float).dtypes)["v"] == "double"
+    assert dict(pj.change_type(sdf_, "v", int).dtypes)["v"] == "bigint"
+    assert dict(pj.change_type(sdf_, "v", np.float32).dtypes)["v"] == "float"
+    assert dict(pj.change_type(sdf_, "v", "float64").dtypes)["v"] == "double"

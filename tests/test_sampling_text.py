@@ -465,3 +465,25 @@ class TestNaiveBayes:
                                       F.lit("a").alias("label"),
                                       F.lit(0.0).alias("llk")),
                         "text", "doc_id")
+
+    def test_dotted_labels_survive_pivot(self, spark):
+        # label values with dots must not pass through F.col parsing
+        rows = [(1, "aa bb", "en.US"), (2, "cc dd", "fr.FR"), (3, "aa bb", "en.US")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        out = pj.nb_score(df, model, "text", "doc_id", keep_scores=True)
+        got = {r["doc_id"]: r["nb_pred"] for r in out.collect()}
+        assert got == {1: "en.US", 2: "fr.FR", 3: "en.US"}
+        assert "nb_score_en.US" in out.columns
+
+    def test_null_labels_dropped_in_training(self, spark):
+        rows = [(1, "aa bb", "x"), (2, "cc dd", None), (3, "aa bb", "x")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        labs = {r["label"] for r in model.collect()}
+        assert labs == {"x"}
+        allnull = spark.createDataFrame(
+            [(1, "aa", None)], "doc_id int, text string, lang string"
+        )
+        with pytest.raises(ValueError, match="non-null"):
+            pj.nb_train(allnull, "text", "lang")
