@@ -596,7 +596,10 @@ def currency_column_to_numeric(
 def convert_excel_date(df: DataFrame, column_name: Any) -> DataFrame:
     """Excel serial -> date, origin 1899-12-30 (ref
     ``convert_date.py:12-58``).  Accepts one column or a list like the
-    reference's ``column_names``."""
+    reference's ``column_names``.  Documented superset: string-typed
+    serial columns cast and convert (parquet/CSV pipelines often carry
+    serials as text); the reference's pandas path raises on object
+    dtype."""
     expr = lambda c: F.timestamp_seconds(  # noqa: E731
         F.unix_timestamp(F.lit("1899-12-30 00:00:00"))
         + (F.col(c).cast("double") * 86400).cast("long")

@@ -2960,3 +2960,15 @@ def test_change_type_spark_strings_not_hijacked(spark):
     assert dict(pj.change_type(sdf_, "v", int).dtypes)["v"] == "bigint"
     assert dict(pj.change_type(sdf_, "v", np.float32).dtypes)["v"] == "float"
     assert dict(pj.change_type(sdf_, "v", "float64").dtypes)["v"] == "double"
+
+
+def test_convert_excel_date_string_serials_superset(spark):
+    # documented superset: string-typed serial columns convert (the
+    # reference raises on object dtype — not compatible with origin)
+    pdf = pd.DataFrame({"d": ["44197", "44198.5"]})
+    with pytest.raises(Exception, match="origin"):
+        pdf.copy().convert_excel_date("d")
+    out = pj.convert_excel_date(_sdf(spark, pdf), "d").toPandas()
+    # values equal the numeric-serial conversion
+    num = pd.DataFrame({"d": [44197.0, 44198.5]}).convert_excel_date("d")
+    assert sorted(out["d"].astype(str)) == sorted(num["d"].astype(str))
