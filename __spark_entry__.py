@@ -1469,10 +1469,17 @@ def q_get_columns(spark, sf):
 def q_pq_encode(spark, sf):
     # product quantization: deterministic per-subspace Lloyd (m=2 sub-
     # codebooks of k=2, 1 round) then quantize every vector to 2 codes;
-    # the oracle unrolls the identical per-subspace arithmetic in SQL
+    # the oracle unrolls the identical per-subspace arithmetic in SQL.
+    # Codes projected as SCALAR columns (element_at) — the driver's
+    # pandas canonicalizer cannot sort/hash raw array<int> cells
     e, _ = _query_vec(spark, sf)
     cb = pj.pq_train(e, "embedding", "vec_id", m=2, k=2, iters=1)
-    return pj.pq_encode(e, "embedding", cb).select("vec_id", "pq_code")
+    enc = pj.pq_encode(e, "embedding", cb)
+    return enc.select(
+        "vec_id",
+        F.element_at("pq_code", 1).alias("c1"),
+        F.element_at("pq_code", 2).alias("c2"),
+    )
 
 
 def q_pq_topk(spark, sf):
@@ -2534,13 +2541,16 @@ def _pq_sql(
             prevs[s] = f"s{it}_{s}"
     body = "".join(parts)
     if what == "encode":
+        # one scalar column per subspace code (c1..cm) — mirrors the
+        # gate's element_at projection; the driver canonicalizer can
+        # hash scalars but not array cells
         codes = ", ".join(
             f"(SELECT CAST(s.c AS INT) FROM {prevs[s]} s ORDER BY "
-            f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1)"
+            f"{d2(sl('e.v', s), 's.v')} ASC, s.c ASC LIMIT 1) AS c{s + 1}"
             for s in range(m)
         )
         return body.rstrip(", ") + (
-            f" SELECT e.vec_id, [{codes}] AS pq_code FROM e"
+            f" SELECT e.vec_id, {codes} FROM e"
         )
     terms = " + ".join(
         f"(SELECT {d2(sl('(SELECT v FROM e WHERE vec_id = 0)', s), 's.v')} "

@@ -759,6 +759,15 @@ def pq_topk(
     ties by id."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if code_col is not None and codebooks is None:
+        # pre-encoded codes index SOME codebook's centroids; retraining
+        # here would score them against fresh (seed/m/k-dependent)
+        # centroids with no error — only correct by coincidence
+        raise ValueError(
+            "code_col requires codebooks: pre-encoded codes are only "
+            "meaningful against the codebooks that produced them "
+            "(pass the pq_train output used at encode time)"
+        )
     if codebooks is not None:
         cents = _pq_collect_cents(codebooks)
     else:
@@ -793,7 +802,10 @@ def pq_topk(
         dist = term if dist is None else dist + term
     return (
         df.select(F.col(id_col), dist.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        # nulls LAST to match cosine_topk's contract: a null vector /
+        # null pre-encoded code must not occupy top-k slots (Spark's
+        # plain .asc() is NULLS FIRST)
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -826,6 +838,13 @@ def ivf_pq_topk(
     per corpus version, :func:`pq_encode` on write — per-query cost is
     two tiny bounded actions (cluster ranking, codebook collect) plus
     the pruned compressed scan."""
+    if code_col is not None and codebooks is None:
+        # same contract as pq_topk: pre-encoded codes only score
+        # correctly against the codebooks that produced them
+        raise ValueError(
+            "code_col requires codebooks: pre-encoded codes are only "
+            "meaningful against the codebooks that produced them"
+        )
     cents = (
         centroids_df
         if centroids_df is not None

@@ -240,9 +240,18 @@ def _str_fallback(string_function: str, return_type: str = "string", **kwargs):
                 f"string_function {string_function!r} is not a pandas .str method"
             )
 
+        want_str = str(return_type).startswith(("string", "varchar", "char"))
+
         @pandas_udf(return_type)
         def _udf(s):
-            return getattr(s.str, string_function)(**kwargs)
+            res = getattr(s.str, string_function)(**kwargs)
+            if want_str and res.dtype.kind not in ("O", "U", "S"):
+                # an explicitly requested string return of a numeric/bool
+                # method (e.g. rfind, match) — Arrow refuses int64->string,
+                # so stringify non-null values here
+                res = res.astype("object").where(res.notna(), None)
+                res = res.map(lambda x: None if x is None else str(x))
+            return res
 
         return _udf(col)
 
@@ -397,7 +406,7 @@ def process_text(
     df: DataFrame,
     column_name: str,
     string_function: str,
-    return_type: str = "string",
+    return_type: str | None = None,
     **kwargs: Any,
 ) -> DataFrame:
     """Apply a pandas ``.str`` method by name (ref
@@ -407,12 +416,16 @@ def process_text(
     expressions — the hot path); any other genuine ``.str`` method (e.g.
     ``swapcase``, ``wrap``, ``casefold``, ``normalize``) runs through an
     Arrow-batched pandas_udf on the real pandas implementation.
-    ``return_type`` sets the fallback's Spark result type (default
-    string — pass e.g. ``'int'`` for ``count``)."""
+    ``return_type`` sets the fallback's Spark result type; left at the
+    ``None`` sentinel it is inferred per method (``_STR_FALLBACK_TYPES``
+    knows e.g. ``count -> long``), so an explicit ``'string'`` is
+    honored verbatim."""
     col_t = dict(df.dtypes).get(column_name)
     if col_t is None:
         raise KeyError(f"{column_name!r} not present")
-    if not (col_t in ("string", "varchar", "char") or col_t.startswith("array")):
+    # startswith, not equality: Spark renders parameterized types as
+    # "varchar(10)" / "char(5)"
+    if not col_t.startswith(("string", "varchar", "char", "array")):
         # the reference's .str accessor refuses non-string values
         # ("Can only use .str accessor with string values!"); arrays
         # stay allowed — pandas .str methods work on object lists
@@ -442,7 +455,7 @@ def process_text(
         )
     fn = _STR_DISPATCH.get(string_function)
     if fn is None:
-        if return_type == "string":
+        if return_type is None:
             return_type = _STR_FALLBACK_TYPES.get(string_function, "string")
         fn = _str_fallback(string_function, return_type=return_type, **kwargs)
         return df.withColumn(column_name, fn(F.col(column_name)))
@@ -599,10 +612,12 @@ def convert_excel_date(df: DataFrame, column_name: Any) -> DataFrame:
     reference's ``column_names``.  Documented superset: string-typed
     serial columns cast and convert (parquet/CSV pipelines often carry
     serials as text); the reference's pandas path raises on object
-    dtype."""
-    expr = lambda c: F.timestamp_seconds(  # noqa: E731
-        F.unix_timestamp(F.lit("1899-12-30 00:00:00"))
-        + (F.col(c).cast("double") * 86400).cast("long")
+    dtype.  Fractional-day serials keep sub-second precision to the
+    microsecond (Spark timestamps are micros; pandas ``unit='D'`` keeps
+    ns — the last three digits are below Excel's own resolution)."""
+    expr = lambda c: F.timestamp_micros(  # noqa: E731
+        F.unix_timestamp(F.lit("1899-12-30 00:00:00")) * F.lit(1000000).cast("long")
+        + F.round(F.col(c).cast("double") * 86400.0 * 1e6).cast("long")
     )
     return df.withColumns({c: expr(c) for c in resolve_columns(df, column_name)})
 
