@@ -476,6 +476,56 @@ class TestNaiveBayes:
         assert got == {1: "en.US", 2: "fr.FR", 3: "en.US"}
         assert "nb_score_en.US" in out.columns
 
+    def test_space_and_reserved_word_labels(self, spark):
+        # spaces + SQL reserved words in label VALUES must survive the
+        # positional-rename path (classify.py pivot -> toDF) and the
+        # keep_scores column attach
+        rows = [
+            (1, "aa bb", "new label"), (2, "cc dd", "select"),
+            (3, "aa bb", "new label"), (4, "cc dd", "select"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        out = pj.nb_score(df, model, "text", "doc_id", keep_scores=True)
+        got = {r["doc_id"]: r["nb_pred"] for r in out.collect()}
+        assert got == {1: "new label", 2: "select", 3: "new label", 4: "select"}
+        assert {"nb_score_new label", "nb_score_select"} <= set(out.columns)
+
+    def test_single_label_corpus(self, spark):
+        rows = [(1, "aa bb", "only"), (2, "cc dd", "only")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        # prior row: ln(2/2) = 0.0 exactly
+        prior = model.filter(F.col("token").isNull()).first()
+        assert prior["label"] == "only" and prior["llk"] == 0.0
+        out = pj.nb_score(df, model, "text", "doc_id")
+        assert [r["nb_pred"] for r in out.collect()] == ["only", "only"]
+
+    def test_empty_vocab_after_min_count(self, spark):
+        # every token is a hapax; min_count=2 empties the vocabulary ->
+        # model is priors-only and scoring falls back to the prior argmax
+        rows = [(1, "aa bb", "x"), (2, "cc dd", "x"), (3, "ee ff", "y")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang", min_count=2)
+        assert model.filter(F.col("token").isNotNull()).count() == 0
+        out = pj.nb_score(df, model, "text", "doc_id")
+        assert [r["nb_pred"] for r in out.collect()] == ["x", "x", "x"]
+
+    def test_tie_breaks_first_sorted_label_layout_independent(self, spark):
+        # perfectly symmetric corpus: every doc scores both labels
+        # identically -> argmax must pick the FIRST sorted label, on
+        # every row, regardless of partitioning
+        rows = [(1, "tok", "b"), (2, "tok", "a")]
+        df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+        model = pj.nb_train(df, "text", "lang")
+        for nparts in (1, 7):
+            out = pj.nb_score(
+                df.repartition(nparts), model, "text", "doc_id"
+            )
+            assert [r["nb_pred"] for r in out.orderBy("doc_id").collect()] == [
+                "a", "a",
+            ]
+
     def test_null_labels_dropped_in_training(self, spark):
         rows = [(1, "aa bb", "x"), (2, "cc dd", None), (3, "aa bb", "x")]
         df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
