@@ -182,16 +182,33 @@ def complete(
                 continue
             if hasattr(v, "__len__") and not isinstance(v, str):
                 raise ValueError(f"The value for {c} should be a scalar.")
-            # cast the fill to the column's type (a scalar 0 filling a
-            # string column becomes "0" — pandas' mixed object column has
-            # no Spark analogue); ANSI surfaces genuinely bad fills
-            lit = F.lit(v).cast(dtypes[c])
+            # type-mismatched fills follow fill_empty's widening rules
+            # (missing.py:49-106): a string/bool fill into a non-string
+            # column widens the column to STRING (the typed analogue of
+            # pandas' object column) instead of dying on the ANSI cast;
+            # a fractional float into an int column widens to DOUBLE;
+            # otherwise the fill casts to the column's type (a scalar 0
+            # filling a string column becomes "0")
+            tn = dtypes[c].typeName()
+            base = F.col(c)
+            if isinstance(v, bool) and tn != "boolean":
+                base, lit = base.cast("string"), F.lit(str(v))
+            elif isinstance(v, str) and tn not in ("string", "varchar", "char"):
+                base, lit = base.cast("string"), F.lit(v)
+            elif (
+                isinstance(v, float)
+                and not v.is_integer()
+                and tn in ("byte", "short", "integer", "long")
+            ):
+                base, lit = base.cast("double"), F.lit(v)
+            else:
+                lit = F.lit(v).cast(dtypes[c])
             if explicit:
-                updates[c] = F.coalesce(F.col(c), lit)
+                updates[c] = F.coalesce(base, lit)
             else:
                 updates[c] = F.when(
-                    F.col("__present").isNull() & F.col(c).isNull(), lit
-                ).otherwise(F.col(c))
+                    F.col("__present").isNull() & base.isNull(), lit
+                ).otherwise(base)
         out = out.withColumns(updates)
     if sort:
         out = out.orderBy(*[F.col(k) for k in keys])

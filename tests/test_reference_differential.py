@@ -1255,6 +1255,132 @@ def test_complete_by_group(spark):
     compare(spark, exp, out)
 
 
+def test_complete_by_fill_explicit_combos(spark):
+    # the full by x fill_value x explicit matrix (VERDICT r8 task 8) —
+    # the reference threads all three through one merge-indicator path
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "b"],
+            "yr": [2020, 2021, 2020, 2022],
+            "v": [1.0, None, 3.0, 4.0],
+        }
+    )
+    for explicit in (True, False):
+        exp = pdf.copy().complete(
+            "yr", by="g", fill_value={"v": 0.0}, explicit=explicit
+        )
+        out = pj.complete(
+            _sdf(spark, pdf), "yr", by="g",
+            fill_value={"v": 0.0}, explicit=explicit,
+        )
+        compare(spark, exp, out)
+
+
+def test_complete_by_sort_row_order(spark):
+    # sort=True with by: ordered by the completed keys, exactly the
+    # reference's output row order (not just set equality)
+    pdf = pd.DataFrame(
+        {
+            "g": ["b", "a", "b", "a"],
+            "yr": [2022, 2021, 2020, 2020],
+            "v": [4.0, 2.0, 3.0, 1.0],
+        }
+    )
+    exp = pdf.copy().complete("yr", by="g", sort=True)
+    out = pj.complete(_sdf(spark, pdf), "yr", by="g", sort=True).toPandas()
+    erows = [
+        tuple(None if pd.isna(x) else x for x in r)
+        for r in exp.itertuples(index=False)
+    ]
+    grows = [
+        tuple(None if pd.isna(x) else x for x in r)
+        for r in out.itertuples(index=False)
+    ]
+    assert erows == grows
+
+
+def test_complete_list_spec_with_fill(spark):
+    # list spec = observed combinations move together (tidyr nesting),
+    # crossed against the scalar spec, exposed rows filled
+    pdf = pd.DataFrame(
+        {"g": ["a", "b"], "s": ["x", "y"], "item": [1, 2], "v": [1.0, 2.0]}
+    )
+    exp = pdf.copy().complete(["g", "s"], "item", fill_value={"v": -1.0})
+    out = pj.complete(
+        _sdf(spark, pdf), ["g", "s"], "item", fill_value={"v": -1.0}
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_dict_callable_spec(spark):
+    # dict value may be a callable over the FRAME (reference
+    # expand_grid.py passes df); both engines densify 1..3
+    pdf = pd.DataFrame({"item": [1, 3], "v": [1.0, 2.0]})
+    exp = pdf.copy().complete(
+        {"item": lambda d: range(int(d["item"].min()), int(d["item"].max()) + 1)}
+    )
+    out = pj.complete(
+        _sdf(spark, pdf),
+        {"item": lambda d: range(1, 4)},
+    )
+    compare(spark, exp, out)
+
+
+def test_complete_string_fill_widens_numeric(spark):
+    # a string fill_value landing in a float column: pandas mixes the
+    # object column; the typed analogue widens the column to string
+    # (fill_empty's documented rule, now shared by complete) — values
+    # agree under str(); explicit=False keeps pre-existing nulls
+    pdf = pd.DataFrame(
+        {
+            "g": ["a", "a", "b"],
+            "item": [1, 2, 1],
+            "v": [1.0, None, 3.0],
+            "s": ["p", None, "q"],
+        }
+    )
+    for explicit in (True, False):
+        exp = pdf.copy().complete(
+            "g", "item", fill_value="zz", explicit=explicit
+        )
+        out = pj.complete(
+            _sdf(spark, pdf), "g", "item", fill_value="zz", explicit=explicit
+        ).toPandas()
+        key = ["g", "item"]
+        e = exp.sort_values(key).reset_index(drop=True)
+        o = out.sort_values(key).reset_index(drop=True)
+        for c in ("v", "s"):
+            for a, b in zip(e[c], o[c]):
+                if pd.isna(a) or b is None:
+                    assert pd.isna(a) and b is None, (c, a, b)
+                else:
+                    assert str(a) == str(b), (c, a, b)
+
+
+def test_pivot_wider_names_expand_ordered_categorical(spark):
+    # ordered categorical names_from with an UNUSED leading level:
+    # names_expand emits a column per level in category order
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "name": pd.Categorical(
+                ["b", "a"], categories=["c", "b", "a"], ordered=True
+            ),
+            "val": [1.0, 2.0],
+        }
+    )
+    exp = pdf.pivot_wider(
+        index="id", names_from="name", values_from="val", names_expand=True
+    )
+    out = pj.pivot_wider(
+        _sdf(spark, pdf.assign(name=pdf["name"].astype(str))),
+        index="id", names_from="name", values_from="val",
+        names_expand={"name": ["c", "b", "a"]},
+    )
+    assert out.columns == list(exp.columns)
+    compare(spark, exp, out)
+
+
 def test_pivot_longer_names_transform(spark):
     pdf = pd.DataFrame({"id": [1], "wk1": [5.0], "wk2": [6.0]})
     exp = pdf.pivot_longer(
