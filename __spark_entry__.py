@@ -1708,36 +1708,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "nb_classify": q_nb_classify,
     }
-    # Round-8 window.  Composition rule (unchanged from r7): changed
+    # Round-9 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
     # stay replica-covered (tools/check_correctness.py).
     _WINDOW = [
-        # (a) never driver-attested: the r7 second-wave gates + the r8
-        # long-tail gates + the new PQ ops
-        "collapse_levels", "explode_index", "join_apply",
-        "change_index_dtype", "read_commandline", "also_then",
-        "toset", "get_columns", "unionize_categories",
-        "pq_encode", "pq_topk", "ivf_pq_topk", "nb_classify",
-        # (b) verbs whose code changed in round 8 (ADVICE fixes + probe
-        # wave: UDF return widening, topk nulls-last, literal replace,
-        # row_to_names slice, flag_jumps dicts/default, strict asof,
-        # agg size semantics, change_type dtypes, fill_empty widening,
-        # update_where validation)
-        "transform_column", "process_text", "process_text_fallback",
-        "change_type", "groupby_topk", "take_first",
-        "groupby_agg", "groupby_agg_multi", "groupby_agg_nunique",
-        "row_to_names", "flag_jumps", "asof_join",
-        "fill_empty", "update_where",
-        # (c) oldest attestations: all 14 r3-era rows
-        "add_columns", "bloom_dedupe_against", "dedupe_against",
-        "deterministic_sample", "exp", "logit", "move_reorder",
-        "pii_redact", "pivot_longer_spec", "repetition_score",
-        "sort_column_value_order", "split_train_holdout",
-        "stratified_sample", "top_ngrams",
-        # (c continued) 11 oldest r4-era rows (the rest rotate in r9)
-        "binary_metadata", "bm25_score", "bpe_encode",
-        "cartesian_product", "chunk_text", "contamination",
-        "cosine_topk", "dedupe_exact", "dedupe_near",
+        # (a) the ONLY never-driver-green entry: pq_encode (r8 failed in
+        # the driver canonicalizer on the array<int> column; the gate
+        # now projects scalar code columns)
+        "pq_encode",
+        # (b) verbs whose code changed in round 9 (ADVICE fixes: PQ
+        # nulls-last + code_col guard, process_text return_type sentinel
+        # + varchar(n) guard + string-coerced fallback, excel micros
+        # precision, complete fill widening)
+        "pq_topk", "ivf_pq_topk",
+        "process_text", "process_text_fallback",
+        "convert_excel_date", "complete",
+        # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
+        "fingerprint", "simhash", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
+        "ivf_topk", "token_count", "quality_score", "language_id",
+        "resize_payload", "normal_cdf", "probit", "near_dup_clusters",
+        "dup_span_fraction", "normalize_text", "winsorize",
+        "robust_scale", "dedupe_near_best", "sessionize",
+        "running_counter", "top_domains", "smiles_descriptors",
+        "ngram_lm_score", "top_collocations",
+        # (d) ALL 17 r5-era stale attestations
+        "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
+        "log", "currency_column_to_numeric", "pivot_wider",
+        "fill_missing_timestamps", "kmeans_assign", "url_normalize",
+        "hash_columns", "heavy_hitters", "decode_features",
+        "frame_sample", "windowed_agg", "remove_duplicated_spans",
+        "mix_corpora",
+        # (e) one r6-era row to fill the window (the rest rotate in r10)
+        "flag_nulls",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
