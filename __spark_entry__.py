@@ -923,6 +923,17 @@ def q_split_train_holdout(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    # Efraimidis-Spirakis weighted sample without replacement: priority
+    # ln(u)/w from md5-derived uniforms, TakeOrdered top-k; the oracle
+    # recomputes the identical priorities (engine-portable md5 + IEEE
+    # double ln/div — the jitter/kmeans oracle pattern)
+    d = _t(spark, sf, "documents")
+    return pj.weighted_sample(d, "n_chars", 50, "doc_id", salt="ws").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_groupby_agg_nunique(spark, sf):
     li = _t(spark, sf, "lineitem")
     return pj.groupby_agg(li, ["l_returnflag"], "n_status", "l_linestatus", "nunique").select(
@@ -1707,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "nb_classify": q_nb_classify,
+        # round-9 new scale op
+        "weighted_sample": q_weighted_sample,
     }
     # Round-9 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
@@ -1739,8 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_columns", "heavy_hitters", "decode_features",
         "frame_sample", "windowed_agg", "remove_duplicated_spans",
         "mix_corpora",
-        # (e) one r6-era row to fill the window (the rest rotate in r10)
-        "flag_nulls",
+        # (e) round-9 new op — never driver-attested
+        "weighted_sample",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -2645,13 +2658,20 @@ def _stripe_mean(i: int) -> str:
     )
 
 
+def _hexn_int(h: str, n: int) -> str:
+    """DuckDB: integer value of the first ``n`` hex nibbles of
+    expression ``h`` (Spark: ``conv(substring(h,1,n),16,10)``).
+    n <= 15 keeps the value exact in BIGINT and DOUBLE."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * {16 ** (n - p)}"
+        for p in range(1, n + 1)
+    ) + ")"
+
+
 def _hex8_int(h: str) -> str:
     """DuckDB: integer value of the first 8 hex nibbles of expression
     ``h`` (Spark equivalent: ``conv(substring(h,1,8),16,10)``)."""
-    return "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1) * {16 ** (8 - p)}"
-        for p in range(1, 9)
-    ) + ")"
+    return _hexn_int(h, 8)
 
 
 def _bands_with_lang_sql(k: int = 8, bands: int = 4) -> str:
@@ -2760,6 +2780,17 @@ def _sampling_oracles() -> dict[str, str]:
             "WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) "
             f"AS h FROM documents) SELECT doc_id, {bucket} < 100000 "
             "AS is_holdout FROM t"
+        ),
+        # A-ES: identical md5-derived uniforms + IEEE ln/div -> identical
+        # priorities -> identical top-k set (ties by doc_id)
+        "weighted_sample": (
+            "WITH t AS (SELECT doc_id, n_chars, "
+            "md5('ws:' || CAST(doc_id AS VARCHAR)) AS h FROM documents "
+            "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+            f"p AS (SELECT doc_id, n_chars, ln(({_hexn_int('h', 13)} + 0.5) "
+            f"/ {float(2 ** 52)!r}) / CAST(n_chars AS DOUBLE) AS pri FROM t) "
+            "SELECT doc_id, n_chars FROM p "
+            "ORDER BY pri DESC, doc_id ASC LIMIT 50"
         ),
     }
 

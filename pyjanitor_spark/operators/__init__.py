@@ -79,6 +79,7 @@ from pyjanitor_spark.operators.sampling import (
     split_train_holdout,
     stratified_sample,
     take_token_budget,
+    weighted_sample,
 )
 from pyjanitor_spark.operators.text_analysis import (
     assign_packs,

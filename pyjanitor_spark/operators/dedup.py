@@ -346,6 +346,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_1 < id_2, jaccard ≥
     threshold).
@@ -358,24 +359,58 @@ def ngram_jaccard_pairs(
     With ``candidates`` (e.g. LSH output: columns id_1, id_2) the pair
     stream is semi-filtered first — the production shape at corpus
     scale, where a stop-shingle's quadratic bucket would otherwise
-    dominate (exact all-pairs Jaccard is inherently Σ bucket²)."""
+    dominate (exact all-pairs Jaccard is inherently Σ bucket²).
+
+    ``max_doc_freq`` is the 100 TB guard for the remaining hazard the
+    candidates path can't remove (the C(bucket, 2) pair ARRAY is built
+    in-task before the semi-join can drop it — one shingle shared by
+    1e6 docs is a 5e11-element array in one executor): shingles whose
+    document frequency exceeds the cap are dropped from BOTH the
+    intersection stream and the per-doc set sizes, giving exact Jaccard
+    over the non-stop shingle space (the standard stop-shingle cut —
+    self-consistent, layout-stable, and the dropped shingles are
+    precisely the least discriminating ones).  Default ``None`` keeps
+    fully exact semantics."""
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1] (Jaccard range)")
+    if max_doc_freq is not None and max_doc_freq < 2:
+        raise ValueError("max_doc_freq must be >= 2 (pairs need 2 docs)")
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(column_name), shingle_n)).alias("s")
     )
-    # per-doc shingle-set size from the exploded table: a count-agg of
-    # (id) pairs.  NOT a size() expression on the base table — predicate
-    # pushdown would re-inline the whole shingle pipeline into the
-    # single-task file scan (once for the filter, again for the
-    # projection, per join side) and kick it out of codegen.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    if max_doc_freq is not None:
+        # one shuffle into buckets, capped BEFORE pair emission; sizes
+        # re-derived from the kept buckets (2nd shuffle — same count as
+        # the uncapped path) so |A| and |A∩B| live in the same space.
+        # Lazy checkpoint: sizes and pairs share the bucket aggregation.
+        buckets = (
+            sh.groupBy("s")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter(F.size("__ids") <= max_doc_freq)
+            .localCheckpoint(eager=False)
+        )
+        sizes = (
+            buckets.select(F.explode("__ids").alias(id_col))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        bucketed = buckets.filter(F.size("__ids") > 1)
+    else:
+        # per-doc shingle-set size from the exploded table: a count-agg
+        # of (id) pairs.  NOT a size() expression on the base table —
+        # predicate pushdown would re-inline the whole shingle pipeline
+        # into the single-task file scan (once for the filter, again for
+        # the projection, per join side) and kick it out of codegen.
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        bucketed = (
+            sh.groupBy("s")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter(F.size("__ids") > 1)
+        )
     pair_stream = (
-        sh.groupBy("s")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") > 1)
+        bucketed
         .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
         .select(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
     )

@@ -23,6 +23,7 @@ __all__ = [
     "split_train_holdout",
     "mix_corpora",
     "take_token_budget",
+    "weighted_sample",
 ]
 
 _MOD = 1_000_000
@@ -144,6 +145,52 @@ def mix_corpora(
     }
     return stratified_sample(
         df, source_column, key_column, fractions, default_fraction=0.0, salt=salt
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_column: str,
+    k: int,
+    key_column: str,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
+    (Efraimidis–Spirakis A-ES): each
+    row gets priority ``ln(u) / w`` with ``u`` a uniform in (0, 1)
+    derived from ``md5(salt:key)``; the ``k`` rows with the LARGEST
+    priorities are distributed exactly as sequential weighted draws
+    without replacement (Efraimidis & Spirakis 2006, u^(1/w) in log
+    space).
+
+    The quality-weighted corpus subset op ("sample 1M docs by quality
+    score"): one scan + TakeOrdered top-k — no shuffle, no RNG state,
+    layout- and rerun-stable like :func:`deterministic_sample`, and the
+    md5-derived uniforms are engine-portable (the DuckDB oracle
+    recomputes the identical sample).
+
+    Rows with a NULL or non-positive weight are excluded — a zero
+    weight can never be drawn; pandas ``sample(weights=)`` raises on
+    negatives, but a distributed expression path cannot validate
+    per-row without an extra full scan, so they are filtered
+    (documented divergence).  Ties (identical priorities) break on the
+    key column.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_column).cast("string")))
+    # 13 hex nibbles = 52 uniform bits: exact in BIGINT and DOUBLE
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**52))
+    w = F.col(weight_column).cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__ws_pri", F.log(u) / w)
+        .orderBy(F.col("__ws_pri").desc(), F.col(key_column).asc())
+        .limit(k)
+        .drop("__ws_pri")
     )
 
 

@@ -46,6 +46,46 @@ def test_ngram_jaccard(docs):
     assert (1, 3) not in got
 
 
+def test_ngram_jaccard_max_doc_freq(spark, docs):
+    # cap >= every bucket size: identical to exact
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.4
+        ).collect()
+    }
+    capped_same = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.4,
+            max_doc_freq=10_000,
+        ).collect()
+    }
+    assert capped_same == exact
+    # a stop shingle shared by EVERY doc: capping it out leaves the
+    # remaining pair exactly as the Jaccard over non-stop shingles
+    rows = [
+        (1, "the same prefix aaa bbb"),
+        (2, "the same prefix aaa ccc"),
+        (3, "the same prefix zzz yyy"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    # shingle_n=3: "the same prefix" is in all 3 docs (df=3); cap at 2
+    out = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.1, max_doc_freq=2
+        ).collect()
+    }
+    # doc1 non-stop shingles: {same prefix aaa, prefix aaa bbb};
+    # doc2: {same prefix aaa, prefix aaa ccc} -> inter 1, union 3
+    assert abs(out[(1, 2)] - 1 / 3) < 1e-12
+    # doc3 shares ONLY the stop shingle -> no pair at all
+    assert (1, 3) not in out and (2, 3) not in out
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        pj.ngram_jaccard_pairs(d, "doc_id", "text", max_doc_freq=1)
+
+
 def test_simhash_near_dups_close(docs):
     out = pj.simhash(docs, "text", bits=32, dest="sh")
     got = {r["doc_id"]: int(r["sh"]) for r in out.collect()}

@@ -424,6 +424,61 @@ class TestTakeTokenBudget:
             pj.take_token_budget(df, "text", 10, "nope")
 
 
+class TestWeightedSample:
+    def _df(self, spark, weights):
+        return spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(weights)], "id int, w double"
+        )
+
+    def test_exact_aes_priorities(self, spark):
+        # the op IS deterministic: recompute ln(u)/w in python from the
+        # same md5-derived uniforms and assert the identical top-k set
+        import hashlib
+        import math
+
+        weights = [1.0, 5.0, 2.0, 9.0, 0.5, 3.0, 7.0, 1.5]
+        df = self._df(spark, weights)
+        got = [r["id"] for r in pj.weighted_sample(df, "w", 3, "id", salt="t").collect()]
+        pri = {}
+        for i, w in enumerate(weights):
+            h = hashlib.md5(f"t:{i}".encode()).hexdigest()
+            u = (int(h[:13], 16) + 0.5) / 2**52
+            pri[i] = math.log(u) / w
+        exp = sorted(pri, key=lambda i: (-pri[i], i))[:3]
+        assert sorted(got) == sorted(exp)
+
+    def test_heavy_weight_wins_across_salts(self, spark):
+        # one row with 1000x weight must be drawn in nearly every sample
+        df = self._df(spark, [1.0] * 20 + [1000.0])
+        hits = sum(
+            any(
+                r["id"] == 20
+                for r in pj.weighted_sample(df, "w", 3, "id", salt=f"s{j}").collect()
+            )
+            for j in range(10)
+        )
+        assert hits >= 9, hits
+
+    def test_layout_independent_and_stable(self, spark):
+        df = self._df(spark, [float(i % 7 + 1) for i in range(100)])
+        a = sorted(r["id"] for r in pj.weighted_sample(df.repartition(1), "w", 10, "id").collect())
+        b = sorted(r["id"] for r in pj.weighted_sample(df.repartition(9), "w", 10, "id").collect())
+        assert a == b and len(a) == 10
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 0.0), (2, -2.0), (3, None), (4, 2.0)],
+            "id int, w double",
+        )
+        got = sorted(r["id"] for r in pj.weighted_sample(df, "w", 10, "id").collect())
+        assert got == [0, 4]  # k > eligible rows -> all eligible rows
+
+    def test_error_contract(self, spark):
+        df = self._df(spark, [1.0])
+        with pytest.raises(ValueError, match="k must be"):
+            pj.weighted_sample(df, "w", 0, "id")
+
+
 class TestNaiveBayes:
     def test_separable_classes_classify_perfectly(self, spark):
         rows = [(i, "spam buy now cheap pills", "spam") for i in range(20)]
