@@ -1736,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk", "ivf_pq_topk",
         "process_text", "process_text_fallback",
         "convert_excel_date", "complete",
+        "bin_numeric", "find_replace",
         # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
         "fingerprint", "simhash", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
@@ -1749,9 +1750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
         "log", "currency_column_to_numeric", "pivot_wider",
         "fill_missing_timestamps", "kmeans_assign", "url_normalize",
-        "hash_columns", "heavy_hitters", "decode_features",
+        "decode_features",
         "frame_sample", "windowed_agg", "remove_duplicated_spans",
         "mix_corpora",
+        # (hash_columns / heavy_hitters r5-era rows displaced by the
+        # probe-wave changed verbs above; they rotate in r10)
         # (e) round-9 new op — never driver-attested
         "weighted_sample",
     ]

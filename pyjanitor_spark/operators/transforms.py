@@ -466,10 +466,19 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
     """Dict-based exact or regex replacement per column (ref
     ``find_replace.py:18-178``); kwargs are column=dict pairs.
 
+    Regex match is the reference's semantics EXACTLY: a pattern that
+    matches ANYWHERE in the cell replaces the WHOLE cell with the value
+    (``find_replace.py:176-178``: ``str.contains`` condition then
+    ``df.loc[cond] = v``), applied sequentially per mapping entry (a
+    later pattern sees earlier replacements) — NOT a substring
+    substitution.
+
     Documented superset: a ``None`` key in an exact mapping replaces
     null cells (the reference raises and redirects to ``fillna`` —
     ``find_replace.py:157-167``; here the null branch is a plain
-    ``WHEN col IS NULL`` arm, no reason to refuse it)."""
+    ``WHEN col IS NULL`` arm, no reason to refuse it).  Null cells pass
+    through the regex branch untouched (the reference's boolean mask
+    errors on them)."""
     if match not in ("exact", "regex"):
         raise ValueError("match must be 'exact' or 'regex'")
     updates = {}
@@ -495,7 +504,11 @@ def find_replace(df: DataFrame, match: str = "exact", **mappings: dict) -> DataF
         else:
             out = col
             for pat, new in mapping.items():
-                out = F.when(out.rlike(pat), F.regexp_replace(out, pat, str(new))).otherwise(out)
+                # whole-cell replacement on a contains-match; rlike is
+                # an unanchored search, same as pandas str.contains
+                out = F.when(
+                    out.rlike(pat), F.lit(new).cast("string")
+                ).otherwise(out.cast("string"))
             updates[colname] = out
     return df.withColumns(updates)
 
@@ -576,8 +589,12 @@ def currency_column_to_numeric(
     """Strip currency garbage -> double (ref
     ``currency_column_to_numeric.py:12-197``).
 
-    ``cleaning_style='accounting'``: commas removed, values wrapped in
-    parentheses become negatives (the reference's accounting style)."""
+    ``cleaning_style='accounting'``: the reference's exact pipeline
+    (``currency_column_to_numeric.py:95-104``): strip, drop commas,
+    drop every ``)``, turn every ``(`` into ``-``, and a cell that is
+    then exactly ``-`` means ZERO (the accounting dash).  Documented
+    superset: a residual non-numeric cell becomes NULL (try_cast)
+    where pandas ``astype(float)`` raises."""
     if cleaning_style not in (None, "accounting"):
         raise ValueError(
             "`cleaning_style` is expected to be one of ('accounting', None). "
@@ -586,11 +603,15 @@ def currency_column_to_numeric(
     if cleaning_style == "accounting":
         raw = F.trim(F.col(column_name).cast("string"))
         no_comma = F.regexp_replace(raw, ",", "")
-        inner = F.regexp_extract(no_comma, r"^\((.*)\)$", 1)
-        signed = F.when(
-            no_comma.rlike(r"^\(.*\)$"), F.concat(F.lit("-"), inner)
-        ).otherwise(no_comma)
-        return df.withColumn(column_name, signed.try_cast("double"))
+        signed = F.regexp_replace(
+            F.regexp_replace(no_comma, r"\)", ""), r"\(", "-"
+        )
+        return df.withColumn(
+            column_name,
+            F.when(signed == "-", F.lit(0.0)).otherwise(
+                signed.try_cast("double")
+            ),
+        )
     raw = F.col(column_name).cast("string")
     cleaned = F.regexp_replace(raw, r"[^0-9.\-eE+]", "")
     num = cleaned.try_cast("double")
@@ -746,45 +767,86 @@ def bin_numeric(
     forwards ``right``/``include_lowest`` to ``pd.cut``).
 
     Explicit bin edges compile to a chained CASE WHEN (codegen); integer
-    ``bins`` computes min/max in one agg action then equal-width edges —
-    the integer form always admits the column minimum, matching
-    ``pd.cut``'s 0.1% range padding on computed bins.  ``right=True``
-    bins are ``(lo, hi]`` (first bin ``[lo, hi]`` iff ``include_lowest``
-    or integer bins); ``right=False`` bins are ``[lo, hi)``."""
+    ``bins`` computes min/max in one agg action then pd.cut's
+    equal-width edges, including its boundary padding (0.1% of the
+    range on the open end; ±0.1%·|x| when min == max) and its default
+    label rendering (`_round_frac` at inferred precision ≥ 3, repr
+    floats, int edges shown as ints unless ``include_lowest`` injects
+    the float pad).  ``right=True`` bins are ``(lo, hi]``;
+    ``right=False`` bins are ``[lo, hi)``."""
     if isinstance(bins, int) and bins < 1:
         raise ValueError("bins must be >= 1")
+
+    import math
+
+    def _round_frac(x: float, precision: int) -> float:
+        # pandas.core.reshape.tile._round_frac
+        if x == 0 or not math.isfinite(x):
+            return x
+        frac, whole = math.modf(x)
+        if whole == 0:
+            digits = -int(math.floor(math.log10(abs(frac)))) - 1 + precision
+        else:
+            digits = precision
+        return round(x, digits)
+
+    def _fmt_breaks(breaks: list[float]) -> list[str]:
+        # pandas _infer_precision: smallest precision >= 3 keeping the
+        # rounded breaks unique
+        for prec in range(3, 20):
+            rounded = [_round_frac(b, prec) for b in breaks]
+            if len(set(rounded)) == len(rounded):
+                return [repr(r) for r in rounded]
+        return [repr(b) for b in breaks]
+
     col = F.col(from_column_name)
     int_bins = isinstance(bins, int)
     if int_bins:
         row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
         lo, hi = float(row["mn"]), float(row["mx"])
-        width = (hi - lo) / bins or 1.0
-        edges = [lo + i * width for i in range(bins + 1)]
+        if lo == hi:
+            pad = 0.001 * abs(lo) if lo != 0 else 0.001
+            lo, hi = lo - pad, hi + pad
+            edges = [lo + i * (hi - lo) / bins for i in range(bins + 1)]
+        else:
+            edges = [lo + i * (hi - lo) / bins for i in range(bins + 1)]
+            rng_pad = (hi - lo) * 0.001
+            if right:
+                edges[0] -= rng_pad
+            else:
+                edges[-1] += rng_pad
     else:
         edges = [float(b) for b in bins]
     if labels is not None and len(labels) != len(edges) - 1:
         raise ValueError("labels must have len(bins)-1 entries")
     # pd.cut casts explicit bins to a common dtype before rendering the
     # interval labels: an all-int bin list prints "(0, 4]", any float in
-    # the list promotes every edge to "(0.0, 4.0]"
-    if not int_bins and all(isinstance(b, int) and not isinstance(b, bool) for b in bins):
-        shown = [int(e) for e in edges]
+    # the list promotes every edge to "(0.0, 4.0]"; include_lowest
+    # injects the float 10^-3 pad, promoting int edges to float
+    label_edges = list(edges)
+    if not int_bins and right and include_lowest:
+        label_edges[0] = label_edges[0] - 10**-3
+    if (
+        not int_bins
+        and not (right and include_lowest)
+        and all(isinstance(b, int) and not isinstance(b, bool) for b in bins)
+    ):
+        shown = [str(int(e)) for e in label_edges]
     else:
-        shown = edges
+        shown = _fmt_breaks(label_edges)
     expr = None
     for i in range(len(edges) - 1):
         lo_e, hi_e = edges[i], edges[i + 1]
         if right:
             lab = labels[i] if labels else f"({shown[i]}, {shown[i + 1]}]"
             cond = (col > F.lit(lo_e)) & (col <= F.lit(hi_e))
-            if i == 0 and (include_lowest or int_bins):
+            if i == 0 and include_lowest and not int_bins:
+                # int bins need no special case: the padded first edge
+                # already sits strictly below the column minimum
                 cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
         else:
             lab = labels[i] if labels else f"[{shown[i]}, {shown[i + 1]})"
             cond = (col >= F.lit(lo_e)) & (col < F.lit(hi_e))
-            if i == len(edges) - 2 and int_bins:
-                # computed bins must admit the column maximum
-                cond = (col >= F.lit(lo_e)) & (col <= F.lit(hi_e))
         expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
     return df.withColumn(to_column_name, expr)
 

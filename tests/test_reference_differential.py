@@ -2167,6 +2167,56 @@ def test_find_replace_regex_match(spark):
     compare(spark, exp, out)
 
 
+def test_find_replace_regex_whole_cell_and_sequential(spark):
+    # reference regex semantics (find_replace.py:176-178): str.contains
+    # CONDITION -> whole-cell assignment, NOT substring substitution;
+    # entries apply sequentially, so a later pattern sees earlier
+    # replacements ("abc123" -> "N" -> "Z")
+    pdf = pd.DataFrame({"s": ["abc123", "x9y", "none"]})
+    exp = pdf.copy().find_replace(match="regex", s={r"(\d+)": "N", "^N$": "Z"})
+    out = pj.find_replace(
+        _sdf(spark, pdf), match="regex", s={r"(\d+)": "N", "^N$": "Z"}
+    )
+    compare(spark, exp, out)
+
+
+def test_currency_accounting_dash_is_zero(spark):
+    # the accounting dash: a cell that is exactly "-" (after strip/
+    # comma/paren processing) means zero (reference
+    # currency_column_to_numeric.py:101 .replace({"-": 0.0}))
+    pdf = pd.DataFrame({"m": ["(1,000.00)", "2,000.00", "-", "  (5) "]})
+    exp = pdf.copy().currency_column_to_numeric("m", cleaning_style="accounting")
+    out = pj.currency_column_to_numeric(
+        _sdf(spark, pdf), "m", cleaning_style="accounting"
+    )
+    compare(spark, exp, out)
+
+
+def test_bin_numeric_default_label_rendering(spark):
+    # pd.cut's default labels: computed bins pad the open end by 0.1% of
+    # the range ("(0.991, 4.0]"), include_lowest pads 10^-3 and promotes
+    # int edges to float ("(0.999, 4.0]"), right=False pads the LAST
+    # edge ("[7.0, 10.009)"), degenerate min==max pads ±0.1%|x|
+    cases = [
+        ([1.0, 2.5, 5.0, 9.0, 10.0], dict(bins=3)),
+        ([1.0, 2.5, 5.0, 9.0, 10.0], dict(bins=3, right=False)),
+        ([1.0, 2.5, 5.0, 9.0, 10.0], dict(bins=[1, 4, 7, 10], include_lowest=True)),
+        ([1.0, 2.5, 5.0, 9.0, 10.0], dict(bins=[1, 4, 7, 10])),
+        ([1.0, 2.5, 5.0, 9.0, 10.0], dict(bins=[1.5, 4.25, 9.75])),
+        ([5.0, 5.0], dict(bins=2)),
+        ([0.0001, 0.0002, 0.0009], dict(bins=2)),
+    ]
+    for vals, kw in cases:
+        pdf = pd.DataFrame({"v": vals})
+        exp = pdf.copy().bin_numeric(
+            from_column_name="v", to_column_name="b", **kw
+        )["b"].astype(str)
+        out = pj.bin_numeric(_sdf(spark, pdf), "v", "b", **kw).toPandas()["b"]
+        e = sorted("None" if x == "nan" else x for x in exp)
+        g = sorted("None" if x is None else str(x) for x in out)
+        assert e == g, (kw, e, g)
+
+
 def test_case_when_callable_condition(spark):
     pdf = pd.DataFrame({"v": [1, 10]})
     exp = pdf.case_when(lambda d: d.v > 5, "big", "small", column_name="size")
