@@ -1737,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_text", "process_text_fallback",
         "convert_excel_date", "complete",
         "bin_numeric", "find_replace",
+        "convert_matlab_date", "convert_unix_date",
         # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
         "fingerprint", "simhash", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
@@ -1749,12 +1750,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d) ALL 17 r5-era stale attestations
         "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
         "log", "currency_column_to_numeric", "pivot_wider",
-        "fill_missing_timestamps", "kmeans_assign", "url_normalize",
+        "fill_missing_timestamps", "kmeans_assign",
         "decode_features",
-        "frame_sample", "windowed_agg", "remove_duplicated_spans",
+        "windowed_agg", "remove_duplicated_spans",
         "mix_corpora",
-        # (hash_columns / heavy_hitters r5-era rows displaced by the
-        # probe-wave changed verbs above; they rotate in r10)
+        # (hash_columns / heavy_hitters / url_normalize / frame_sample
+        # r5-era rows displaced by the probe-wave changed verbs above;
+        # they rotate in r10)
         # (e) round-9 new op — never driver-attested
         "weighted_sample",
     ]

@@ -646,19 +646,27 @@ def convert_excel_date(df: DataFrame, column_name: Any) -> DataFrame:
 def convert_matlab_date(df: DataFrame, column_name: Any) -> DataFrame:
     """MATLAB datenum -> timestamp: days since year 0; epoch offset
     719529 days = 1970-01-01 (ref ``convert_date.py:60-103``).
-    Accepts one column or a list like the reference."""
-    expr = lambda c: F.timestamp_seconds(  # noqa: E731
-        ((F.col(c).cast("double") - F.lit(719529.0)) * 86400).cast("long")
+    Accepts one column or a list like the reference.  Fractional-day
+    serials keep sub-second precision to the microsecond (the
+    convert_excel_date rule)."""
+    expr = lambda c: F.timestamp_micros(  # noqa: E731
+        F.round(
+            (F.col(c).cast("double") - F.lit(719529.0)) * 86400.0 * 1e6
+        ).cast("long")
     )
     return df.withColumns({c: expr(c) for c in resolve_columns(df, column_name)})
 
 
 def convert_unix_date(df: DataFrame, column_name: Any) -> DataFrame:
     """Epoch seconds -> timestamp (ref ``convert_date.py:113-153``).
-    Accepts one column or a list like the reference."""
+    Accepts one column or a list like the reference.  Fractional-second
+    epochs keep microsecond precision (pandas ``unit='s'`` keeps ns;
+    integer epochs are exact either way)."""
     return df.withColumns(
         {
-            c: F.timestamp_seconds(F.col(c).cast("long"))
+            c: F.timestamp_micros(
+                F.round(F.col(c).cast("double") * 1e6).cast("long")
+            )
             for c in resolve_columns(df, column_name)
         }
     )

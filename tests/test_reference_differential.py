@@ -3154,6 +3154,32 @@ def test_convert_excel_date_subday_precision(spark):
         assert abs((g - e).total_seconds()) < 2e-6, (g, e)
 
 
+def test_convert_matlab_unix_subsecond_precision(spark):
+    # the excel micros rule applies to the whole convert_*_date family:
+    # fractional datenums / epochs keep sub-second precision
+    pdf = pd.DataFrame({"d": [737000.5, 737000.2500057870, 700000.0]})
+    exp = pdf.copy().convert_matlab_date("d")["d"]
+    got = pj.convert_matlab_date(_sdf(spark, pdf), "d").toPandas()["d"]
+    for g, e in zip(sorted(got), sorted(exp)):
+        assert abs((g - e).total_seconds()) < 2e-6, (g, e)
+    pdf = pd.DataFrame({"d": [1600000000.5, 1600000000.25, 1600000000.0]})
+    exp = pdf.copy().convert_unix_date("d")["d"]
+    got = pj.convert_unix_date(_sdf(spark, pdf), "d").toPandas()["d"]
+    for g, e in zip(sorted(got), sorted(exp)):
+        assert abs((g - e).total_seconds()) < 2e-6, (g, e)
+
+
+def test_count_cumulative_unique_case_insensitive(spark):
+    pdf = pd.DataFrame({"s": ["A", "a", "B", "b", "C"]})
+    exp = pdf.copy().count_cumulative_unique(
+        "s", dest_column_name="n", case_sensitive=False
+    )
+    out = pj.count_cumulative_unique(
+        _sdf(spark, pdf), "s", dest_column_name="n", case_sensitive=False
+    ).toPandas()
+    assert sorted(out["n"]) == sorted(exp["n"])
+
+
 def test_convert_excel_date_string_serials_superset(spark):
     # documented superset: string-typed serial columns convert (the
     # reference raises on object dtype — not compatible with origin)
