@@ -1737,7 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "process_text", "process_text_fallback",
         "convert_excel_date", "complete",
         "bin_numeric", "find_replace",
-        "convert_matlab_date", "convert_unix_date",
+        "convert_matlab_date", "convert_unix_date", "case_when",
         # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
         "fingerprint", "simhash", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
@@ -1753,10 +1753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_missing_timestamps", "kmeans_assign",
         "decode_features",
         "windowed_agg", "remove_duplicated_spans",
-        "mix_corpora",
-        # (hash_columns / heavy_hitters / url_normalize / frame_sample
-        # r5-era rows displaced by the probe-wave changed verbs above;
-        # they rotate in r10)
+        # (hash_columns / heavy_hitters / url_normalize / frame_sample /
+        # mix_corpora r5-era rows displaced by the probe-wave changed
+        # verbs above; they rotate in r10)
         # (e) round-9 new op — never driver-attested
         "weighted_sample",
     ]

@@ -276,13 +276,14 @@ def case_when(
             value = value(df)
         c = F.expr(cond) if isinstance(cond, str) else cond
         pairs.append((c, value))
-    if default is None and column_name in df.columns:
-        default_col = F.col(column_name)
-        default_is_str = False
-    elif isinstance(default, Column):
+    # the reference's default is ALWAYS a literal/Series — a string that
+    # happens to name a column stays a string, and default=None yields
+    # NULL rows (case_when.py:181-199: pd.Series([default]) masked), it
+    # does NOT fall back to an existing column of the same name
+    if callable(default) and not isinstance(default, Column):
+        default = default(df)  # ref case_when.py:180 apply_if_callable
+    if isinstance(default, Column):
         default_col, default_is_str = default, False
-    elif isinstance(default, str) and default in df.columns:
-        default_col, default_is_str = F.col(default), False
     else:
         default_col, default_is_str = F.lit(default), isinstance(default, str)
     # mixed branch types: a python-str literal next to a Column or

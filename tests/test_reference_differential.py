@@ -2217,6 +2217,29 @@ def test_bin_numeric_default_label_rendering(spark):
         assert e == g, (kw, e, g)
 
 
+def test_case_when_default_is_always_literal(spark):
+    # the reference's default is a literal even when the string names a
+    # column, and default=None yields NULL rows — never a fallback to an
+    # existing column of the same name (case_when.py:181-199)
+    pdf = pd.DataFrame({"v": [1, 10], "w": [100, 200]})
+    exp = pdf.copy().case_when("v > 5", "w", default=0, column_name="r")
+    out = pj.case_when(
+        _sdf(spark, pdf), "v > 5", "w", default=0, column_name="r"
+    ).toPandas()
+    # mixed str/int branches: pandas mixes the object column; the typed
+    # analogue widens to string — compare str-rendered
+    e = {r.v: str(r.r) for r in exp.itertuples()}
+    g = {r["v"]: str(r["r"]) for r in out.to_dict("records")}
+    assert e == g, (e, g)
+    # overwrite an EXISTING column with default=None: unmatched rows
+    # become NULL, not their previous value
+    exp2 = pdf.copy().case_when("v > 5", "big", column_name="w")
+    out2 = pj.case_when(_sdf(spark, pdf), "v > 5", "big", column_name="w")
+    g = {r["v"]: r["w"] for r in out2.collect()}
+    e = {r.v: (None if pd.isna(r.w) else r.w) for r in exp2.itertuples()}
+    assert g == e, (e, g)
+
+
 def test_case_when_callable_condition(spark):
     pdf = pd.DataFrame({"v": [1, 10]})
     exp = pdf.case_when(lambda d: d.v > 5, "big", "small", column_name="size")
