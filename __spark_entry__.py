@@ -923,6 +923,18 @@ def q_split_train_holdout(spark, sf):
     )
 
 
+def q_dsir_weights(spark, sf):
+    # DSIR hashed importance log-weights: source = all documents,
+    # target = the English slice (domain up-weighting); 64 md5 buckets,
+    # bigram profile, add-0.5 smoothing.  Oracle replicates the bucket
+    # arithmetic and the DECIMAL-exact per-doc sum
+    d = _t(spark, sf, "documents")
+    tgt = d.filter(F.col("lang") == "en")
+    return pj.dsir_weights(
+        d, tgt, "text", "doc_id", n=2, num_buckets=64, k=0.5
+    ).select("doc_id", "dsir_logw")
+
+
 def q_weighted_sample(spark, sf):
     # Efraimidis-Spirakis weighted sample without replacement: priority
     # ln(u)/w from md5-derived uniforms, TakeOrdered top-k; the oracle
@@ -1718,8 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "nb_classify": q_nb_classify,
-        # round-9 new scale op
+        # round-9 new scale ops
         "weighted_sample": q_weighted_sample,
+        "dsir_weights": q_dsir_weights,
     }
     # Round-9 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
@@ -1751,13 +1764,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
         "log", "currency_column_to_numeric", "pivot_wider",
         "fill_missing_timestamps", "kmeans_assign",
-        "decode_features",
         "windowed_agg", "remove_duplicated_spans",
         # (hash_columns / heavy_hitters / url_normalize / frame_sample /
-        # mix_corpora r5-era rows displaced by the probe-wave changed
-        # verbs above; they rotate in r10)
-        # (e) round-9 new op — never driver-attested
-        "weighted_sample",
+        # mix_corpora / decode_features r5-era rows displaced by the
+        # probe-wave changed verbs above; they rotate in r10)
+        # (e) round-9 new ops — never driver-attested
+        "weighted_sample", "dsir_weights",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -2784,6 +2796,34 @@ def _sampling_oracles() -> dict[str, str]:
             "WITH t AS (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) "
             f"AS h FROM documents) SELECT doc_id, {bucket} < 100000 "
             "AS is_holdout FROM t"
+        ),
+        # DSIR: identical md5 buckets + identical smoothed log-ratios
+        # (IEEE ln over identical integer counts) + DECIMAL per-doc sum
+        "dsir_weights": (
+            "WITH tok AS (SELECT doc_id, "
+            "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, greatest(len(t)-1, 0)), "
+            "i -> t[i] || ' ' || t[i+1])) AS g FROM tok), "
+            f"b AS (SELECT doc_id, ({_hexn_int('md5(g)', 8)} % 64) AS b FROM g), "
+            "tokt AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t "
+            "FROM documents WHERE lang = 'en'), "
+            "gt AS (SELECT unnest(list_transform("
+            "generate_series(1, greatest(len(t)-1, 0)), "
+            "i -> t[i] || ' ' || t[i+1])) AS g FROM tokt), "
+            f"bt AS (SELECT ({_hexn_int('md5(g)', 8)} % 64) AS b FROM gt), "
+            "src AS (SELECT b, COUNT(*) AS cs FROM b GROUP BY b), "
+            "tgt AS (SELECT b, COUNT(*) AS ct FROM bt GROUP BY b), "
+            "j AS (SELECT COALESCE(src.b, tgt.b) AS b, "
+            "COALESCE(cs, 0) AS cs, COALESCE(ct, 0) AS ct "
+            "FROM src FULL JOIN tgt ON src.b = tgt.b), "
+            "tot AS (SELECT SUM(cs) AS s, SUM(ct) AS tt FROM j), "
+            "lr AS (SELECT b, ln((ct + 0.5) / (tt + 32.0)) - "
+            "ln((cs + 0.5) / (s + 32.0)) AS lr FROM j, tot), "
+            "pd AS (SELECT doc_id, CAST(SUM(CAST(lr AS DECIMAL(27,18))) "
+            "AS DOUBLE) AS w FROM b JOIN lr USING (b) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(pd.w, 0.0) AS dsir_logw "
+            "FROM documents d LEFT JOIN pd USING (doc_id)"
         ),
         # A-ES: identical md5-derived uniforms + IEEE ln/div -> identical
         # priorities -> identical top-k set (ties by doc_id)

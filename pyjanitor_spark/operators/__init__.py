@@ -73,6 +73,7 @@ from pyjanitor_spark.operators.similarity import (
     pq_train,
     semdedup,
 )
+from pyjanitor_spark.operators.importance import dsir_weights
 from pyjanitor_spark.operators.sampling import (
     deterministic_sample,
     mix_corpora,

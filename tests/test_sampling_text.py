@@ -479,6 +479,56 @@ class TestWeightedSample:
             pj.weighted_sample(df, "w", 0, "id")
 
 
+class TestDsirWeights:
+    def _corpus(self, spark):
+        rows = [(i, "the quick brown fox jumps over dogs", "en") for i in range(10)]
+        rows += [(100 + i, "der schnelle braune fuchs springt hoch", "de") for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+    def test_target_domain_scores_higher(self, spark):
+        df = self._corpus(spark)
+        tgt = df.filter(F.col("lang") == "en")
+        out = pj.dsir_weights(df, tgt, "text", "doc_id")
+        rows = {r["doc_id"]: r["dsir_logw"] for r in out.collect()}
+        en = [v for k, v in rows.items() if k < 100]
+        de = [v for k, v in rows.items() if k >= 100]
+        assert min(en) > max(de), (min(en), max(de))
+
+    def test_source_equals_target_is_exactly_zero(self, spark):
+        # T == S bucket-for-bucket -> every log-ratio is exactly 0.0
+        df = self._corpus(spark)
+        out = pj.dsir_weights(df, df, "text", "doc_id")
+        assert all(r["dsir_logw"] == 0.0 for r in out.collect())
+
+    def test_layout_independent_and_empty_doc(self, spark):
+        df = self._corpus(spark).unionByName(
+            spark.createDataFrame(
+                [(999, "", "en"), (998, "single", "en")],
+                "doc_id int, text string, lang string",
+            )
+        )
+        tgt = df.filter(F.col("lang") == "en")
+        a = {r["doc_id"]: r["dsir_logw"]
+             for r in pj.dsir_weights(df.repartition(1), tgt, "text", "doc_id").collect()}
+        b = {r["doc_id"]: r["dsir_logw"]
+             for r in pj.dsir_weights(df.repartition(7), tgt, "text", "doc_id").collect()}
+        assert a == b  # DECIMAL sums: exactly equal, not just close
+        # no bigrams (empty / single token) -> weight 0
+        assert a[999] == 0.0 and a[998] == 0.0
+
+    def test_error_contracts(self, spark):
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="n must"):
+            pj.dsir_weights(df, df, "text", "doc_id", n=0)
+        with pytest.raises(ValueError, match="num_buckets"):
+            pj.dsir_weights(df, df, "text", "doc_id", num_buckets=1)
+        with pytest.raises(ValueError, match="k must"):
+            pj.dsir_weights(df, df, "text", "doc_id", k=0)
+        empty_tgt = df.filter(F.lit(False))
+        with pytest.raises(ValueError, match="target corpus"):
+            pj.dsir_weights(df, empty_tgt, "text", "doc_id")
+
+
 class TestNaiveBayes:
     def test_separable_classes_classify_perfectly(self, spark):
         rows = [(i, "spam buy now cheap pills", "spam") for i in range(20)]
