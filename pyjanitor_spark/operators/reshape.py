@@ -408,6 +408,7 @@ def pivot_wider(
     # normalize output names: single value -> bare label; multi-value ->
     # value<sep>label (pandas MultiIndex flattening order)
     renames: dict[str, str] = {}
+    multi_order: dict[tuple, str] = {}
     for c in out.columns:
         if c in idx:
             continue
@@ -428,8 +429,21 @@ def pivot_wider(
                             **_glue_args(names, label, names_sep, v)
                         )
                     renames[c] = new
+                    multi_order[(v, label)] = new
                     break
     out = out.withColumnsRenamed(renames)
+    if len(values) > 1:
+        # pandas flattens the (value, label) MultiIndex VALUES-major
+        # (v1|a, v1|b, v2|a, v2|b); Spark's pivot emits labels-major —
+        # reorder to match
+        ordered = [c for c in out.columns if c in set(idx)] + [
+            multi_order[(v, lab)]
+            for v in values
+            for lab in labels
+            if (v, lab) in multi_order
+        ]
+        if sorted(ordered) == sorted(out.columns):
+            out = out.select(*ordered)
     if index_expand:
         # row-side expansion: cross join of per-column index levels (tiny
         # frames, broadcast), left-joined to the pivot result — absent

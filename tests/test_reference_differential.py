@@ -1357,6 +1357,26 @@ def test_complete_string_fill_widens_numeric(spark):
                     assert str(a) == str(b), (c, a, b)
 
 
+def test_pivot_wider_multi_values_column_order(spark):
+    # pandas flattens the (value, label) MultiIndex VALUES-major
+    # (v1|a, v1|b, v2|a, v2|b); Spark's pivot emits labels-major —
+    # the output must be reordered to match
+    pdf = pd.DataFrame(
+        {"id": [1, 1], "n": ["a", "b"], "v1": [1.0, 2.0], "v2": [3.0, 4.0]}
+    )
+    for sep in ("|", "_"):
+        exp = pdf.copy().pivot_wider(
+            index="id", names_from="n", values_from=["v1", "v2"],
+            names_sep=sep,
+        )
+        out = pj.pivot_wider(
+            _sdf(spark, pdf), index="id", names_from="n",
+            values_from=["v1", "v2"], names_sep=sep,
+        )
+        assert out.columns == list(exp.columns), (sep, exp.columns, out.columns)
+        compare(spark, exp, out)
+
+
 def test_pivot_wider_names_expand_ordered_categorical(spark):
     # ordered categorical names_from with an UNUSED leading level:
     # names_expand emits a column per level in category order
