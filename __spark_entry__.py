@@ -1751,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_excel_date", "complete",
         "bin_numeric", "find_replace",
         "convert_matlab_date", "convert_unix_date", "case_when",
+        "data_description", "pivot_wider",
         # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
         "fingerprint", "simhash", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
@@ -1762,12 +1763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score", "top_collocations",
         # (d) ALL 17 r5-era stale attestations
         "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
-        "log", "currency_column_to_numeric", "pivot_wider",
+        "log", "currency_column_to_numeric",
         "fill_missing_timestamps", "kmeans_assign",
-        "windowed_agg", "remove_duplicated_spans",
+        "remove_duplicated_spans",
         # (hash_columns / heavy_hitters / url_normalize / frame_sample /
-        # mix_corpora / decode_features r5-era rows displaced by the
-        # probe-wave changed verbs above; they rotate in r10)
+        # mix_corpora / decode_features / windowed_agg r5-era rows
+        # displaced by the probe-wave changed verbs above; rotate in r10)
         # (e) round-9 new ops — never driver-attested
         "weighted_sample", "dsir_weights",
     ]
@@ -3139,9 +3140,10 @@ def _pipeline_oracles() -> dict[str, str]:
             "FROM t"
         ),
         "data_description": " UNION ALL ".join(
-            f"SELECT '{c}' AS column_name, count({c}) AS count, "
+            f"SELECT '{c}' AS column_name, '{t}' AS type, "
+            f"count({c}) AS count, "
             f"1.0 - count({c}) * 1.0 / count(*) AS pct_missing, "
-            f"'{t}' AS dtype FROM customer"
+            f"'' AS description FROM customer"
             for c, t in [
                 ("c_custkey", "bigint"),
                 ("c_name", "string"),

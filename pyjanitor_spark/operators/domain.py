@@ -231,12 +231,28 @@ def toset(df: DataFrame, column_name: str) -> set:
     return {r[0] for r in df.select(column_name).distinct().collect()}
 
 
-def data_description(df: DataFrame) -> DataFrame:
-    """Per-column summary: count, pct_missing, dtype (ref
-    ``accessors/data_description.py:9-70``).
+def data_description(
+    df: DataFrame, descriptions: dict | list | None = None
+) -> DataFrame:
+    """Per-column summary with the reference accessor's exact column
+    surface — ``column_name, type, count, pct_missing, description``
+    (ref ``accessors/data_description.py:20-34``; the index there is
+    ``column_name``, an ordinary column here).  ``descriptions`` mirrors
+    ``set_description``: a dict ``{column: text}`` or a full-length
+    list (length mismatch raises like the reference).
 
     ONE aggregate pass over the data (all per-column counts in a single
     job), reshaped driver-side into the small summary frame."""
+    if isinstance(descriptions, list):
+        if len(descriptions) != len(df.columns):
+            raise ValueError(
+                f"Length of description list ({len(descriptions)}) does "
+                "not match number of columns in DataFrame "
+                f"({len(df.columns)})"
+            )
+        desc = dict(zip(df.columns, descriptions))
+    else:
+        desc = descriptions or {}
     spark = df.sparkSession
     total_and_counts = df.agg(
         F.count(F.lit(1)).alias("__n"),
@@ -247,12 +263,15 @@ def data_description(df: DataFrame) -> DataFrame:
     rows = [
         (
             c,
+            dtypes[c],
             int(total_and_counts[c]),
             float(1.0 - total_and_counts[c] / n) if n else 0.0,
-            dtypes[c],
+            desc.get(c, ""),
         )
         for c in df.columns
     ]
     return spark.createDataFrame(
-        rows, "column_name string, count long, pct_missing double, dtype string"
+        rows,
+        "column_name string, type string, count long, "
+        "pct_missing double, description string",
     )

@@ -55,10 +55,22 @@ def test_data_description(spark):
         [(1, "a"), (2, None), (3, "c"), (4, None)], ["k", "s"]
     )
     out = pj.data_description(df)
+    assert out.columns == [
+        "column_name", "type", "count", "pct_missing", "description"
+    ]  # the reference accessor's exact surface
     got = {r["column_name"]: r for r in out.collect()}
     assert got["k"]["count"] == 4 and got["k"]["pct_missing"] == 0.0
     assert got["s"]["count"] == 2 and abs(got["s"]["pct_missing"] - 0.5) < 1e-12
-    assert got["s"]["dtype"] == "string"
+    assert got["s"]["type"] == "string" and got["s"]["description"] == ""
+    # set_description parity: dict and full-length list; bad list raises
+    desc = pj.data_description(df, {"k": "the key"})
+    assert {r["column_name"]: r["description"] for r in desc.collect()} == {
+        "k": "the key", "s": "",
+    }
+    desc2 = pj.data_description(df, ["key col", "str col"])
+    assert [r["description"] for r in desc2.collect()] == ["key col", "str col"]
+    with pytest.raises(ValueError, match="Length of description list"):
+        pj.data_description(df, ["only one"])
 
 
 def test_convert_currency_raises():

@@ -2348,12 +2348,13 @@ def test_collapse_levels_matches_reference_naming(spark):
 
 def test_data_description_counts(spark):
     pdf = pd.DataFrame({"k": [1, 2, 3, 4], "s": ["a", None, "c", None]})
-    exp = (
-        pdf.data_description.df.reset_index()[["column_name", "count", "pct_missing"]]
-    )
-    out = pj.data_description(_sdf(spark, pdf)).select(
-        "column_name", "count", "pct_missing"
-    )
+    ref = pdf.data_description.df.reset_index()
+    out_full = pj.data_description(_sdf(spark, pdf))
+    # exact column surface (type VALUES are engine dtypes — pandas
+    # int64/object vs Spark bigint/string — only names align)
+    assert out_full.columns == list(ref.columns)
+    exp = ref[["column_name", "count", "pct_missing", "description"]]
+    out = out_full.select("column_name", "count", "pct_missing", "description")
     compare(spark, exp, out)
 
 
