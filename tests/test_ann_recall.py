@@ -100,6 +100,60 @@ def test_ivf_pq_recall_and_full_probe_equivalence(ann_data):
     ]
 
 
+def test_ivf_topk_recall_vs_exact_cosine(ann_data, spark):
+    # the uncompressed IVF path: nprobe=3 of 8 true clusters must still
+    # recover most of the exact cosine top-10 (clustered regime — the
+    # query's neighbors live in its own + adjacent clusters)
+    df, X, _ = ann_data
+    norms = np.linalg.norm(X, axis=1)
+    for qi in QUERY_IDS:
+        q = X[qi]
+        cos = (X @ q) / (norms * np.linalg.norm(q))
+        exact10 = set(np.argsort(-cos)[:10].tolist())
+        got = [
+            r["vec_id"]
+            for r in pj.ivf_topk(
+                df, [float(x) for x in q], "embedding", "vec_id", "label",
+                k=10, nprobe=3,
+            ).collect()
+        ]
+        rec = len(set(got) & exact10) / 10
+        assert rec >= 0.8, f"query {qi}: ivf_topk recall {rec}"
+    # nprobe = all clusters == exact cosine_topk
+    q = [float(x) for x in X[QUERY_IDS[0]]]
+    full = pj.ivf_topk(df, q, "embedding", "vec_id", "label", k=10, nprobe=C)
+    flat = pj.cosine_topk(df, q, "embedding", "vec_id", k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in flat.collect()
+    ]
+
+
+def test_lsh_bucket_topk_recall(ann_data, spark):
+    # single-probe hyperplane LSH scans ONLY the query's bucket, so a
+    # query whose cluster straddles a hyperplane genuinely loses
+    # neighbors — the pinned bound is "far above random", not parity
+    # with exhaustive search (measured 0.9/0.2/0.3 on this seed at
+    # planes=2; a random 50-of-400 candidate set would give 0.125)
+    df, X, _ = ann_data
+    norms = np.linalg.norm(X, axis=1)
+    recalls = []
+    for qi in QUERY_IDS:
+        q = X[qi]
+        cos = (X @ q) / (norms * np.linalg.norm(q))
+        exact10 = set(np.argsort(-cos)[:10].tolist())
+        got = [
+            r["vec_id"]
+            for r in pj.lsh_bucket_topk(
+                df, [float(x) for x in q], "embedding", "vec_id",
+                k=50, planes=2,
+            ).collect()
+        ]
+        rec = len(set(got) & exact10) / 10
+        recalls.append(rec)
+        assert rec >= 0.1, f"query {qi}: {rec}"
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
 def test_pq_pre_encoded_equals_inline(ann_data):
     df, X, cb = ann_data
     q = [float(x) for x in X[0]]
