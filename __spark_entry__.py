@@ -1751,7 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_excel_date", "complete",
         "bin_numeric", "find_replace",
         "convert_matlab_date", "convert_unix_date", "case_when",
-        "data_description", "pivot_wider",
+        "data_description", "pivot_wider", "clean_names",
         # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
         "fingerprint", "simhash", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
@@ -1765,10 +1765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
         "log", "currency_column_to_numeric",
         "fill_missing_timestamps", "kmeans_assign",
-        "remove_duplicated_spans",
         # (hash_columns / heavy_hitters / url_normalize / frame_sample /
-        # mix_corpora / decode_features / windowed_agg r5-era rows
-        # displaced by the probe-wave changed verbs above; rotate in r10)
+        # mix_corpora / decode_features / windowed_agg /
+        # remove_duplicated_spans r5-era rows displaced by the
+        # probe-wave changed verbs above; rotate in r10)
         # (e) round-9 new ops — never driver-attested
         "weighted_sample", "dsir_weights",
     ]

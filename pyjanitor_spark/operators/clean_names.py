@@ -95,11 +95,17 @@ def clean_names_expr(
         c = F.lower(c)
     elif case_type != "preserve":
         raise ValueError(f"bad case_type {case_type!r}")
-    c = F.regexp_replace(c, r"[ \t\r\n\-\.]+", "_")
+    # the reference's exact _normalize_1 FIXES (clean_names.py:231):
+    # space / : , ? ( ) . - and NBSP become underscores, apostrophes are
+    # REMOVED (tabs/newlines pass through untouched — pandas only cleans
+    # the listed set)
+    c = F.regexp_replace(c, "[ /:,?()\\.\\- ]", "_")
+    c = F.regexp_replace(c, "['’]", "")
     # reference order (clean_names.py:188-193): remove_special BEFORE
-    # strip_accents — an accented char is removed, not transliterated
+    # strip_accents — an accented char is removed, not transliterated;
+    # the reference also str.strip()s after the removal
     if remove_special:
-        c = F.regexp_replace(c, r"[^A-Za-z0-9_]+", "")
+        c = F.trim(F.regexp_replace(c, r"[^A-Za-z0-9_]+", ""))
     if strip_accents:
         # NFD-decompose + drop combining marks, JVM-side (Spark >= 3.0 has
         # no builtin normalizer; cover the Latin-1/Latin-Ext range via

@@ -37,8 +37,11 @@ def _change_case(s: str, case_type: str) -> str:
 
 
 def _normalize_spaces(s: str) -> str:
-    # spaces and common separators -> underscore
-    return re.sub(r"[ \t\r\n\-\.]+", "_", s)
+    # the reference's exact _normalize_1 FIXES (clean_names.py:231):
+    # space / : , ? ( ) . - and NBSP -> underscore, apostrophes REMOVED
+    # (tabs/newlines pass through — pandas only cleans the listed set)
+    s = re.sub("[ /:,?()\\.\\-\xa0]", "_", s)
+    return re.sub("['’]", "", s)
 
 
 def _strip_accents(s: str) -> str:

@@ -135,6 +135,55 @@ def test_clean_names_collision_keeps_duplicates(spark):
     assert got == [1, 2, 3]
 
 
+def test_clean_names_nasty_battery(spark):
+    # the reference's exact _normalize_1 FIXES set: / : , ? ( ) . -
+    # and NBSP -> underscore, apostrophes removed, tabs untouched —
+    # swept across every kwargs axis (90 combinations, all engines
+    # agree; pinned after the round-9 probe found the set divergence)
+    batteries = [
+        ["Ünïcode Çol", "naïve café"],
+        ["123start", "9lives", "_ok_"],
+        ["a__b___c", "__dunder__", "trailing__"],
+        ["ALL CAPS!", "mixed#Case$", "dots.in.name"],
+        ["()", "--", "  spaces  "],
+        ["x", "x ", " x"],
+        ["what?col", "a/b", "c:d", "e,f", "it's", "nb\xa0sp"],
+    ]
+    grids = [
+        {}, {"case_type": "snake"}, {"case_type": "preserve"},
+        {"remove_special": True}, {"strip_underscores": True},
+        {"truncate_limit": 5},
+    ]
+    for names in batteries:
+        for kw in grids:
+            exp = list(
+                pd.DataFrame([[1] * len(names)], columns=names)
+                .clean_names(**kw)
+                .columns
+            )
+            got = list(
+                pj.clean_names(
+                    spark.createDataFrame([[1] * len(names)], names), **kw
+                ).columns
+            )
+            assert got == exp, (names, kw, exp, got)
+
+
+def test_clean_names_values_nasty_content(spark):
+    # the axis=None VALUES path shares the same normalize chain
+    pdf = pd.DataFrame(
+        {"v": ["what?val", "a/b:c,d", "it's", "nb\xa0sp", "x-y.z (q)"]}
+    )
+    exp = pdf.copy().clean_names(axis=None, column_names=["v"])["v"].tolist()
+    got = [
+        r["v"]
+        for r in pj.clean_names(
+            _sdf(spark, pdf), axis=None, column_names=["v"]
+        ).collect()
+    ]
+    assert got == exp
+
+
 def test_clean_names_case_and_underscores(spark):
     pdf = pd.DataFrame({"CamelCase Col": [1], "__lead": [2]})
     exp = pdf.clean_names(case_type="snake", strip_underscores=True)
