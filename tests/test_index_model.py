@@ -228,10 +228,11 @@ def test_clean_name_idempotent_and_charset():
     def prop(name):
         once = clean_name(name)
         assert clean_name(once) == once
-        # assert exactly the normalized separator set (space/tab/CR/LF,
-        # dash, dot) plus no uppercase; rarer controls (\f \v \x1c-\x1f)
-        # survive the reference pipeline too, so they aren't asserted
-        assert not re.search(r"[ \t\n\r.\-A-Z]", once), (name, once)
+        # assert exactly the reference's _normalize_1 FIXES set (space,
+        # / : , ? ( ) . - NBSP -> "_"; apostrophes removed) plus no
+        # uppercase; tabs/newlines and rarer controls survive the
+        # reference pipeline too, so they aren't asserted
+        assert not re.search(r"[ /:,?().\-'’\xa0A-Z]", once), (name, once)
         special = clean_name(name, remove_special=True)
         assert clean_name(special, remove_special=True) == special
 
