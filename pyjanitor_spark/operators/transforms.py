@@ -192,7 +192,9 @@ def _pt_replace(col, pat, repl, regex=True, n=-1, **_):
         return F.regexp_replace(
             col, _re.escape(pat), repl.replace("\\", "\\\\").replace("$", "\\$")
         )
-    return F.regexp_replace(col, pat, repl)
+    # (?U): python3 re classes (\d \w \s) are unicode-aware by default;
+    # Java's are ASCII without UNICODE_CHARACTER_CLASS
+    return F.regexp_replace(col, "(?U)" + pat, repl)
 
 
 def _pt_translate(col, table):
@@ -271,11 +273,16 @@ def _pt_slice(col, start=None, stop=None, step=None):
     return col.substr(s + 1, F.greatest(e - s, F.lit(0)))
 
 
+# python str.isspace()/strip() whitespace: ASCII \s + unicode space
+# separators + NEL + the \x1c-\x1f separators
+_PY_WS = "[\\s\\p{Z}-]"
+
+
 def _pt_contains(col, pat, regex=True, case=True, flags=0, **kw):
     if flags:
         return _str_fallback("contains", pat=pat, regex=regex, case=case, flags=flags)(col)
     if regex:
-        return col.rlike(("(?i)" if not case else "") + pat)
+        return col.rlike("(?U)" + ("(?i)" if not case else "") + pat)
     if not case:
         return F.lower(col).contains(pat.lower())
     return col.contains(pat)
@@ -343,16 +350,22 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "capitalize": lambda col: F.concat(
         F.upper(F.substring(col, 1, 1)), F.lower(col.substr(F.lit(2), F.length(col)))
     ),
-    "strip": lambda col, to_strip=None: F.trim(col) if to_strip is None else F.btrim(col, F.lit(to_strip)),
-    "lstrip": lambda col: F.ltrim(col),
-    "rstrip": lambda col: F.rtrim(col),
+    # python str.strip() removes UNICODE whitespace (NBSP, \x85,
+    # \x1c-\x1f); Spark's trim family is ASCII-space only
+    "strip": lambda col, to_strip=None: (
+        F.regexp_replace(col, f"^{_PY_WS}+|{_PY_WS}+$", "")
+        if to_strip is None
+        else F.btrim(col, F.lit(to_strip))
+    ),
+    "lstrip": lambda col: F.regexp_replace(col, f"^{_PY_WS}+", ""),
+    "rstrip": lambda col: F.regexp_replace(col, f"{_PY_WS}+$", ""),
     "len": lambda col: F.length(col),
     "contains": _pt_contains,
     "startswith": _pt_affix("start"),
     "endswith": _pt_affix("end"),
     "replace": _pt_replace,
-    "count": lambda col, pat, **kw: F.regexp_count(col, F.lit(pat)),
-    "findall": lambda col, pat, **kw: F.regexp_extract_all(col, F.lit(pat), F.lit(0)),
+    "count": lambda col, pat, **kw: F.regexp_count(col, F.lit("(?U)" + pat)),
+    "findall": lambda col, pat, **kw: F.regexp_extract_all(col, F.lit("(?U)" + pat), F.lit(0)),
     "split": _pt_split,
     "slice": _pt_slice,
     # "get" is dtype-aware (string vs array) — handled in process_text
@@ -391,12 +404,15 @@ _STR_DISPATCH: dict[str, Callable[..., Column]] = {
     "repeat": lambda col, repeats: F.repeat(col, repeats),
     "removeprefix": lambda col, prefix: F.when(col.startswith(prefix), col.substr(F.lit(len(prefix) + 1), F.length(col))).otherwise(col),
     "removesuffix": lambda col, suffix: F.when(col.endswith(suffix), col.substr(F.lit(1), F.length(col) - len(suffix))).otherwise(col),
-    "isdigit": lambda col: col.rlike(r"^[0-9]+$"),
-    "isalpha": lambda col: col.rlike(r"^[A-Za-z]+$"),
-    "isalnum": lambda col: col.rlike(r"^[A-Za-z0-9]+$"),
-    "isspace": lambda col: col.rlike(r"^\s+$"),
-    "isupper": lambda col: (col == F.upper(col)) & col.rlike("[A-Za-z]"),
-    "islower": lambda col: (col == F.lower(col)) & col.rlike("[A-Za-z]"),
+    # unicode-aware like python's str predicates (Java \p{..} property
+    # classes): "ünïcödé".isalpha() is True, unicode digits count, the
+    # cased-char guard for isupper/islower is any letter, not just ASCII
+    "isdigit": lambda col: col.rlike(r"^\p{Nd}+$"),
+    "isalpha": lambda col: col.rlike(r"^\p{L}+$"),
+    "isalnum": lambda col: col.rlike(r"^[\p{L}\p{Nd}]+$"),
+    "isspace": lambda col: col.rlike(f"^{_PY_WS}+$"),
+    "isupper": lambda col: (col == F.upper(col)) & col.rlike(r"\p{L}"),
+    "islower": lambda col: (col == F.lower(col)) & col.rlike(r"\p{L}"),
     "cat": lambda col, others=None, sep="": F.concat_ws(sep, col, *(others or [])),
     "translate": _pt_translate,
 }

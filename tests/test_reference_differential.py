@@ -2286,6 +2286,43 @@ def test_bin_numeric_default_label_rendering(spark):
         assert e == g, (kw, e, g)
 
 
+def test_process_text_unicode_parity_sweep(spark):
+    # python str semantics are UNICODE-aware: .isalpha() on accented
+    # words, \\d matching arabic-indic digits, strip() removing NBSP/
+    # NEL/\\x1c-\\x1f — Java regex needs (?U) and \\p{..} classes
+    # (round-9 sweep; values compared as str, numeric dtype widening
+    # from pandas' NaN column is the documented typed-column analogue)
+    corpus = [
+        "", " ", "Hello World", "aBc123", "  padded  ", "ünïcödé",
+        "١٢٣", "𝟙𝟚", "\xa0", "ΣΙΓΜΑ", "σιγμα", "\x85pad\x85", "\x1c\x1d",
+    ]
+    cases = [
+        ("strip", {}), ("lstrip", {}), ("rstrip", {}),
+        ("strip", {"to_strip": "ab"}),
+        ("isdigit", {}), ("isalpha", {}), ("isalnum", {}), ("isspace", {}),
+        ("isupper", {}), ("islower", {}),
+        ("contains", {"pat": r"\d+"}),
+        ("replace", {"pat": r"\d+", "repl": "#", "regex": True}),
+        ("replace", {"pat": r"\w+", "repl": "W", "regex": True}),
+        ("findall", {"pat": r"\w+"}),
+    ]
+    pdf = pd.DataFrame({"t": corpus + [None]})
+    sdf = _sdf(spark, pdf)
+
+    def same(a, b):
+        if isinstance(a, (list, tuple)) or "ndarray" in str(type(a)):
+            return b is not None and list(a) == list(b)
+        if pd.isna(a):
+            return b is None
+        return str(a) == str(b)
+
+    for m, kw in cases:
+        exp = pdf.copy().process_text("t", string_function=m, **kw)["t"].tolist()
+        got = [r["t"] for r in pj.process_text(sdf, "t", m, **kw).collect()]
+        for i, (a, b) in enumerate(zip(exp, got)):
+            assert same(a, b), (m, kw, repr(corpus[i] if i < len(corpus) else None), a, b)
+
+
 def test_case_when_default_is_always_literal(spark):
     # the reference's default is a literal even when the string names a
     # column, and default=None yields NULL rows — never a fallback to an
