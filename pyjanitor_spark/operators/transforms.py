@@ -295,6 +295,9 @@ def _pt_split(col, pat=" ", n=-1, regex=None, **kw):
 
     if regex is False or (regex is None and len(pat) == 1):
         pat = _re.escape(pat)
+    else:
+        # python3 re unicode classes (see _pt_replace)
+        pat = "(?U)" + pat
     limit = -1 if n is None or n < 0 else n + 1
     return F.split(col, pat, limit)
 
