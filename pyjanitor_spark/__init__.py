@@ -32,10 +32,12 @@ from pyjanitor_spark.sources import (  # noqa: F401
     read_bucketed_table,
     read_commandline,
     read_csvs,
+    read_orc,
     read_table,
     write_bucketed_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_zordered,
     zorder_key,

@@ -72,6 +72,30 @@ def write_parquet(
     out.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC writer with the same layout control as :func:`write_parquet`
+    (ORC ships in Spark core — the common warehouse format alongside
+    parquet; sortWithinPartitions feeds its min/max stripe statistics
+    the same way it feeds parquet row-group stats)."""
+    out = _prepare(df, partition_by, sort_by).write.mode(mode)
+    out = out.option("compression", compression)
+    if partition_by:
+        out = out.partitionBy(*partition_by)
+    out.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (predicate pushdown/column pruning work like parquet)."""
+    return spark.read.orc(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -10,9 +10,11 @@ from pyspark.sql import functions as F
 
 from pyjanitor_spark.plans import shuffle_count
 from pyjanitor_spark.sources import (
+    read_orc,
     write_bucketed_table,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -47,6 +49,26 @@ def test_write_parquet_max_records_per_file(spark, lineitem, tmp_path):
     total = lineitem.count()
     assert len(files) >= total // 1000
     assert spark.read.parquet(path).count() == total
+
+
+def test_write_orc_roundtrip_layout_and_pushdown(spark, lineitem, tmp_path):
+    path = str(tmp_path / "li_orc")
+    write_orc(lineitem, path, partition_by=["l_returnflag"], sort_by=["l_shipdate"])
+    back = read_orc(spark, path)
+    assert back.count() == lineitem.count()
+    assert set(back.columns) == set(lineitem.columns)
+    # hive layout: one file per partition value (repartition on the key)
+    for d in glob.glob(f"{path}/l_returnflag=*"):
+        assert len(glob.glob(f"{d}/*.orc")) == 1
+    # predicate pushdown + partition pruning reach the ORC scan
+    q = back.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_quantity") > 25)
+    ).select("l_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    assert q.count() == lineitem.filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_quantity") > 25)
+    ).count()
 
 
 def test_write_csv_json_roundtrip(spark, lineitem, tmp_path):
