@@ -531,8 +531,21 @@ def q_minhash_lsh(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    # default max_doc_freq=10_000 never bites at sf0.01 (max shingle
+    # doc-freq there is 7) -> still exact vs the all-shingle oracle
     d = _docs(spark, sf)
     return pj.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+def q_ngram_jaccard_capped(spark, sf):
+    # cap=3 BITES at sf0.01 (shingles with doc-freq up to 7 exist):
+    # pins the stop-shingle-cut semantics — dropped from both the
+    # intersection stream and the per-doc sizes — against a DuckDB
+    # oracle that implements the same cut
+    d = _docs(spark, sf)
+    return pj.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.5, max_doc_freq=3
+    )
 
 
 def _embs(spark, sf):
@@ -1392,6 +1405,34 @@ def q_read_csvs(spark, sf):
     )
 
 
+def q_orc_roundtrip(spark, sf):
+    # write_orc -> read_orc round-trip (sinks.py): partitioned by
+    # returnflag + sorted within partitions on orderkey so the ORC
+    # stripe stats are exercised; the read-back must equal the plain
+    # parquet projection (oracle reads the same rows from lineitem)
+    import hashlib
+
+    from pyjanitor_spark.sources import read_orc, write_orc
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/orc_fixture/{tag}"
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    write_orc(
+        li, d, partition_by=["l_returnflag"], sort_by=["l_orderkey"]
+    )
+    out = read_orc(spark, d)
+    # hive partition column comes back last and typed string — restore
+    # the original projection order/type for the oracle compare
+    return out.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
 # ---- round-7 second wave: struct-index verbs, pipe combinators, sources ----
 
 def q_collapse_levels(spark, sf):
@@ -1569,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_timestamps_monotonically": q_sort_timestamps_monotonically,
         "get_join_indices": q_get_join_indices,
         "read_csvs": q_read_csvs,
+        "orc_roundtrip": q_orc_roundtrip,
         # (b) order.py probe riders + math trio + r6 regression re-times
         "ecdf": q_ecdf,
         "z_score": q_z_score,
@@ -1598,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
@@ -1842,6 +1885,14 @@ def oracle_sql() -> dict[str, str]:
             # content equals the source table
             "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, "
             "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"
+        ),
+        "orc_roundtrip": (
+            # the Spark side round-trips through a partitioned+sorted ORC
+            # sink; the content equals the source projection
+            "SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(l_quantity AS DOUBLE) AS l_quantity, "
+            "CAST(l_returnflag AS VARCHAR) AS l_returnflag FROM lineitem"
         ),
         "groupby_agg": (
             "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_returnflag"
@@ -2911,6 +2962,21 @@ def _pipeline_oracles() -> dict[str, str]:
         "JOIN sizes sb ON sb.doc_id = id_2 "
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
     )
+    # the stop-shingle cut: shingles with doc-freq > 3 removed from BOTH
+    # the intersection stream and the per-doc sizes (dedup.py cap path)
+    jaccard_capped = (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks), "
+        "keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 3), "
+        "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_1, id_2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_1 "
+        "JOIN sizes sb ON sb.doc_id = id_2 "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
+    )
     near_dup = (
         "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
         "FROM embeddings) "
@@ -3116,6 +3182,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "simhash": _simhash_sql(32),
         "minhash_lsh_pairs": _minhash_band_sql(8, 4),
         "ngram_jaccard_pairs": jaccard,
+        "ngram_jaccard_capped": jaccard_capped,
         "embedding_near_dup": near_dup,
         "cosine_topk": topk,
         "lsh_bucket_topk": lsh_topk,

@@ -105,7 +105,9 @@ def clean_names_expr(
     # strip_accents — an accented char is removed, not transliterated;
     # the reference also str.strip()s after the removal
     if remove_special:
-        c = F.trim(F.regexp_replace(c, r"[^A-Za-z0-9_]+", ""))
+        # reference pattern [^A-Za-z_\d]: python3 \d is unicode Nd, so
+        # unicode digits survive — \p{Nd} in the Java regex
+        c = F.trim(F.regexp_replace(c, r"[^A-Za-z_\p{Nd}]+", ""))
     if strip_accents:
         # NFD-decompose + drop combining marks, JVM-side (Spark >= 3.0 has
         # no builtin normalizer; cover the Latin-1/Latin-Ext range via

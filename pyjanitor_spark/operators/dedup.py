@@ -346,7 +346,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_1 < id_2, jaccard ≥
     threshold).
@@ -369,8 +369,11 @@ def ngram_jaccard_pairs(
     intersection stream and the per-doc set sizes, giving exact Jaccard
     over the non-stop shingle space (the standard stop-shingle cut —
     self-consistent, layout-stable, and the dropped shingles are
-    precisely the least discriminating ones).  Default ``None`` keeps
-    fully exact semantics."""
+    precisely the least discriminating ones).  The cap is ON BY DEFAULT
+    (``10_000``: worst single-task pair array C(10k, 2) ≈ 5e7 structs,
+    bounded regardless of corpus size); pass ``None`` to opt out into
+    fully exact all-shingle semantics when the corpus is known to have
+    no stop shingles — the scale hazard is then yours."""
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
     if not 0.0 < threshold <= 1.0:

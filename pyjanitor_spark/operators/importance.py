@@ -82,7 +82,7 @@ def dsir_weights(
     tot = joined.agg(
         F.sum("__cs").alias("s"), F.sum("__ct").alias("t")
     ).first()
-    S, T = int(tot["s"]), int(tot["t"] or 0)
+    S, T = int(tot["s"] or 0), int(tot["t"] or 0)
     if T == 0:
         raise ValueError("target corpus has no n-grams to estimate from")
     kb = float(k * num_buckets)

@@ -280,7 +280,14 @@ _PY_WS = "[\\s\\p{Z}-]"
 
 def _pt_contains(col, pat, regex=True, case=True, flags=0, **kw):
     if flags:
-        return _str_fallback("contains", pat=pat, regex=regex, case=case, flags=flags)(col)
+        return _str_fallback(
+            "contains",
+            return_type="boolean",
+            pat=pat,
+            regex=regex,
+            case=case,
+            flags=flags,
+        )(col)
     if regex:
         return col.rlike("(?U)" + ("(?i)" if not case else "") + pat)
     if not case:
@@ -817,14 +824,25 @@ def bin_numeric(
             digits = precision
         return round(x, digits)
 
-    def _fmt_breaks(breaks: list[float]) -> list[str]:
+    def _infer_prec(breaks: list[float]) -> int:
         # pandas _infer_precision: smallest precision >= 3 keeping the
-        # rounded breaks unique
+        # rounded breaks unique; falls back to the base precision
         for prec in range(3, 20):
             rounded = [_round_frac(b, prec) for b in breaks]
             if len(set(rounded)) == len(rounded):
-                return [repr(r) for r in rounded]
-        return [repr(b) for b in breaks]
+                return prec
+        return 3
+
+    def _fmt_breaks(breaks: list[float], adjust_first: bool = False) -> list[str]:
+        # pandas tile.py _format_labels: precision is inferred on the
+        # UNADJUSTED breaks, every break rounded at it, and only then is
+        # 10**-precision subtracted from the first rounded break
+        # (right-closed include_lowest)
+        prec = _infer_prec(breaks)
+        rounded = [_round_frac(b, prec) for b in breaks]
+        if adjust_first:
+            rounded[0] = rounded[0] - 10**-prec
+        return [repr(r) for r in rounded]
 
     col = F.col(from_column_name)
     int_bins = isinstance(bins, int)
@@ -849,18 +867,17 @@ def bin_numeric(
     # pd.cut casts explicit bins to a common dtype before rendering the
     # interval labels: an all-int bin list prints "(0, 4]", any float in
     # the list promotes every edge to "(0.0, 4.0]"; include_lowest
-    # injects the float 10^-3 pad, promoting int edges to float
+    # injects the float 10^-precision pad, promoting int edges to float
     label_edges = list(edges)
-    if not int_bins and right and include_lowest:
-        label_edges[0] = label_edges[0] - 10**-3
+    adjust_first = not int_bins and right and include_lowest
     if (
         not int_bins
-        and not (right and include_lowest)
+        and not adjust_first
         and all(isinstance(b, int) and not isinstance(b, bool) for b in bins)
     ):
         shown = [str(int(e)) for e in label_edges]
     else:
-        shown = _fmt_breaks(label_edges)
+        shown = _fmt_breaks(label_edges, adjust_first=adjust_first)
     expr = None
     for i in range(len(edges) - 1):
         lo_e, hi_e = edges[i], edges[i + 1]

@@ -16,7 +16,9 @@ import unicodedata
 __all__ = ["clean_name", "make_unique"]
 
 _UNDERSCORE_RUN = re.compile(r"_+")
-_SPECIAL = re.compile(r"[^A-Za-z0-9_]+")
+# the reference's exact pattern [^A-Za-z_\d] (utils.py _remove_special):
+# python3 \d is unicode Nd, so unicode digits SURVIVE the removal
+_SPECIAL = re.compile(r"[^A-Za-z_\d]+")
 
 
 def _change_case(s: str, case_type: str) -> str:

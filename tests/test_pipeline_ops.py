@@ -86,6 +86,25 @@ def test_ngram_jaccard_max_doc_freq(spark, docs):
         pj.ngram_jaccard_pairs(d, "doc_id", "text", max_doc_freq=1)
 
 
+def test_ngram_jaccard_capped_by_default(spark):
+    # the scale guard is ON by default (10k cap bounds the in-task
+    # C(bucket, 2) pair array); None is the exact-semantics opt-out
+    import inspect
+
+    sig = inspect.signature(pj.ngram_jaccard_pairs)
+    assert sig.parameters["max_doc_freq"].default == 10_000
+    rows = [(i, "shared stop shingle everywhere") for i in range(1, 5)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    # 4 identical docs, one shingle with df=4 < 10k: default still pairs
+    got = pj.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3).count()
+    assert got == 6  # C(4,2) exact dup pairs
+    # explicit opt-out matches the default here (cap never bites)
+    got_exact = pj.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, max_doc_freq=None
+    ).count()
+    assert got_exact == 6
+
+
 def test_simhash_near_dups_close(docs):
     out = pj.simhash(docs, "text", bits=32, dest="sh")
     got = {r["doc_id"]: int(r["sh"]) for r in out.collect()}
