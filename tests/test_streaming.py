@@ -274,6 +274,165 @@ def test_streaming_dedupe_near_across_batches(spark, tmp_path):
     assert kept == {1, 2, 20, 30}, kept
 
 
+def _drain(stream_df, sink, ckpt, mode="append"):
+    """One availableNow run into a parquet sink; checkpoint carries the
+    watermark + state into the next run."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_agg_drops_late_row_across_batches(spark, tmp_path):
+    """Real watermark semantics across micro-batch runs: a row arriving
+    in run 2 whose event time is older than the watermark established in
+    run 1 is DROPPED — the finalized window's count excludes it."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in rows], "event_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def agg():
+        stream = spark.readStream.schema(
+            mk([(0, "2024-01-01 00:00:00")]).schema
+        ).parquet(src)
+        return windowed_agg(
+            stream, "ts", "5 minutes", {"n": ("event_id", "count")},
+            watermark="10 minutes",
+        )
+
+    # run 1: two rows in W1=[10:00,10:05) + one at 10:30 that advances
+    # the watermark to 10:20 (past W1's end)
+    mk([
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:01:00"),
+        (3, "2024-01-01 10:30:00"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(agg(), sink, ckpt)
+
+    # run 2: a LATE row for W1 (10:02 < watermark 10:20 -> dropped) and
+    # one at 11:00 that pushes the watermark far past everything open
+    mk([
+        (4, "2024-01-01 10:02:00"),
+        (5, "2024-01-01 11:00:00"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(agg(), sink, ckpt)
+
+    # run 3: data-less flush is not a thing — one more advancing row so
+    # any window still open at run 2's end finalizes and emits
+    mk([(6, "2024-01-01 12:00:00")]).coalesce(1).write.mode("append").parquet(src)
+    _drain(agg(), sink, ckpt)
+
+    got = {
+        (r["s"].strftime("%H:%M"), r["n"])
+        for r in spark.read.parquet(sink)
+        .select(F.col("window.start").alias("s"), "n")
+        .collect()
+    }
+    # W1 finalized with ONLY rows 1,2 — the late row 4 never counted,
+    # and W1 appears exactly once (append emits a window at most once)
+    assert ("10:00", 2) in got, got
+    assert not any(s == "10:00" and n != 2 for s, n in got), got
+
+
+def test_sessionize_closes_session_on_gap_across_batches(spark, tmp_path):
+    """A session closes once the watermark passes last-event + gap; a
+    later event for the same key in the next run opens a NEW session
+    instead of extending the closed one."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    def sess():
+        stream = spark.readStream.schema(
+            mk([("u0", "2024-01-01 00:00:00")]).schema
+        ).parquet(src)
+        return sessionize(
+            stream, "ts", "5 minutes", by=["user"], watermark="10 minutes"
+        )
+
+    # run 1: u1 session #1 (10:00, 10:02); u9 at 10:30 advances the
+    # watermark to 10:20 > session end 10:07 -> session #1 closes
+    mk([
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:02:00"),
+        ("u9", "2024-01-01 10:30:00"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(sess(), sink, ckpt)
+
+    # run 2: u1 again at 10:40 — a NEW session (> 5 min after 10:02,
+    # and session #1 is already finalized); u9 advances the watermark
+    mk([
+        ("u1", "2024-01-01 10:40:00"),
+        ("u9", "2024-01-01 11:10:00"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(sess(), sink, ckpt)
+
+    # run 3: advance once more so run 2's session finalizes and emits
+    mk([("u9", "2024-01-01 12:00:00")]).coalesce(1).write.mode("append").parquet(src)
+    _drain(sess(), sink, ckpt)
+
+    u1 = sorted(
+        (r["s"].strftime("%H:%M"), r["n_events"])
+        for r in spark.read.parquet(sink)
+        .filter(F.col("user") == "u1")
+        .select(F.col("session.start").alias("s"), "n_events")
+        .collect()
+    )
+    assert u1 == [("10:00", 2), ("10:40", 1)], u1
+
+
+def test_streaming_dedupe_state_across_restarts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives the checkpoint: a
+    duplicate arriving in the NEXT availableNow run (within the
+    watermark horizon) is still dropped."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, ts string, text string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+
+    def dd():
+        stream = spark.readStream.schema(
+            mk([(0, "2024-01-01 00:00:00", "x")]).schema
+        ).parquet(src)
+        return streaming_dedupe(stream, "text", watermark="1 hour", ts_column="ts")
+
+    mk([(1, "2024-01-01 10:00:00", "same text")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _drain(dd(), sink, ckpt)
+
+    # run 2: a normalized dup of run 1's row, 5 min later (well inside
+    # the 1 h horizon) + a fresh doc
+    mk([
+        (2, "2024-01-01 10:05:00", "same  TEXT"),
+        (3, "2024-01-01 10:06:00", "other text"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(dd(), sink, ckpt)
+
+    kept = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {1, 3}, kept
+
+
 def test_foreach_batch_sink(spark, stream_events, tmp_path):
     """foreachBatch runs batch-only verbs (here: dedupe_exact) per
     micro-batch and lands the result wherever the callback says."""

@@ -39,6 +39,10 @@ def normalize(plan: str) -> str:
     # localCheckpoint RDD names/ids
     plan = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[]", plan)
     plan = re.sub(r"Scan ExistingRDD\S*", "Scan ExistingRDD", plan)
+    # higher-order-function lambda variables carry a session-global
+    # monotonic counter (lambda x_5# vs lambda x_13#) — the reason
+    # fingerprints looked order-dependent before r10
+    plan = re.sub(r"lambda (\w+?)_\d+#", r"lambda \1_#", plan)
     return plan
 
 
@@ -55,6 +59,11 @@ def main() -> None:
         # AQE re-plans at runtime from observed sizes — disable so the
         # fingerprint reflects the static strategy, not sf0.001 stats
         .config("spark.sql.adaptive.enabled", "false")
+        # FileScan metadata (DataFilters/PushedFilters) truncates at 100
+        # chars by default; the cut point shifts with the width of the
+        # session-global lambda counter, making truncated prefixes
+        # order-dependent — print them whole instead
+        .config("spark.sql.maxMetadataStringLength", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.session.timeZone", "UTC")
