@@ -129,6 +129,17 @@ def _execute_spec(
             if k not in (".name", ".value", "__row") and k not in label_cols:
                 label_cols.append(k)
 
+    # no label columns at all (names_to = just ".value"): pair the k-th
+    # column of each value group positionally (the reference's implicit
+    # cumcount index — pivot.py .value-only path), else every spec row
+    # would collapse into a single group
+    if not label_cols and spec and "__row" not in spec[0]:
+        counters: dict[str, int] = {}
+        for r in spec:
+            k = counters.get(r[".value"], 0)
+            counters[r[".value"]] = k + 1
+            r["__row"] = k
+
     # group spec rows: one stack row per distinct label tuple (or __row id)
     def gkey(r):
         return r.get("__row", tuple(r.get(lc) for lc in label_cols))
@@ -194,7 +205,7 @@ def pivot_longer(
     df: DataFrame,
     index: Any | None = None,
     column_names: Any | None = None,
-    names_to: str | list[str] | None = "variable",
+    names_to: str | list[str] | None = None,
     values_to: str | list[str] = "value",
     names_sep: str | None = None,
     names_pattern: str | list[str] | dict | None = None,
@@ -237,8 +248,18 @@ def pivot_longer(
         raise ValueError(
             "Only one of names_pattern or names_sep should be provided."
         )
-    nt = [names_to] if isinstance(names_to, str) else list(names_to or [])
-    if len(set(nt)) != len(nt):
+    if isinstance(names_pattern, dict) and names_to is not None:
+        # ref pivot.py:765: the dict keys ARE the names
+        raise ValueError(
+            "names_to should be None when names_pattern is a dictionary"
+        )
+    if names_to is None:
+        names_to = "variable"
+    nt = [names_to] if isinstance(names_to, str) else list(names_to)
+    # repeated .value is legal (the groups concatenate); only real
+    # label duplicates are errors
+    non_value = [x for x in nt if x != ".value"]
+    if len(set(non_value)) != len(non_value):
         raise ValueError("names_to contains duplicate labels.")
     if isinstance(values_to, str) and ".value" not in nt:
         if values_to in nt:

@@ -3320,3 +3320,291 @@ def test_convert_excel_date_string_serials_superset(spark):
     # values equal the numeric-serial conversion
     num = pd.DataFrame({"d": [44197.0, 44198.5]}).convert_excel_date("d")
     assert sorted(out["d"].astype(str)) == sorted(num["d"].astype(str))
+
+
+# ---- round 10: pivot_longer exotic spec forms (VERDICT r9 task 7) ----
+# the reference's 96-test matrix out-covered this repo on dict-form
+# names_pattern and multi-.value x names_transform combos; each case
+# below runs the live reference on the same frame and compares multisets.
+
+
+def _fruit(n=3):
+    return pd.DataFrame(
+        {
+            "City": ["Houston", "Austin", "Hoover"][:n],
+            "State": ["Texas", "Texas", "Alabama"][:n],
+            "Mango": [4.0, 10.0, 90.0][:n],
+            "Orange": [10.0, 8.0, 14.0][:n],
+            "Watermelon": [40.0, 99.0, 43.0][:n],
+            "Gin": [16.0, 200.0, 34.0][:n],
+            "Vodka": [20.0, 33.0, 18.0][:n],
+        }
+    )
+
+
+def test_pivot_longer_flat_dict_pattern(spark):
+    # flat dict {value_col: regex}: keys NAME the value columns
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "m_a": [1.0, 2.0], "m_b": [3.0, 4.0], "t_x": [5.0, 6.0]}
+    )
+    exp = pdf.pivot_longer(index="id", names_pattern={"M": "^m", "Task": "^t"})
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_pattern={"M": "^m", "Task": "^t"}
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_flat_dict_pattern_fruit(spark):
+    pdf = _fruit()
+    exp = pdf.pivot_longer(
+        index=["City", "State"],
+        names_pattern={"Pounds": r"M|O|W", "Ounces": r"G|V"},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf),
+        index=["City", "State"],
+        names_pattern={"Pounds": r"M|O|W", "Ounces": r"G|V"},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_nested_dict_pattern(spark):
+    # nested dict {label_col: {value_col: regex}}: outer keys carry the
+    # matched column NAME, inner keys the values
+    pdf = _fruit()
+    pat = {"Fruit": {"Pounds": r"M|O|W"}, "Drink": {"Ounces": r"G|V"}}
+    exp = pdf.pivot_longer(index=["City", "State"], names_pattern=pat)
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index=["City", "State"], names_pattern=pat
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_nested_dict_with_names_transform(spark):
+    # names_transform on the label columns; 'category' has no Spark
+    # analog (values compare equal as strings), so the Spark side
+    # casts to string explicitly
+    pdf = _fruit()
+    pat = {"Fruit": {"Pounds": r"M|O|W"}, "Drink": {"Ounces": r"G|V"}}
+    exp = pdf.pivot_longer(
+        index=["City", "State"],
+        names_pattern=pat,
+        names_transform={"Fruit": "category", "Drink": "category"},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf),
+        index=["City", "State"],
+        names_pattern=pat,
+        names_transform={"Fruit": "string", "Drink": "string"},
+    )
+    exp = exp.copy()
+    exp["Fruit"] = exp["Fruit"].astype(object).where(exp["Fruit"].notna(), None)
+    exp["Drink"] = exp["Drink"].astype(object).where(exp["Drink"].notna(), None)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_values_to_tuple_single(spark):
+    # values_to as a 1-tuple with a 1-list names_pattern
+    pdf = _fruit()
+    exp = pdf.pivot_longer(
+        index=["City", "State"],
+        column_names=["Mango", "Orange", "Watermelon"],
+        names_to=("Fruit"),
+        values_to=("Pounds",),
+        names_pattern=[r"M|O|W"],
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf),
+        index=["City", "State"],
+        column_names=["Mango", "Orange", "Watermelon"],
+        names_to=("Fruit"),
+        values_to=("Pounds",),
+        names_pattern=[r"M|O|W"],
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_values_to_pair_with_transform(spark):
+    # 2-list names_pattern + 2-tuple values_to + per-label transform
+    pdf = _fruit()
+    exp = pdf.pivot_longer(
+        index=["City", "State"],
+        names_to=("Fruit", "Drink"),
+        values_to=("Pounds", "Ounces"),
+        names_pattern=[r"M|O|W", r"G|V"],
+        names_transform={"Fruit": "string", "Drink": "string"},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf),
+        index=["City", "State"],
+        names_to=("Fruit", "Drink"),
+        values_to=("Pounds", "Ounces"),
+        names_pattern=[r"M|O|W", r"G|V"],
+        names_transform={"Fruit": "string", "Drink": "string"},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_multi_dot_value_concatenates(spark):
+    # two .value groups concatenate into ONE output column name
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "x_1_mean": [1.0, 2.0],
+            "x_2_mean": [3.0, 4.0],
+            "y_1_mean": [5.0, 6.0],
+            "y_2_mean": [7.0, 8.0],
+        }
+    )
+    args = dict(
+        index="id",
+        names_to=(".value", "time", ".value"),
+        names_pattern=r"(x|y)_([12])_(mean)",
+    )
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dot_value_second_position(spark):
+    # .value NOT first: names_to=("time", ".value")
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "1_ht": [1.0, 2.0], "2_ht": [3.0, 4.0],
+         "1_wt": [5.0, 6.0], "2_wt": [7.0, 8.0]}
+    )
+    args = dict(index="id", names_to=("time", ".value"), names_sep="_")
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dot_value_with_int_transform(spark):
+    pdf = pd.DataFrame(
+        {"id": [1], "ht_1": [1.5], "ht_2": [2.5], "wt_1": [9.0], "wt_2": [8.0]}
+    )
+    exp = pdf.pivot_longer(
+        index="id", names_to=(".value", "time"), names_sep="_",
+        names_transform={"time": int},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to=(".value", "time"),
+        names_sep="_", names_transform={"time": "int"},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dot_value_float_transform_ragged(spark):
+    # the reference's wide_to_long parity case: ragged sub-labels
+    # (result_1 has no treatment partner at colname 1.0 after float cast
+    # -- wait, it does pair with treatment_1.1? no: groups are by the
+    # label value, NaN where a group lacks a member)
+    pdf = pd.DataFrame(
+        {
+            "treatment_1.1": [1.0, 2.0],
+            "treatment_2.1": [3.0, 4.0],
+            "result_1.2": [5.0, 6.0],
+            "result_1": [0.0, 9.0],
+            "A": ["X1", "X2"],
+        }
+    )
+    exp = pdf.pivot_longer(
+        index="A", names_to=(".value", "colname"), names_sep="_",
+        names_transform={"colname": float},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="A", names_to=(".value", "colname"),
+        names_sep="_", names_transform={"colname": "double"},
+    )
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dot_value_only(spark):
+    # names_to is JUST .value: labels vanish, only value columns remain
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "x_1": [1.0, 2.0], "x_2": [3.0, 4.0],
+         "y_1": [5.0, 6.0], "y_2": [7.0, 8.0]}
+    )
+    args = dict(index="id", names_to=".value", names_pattern=r"(.+)_\d")
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_three_way_names_sep(spark):
+    # label - .value - label split across three segments
+    pdf = pd.DataFrame(
+        {
+            "id": [1],
+            "a_ht_x": [1.0],
+            "a_wt_x": [2.0],
+            "b_ht_y": [3.0],
+            "b_wt_y": [4.0],
+        }
+    )
+    args = dict(
+        index="id", names_to=("grp", ".value", "tag"), names_sep="_"
+    )
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_column_names_only(spark):
+    # column_names given, index inferred as the complement
+    pdf = pd.DataFrame(
+        {"id": [1, 2], "keep": ["a", "b"], "v1": [1.0, 2.0], "v2": [3.0, 4.0]}
+    )
+    args = dict(column_names=["v1", "v2"], names_to="var", values_to="val")
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_single_group_regex(spark):
+    # single regex with ONE capture group, names_to a plain string;
+    # non-matching columns stay put (reference drops non-matchers from
+    # the melt set only when index/column_names say so)
+    pdf = pd.DataFrame({"id": [1], "wk1": [5.0], "wk2": [6.0]})
+    args = dict(index="id", names_to="week", names_pattern=r"wk(\d)")
+    exp = pdf.pivot_longer(**args)
+    out = pj.pivot_longer(_sdf(spark, pdf), **args)
+    compare(spark, exp, out)
+
+
+def test_pivot_longer_dict_pattern_error_contracts(spark):
+    # names_to must be None with a dict names_pattern (reference
+    # ValueError); mirrored here
+    pdf = _fruit()
+    pat = {"Fruit": {"Pounds": r"M|O|W"}, "Drink": {"Ounces": r"G|V"}}
+    with pytest.raises(ValueError):
+        pdf.pivot_longer(
+            index=["City", "State"], names_to=("Fruit", "Drink"),
+            names_pattern=pat,
+        )
+    with pytest.raises(ValueError):
+        pj.pivot_longer(
+            _sdf(spark, pdf), index=["City", "State"],
+            names_to=("Fruit", "Drink"), names_pattern=pat,
+        )
+
+
+def test_pivot_longer_multi_dot_value_with_transform(spark):
+    # multi-.value AND a names_transform on the surviving label
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2],
+            "a_1_min": [1.0, 2.0],
+            "a_2_min": [3.0, 4.0],
+            "b_1_min": [5.0, 6.0],
+            "b_2_min": [7.0, 8.0],
+        }
+    )
+    exp = pdf.pivot_longer(
+        index="id", names_to=(".value", "t", ".value"),
+        names_pattern=r"(a|b)_(\d)_(min)", names_transform={"t": int},
+    )
+    out = pj.pivot_longer(
+        _sdf(spark, pdf), index="id", names_to=(".value", "t", ".value"),
+        names_pattern=r"(a|b)_(\d)_(min)", names_transform={"t": "int"},
+    )
+    compare(spark, exp, out)

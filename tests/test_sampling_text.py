@@ -459,6 +459,34 @@ class TestWeightedSample:
         )
         assert hits >= 9, hits
 
+    def test_inclusion_frequency_proportional_to_weight(self, spark):
+        # the A-ES statistical property itself: with k=1 the inclusion
+        # probability of row i is exactly w_i / sum(w).  160 fixed salts,
+        # one action (the per-salt top-1 plans unioned) — deterministic,
+        # so the frequencies are pinned, not flaky.
+        from functools import reduce
+
+        df = self._df(spark, [1.0, 2.0, 5.0])
+        n_salts = 160
+        picks = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                pj.weighted_sample(df, "w", 1, "id", salt=f"freq{j}")
+                for j in range(n_salts)
+            ],
+        )
+        counts = {r["id"]: r["n"] for r in picks.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        total = sum(counts.values())
+        assert total == n_salts
+        expected = {0: 1 / 8, 1: 2 / 8, 2: 5 / 8}
+        for i, p in expected.items():
+            obs = counts.get(i, 0) / total
+            # ±3.5 sigma of Binomial(160, p) — generous, and the fixed
+            # salt set makes the outcome reproducible anyway
+            tol = 3.5 * (p * (1 - p) / n_salts) ** 0.5
+            assert abs(obs - p) <= tol, (i, obs, p, tol)
+
     def test_layout_independent_and_stable(self, spark):
         df = self._df(spark, [float(i % 7 + 1) for i in range(100)])
         a = sorted(r["id"] for r in pj.weighted_sample(df.repartition(1), "w", 10, "id").collect())
@@ -493,6 +521,22 @@ class TestDsirWeights:
         en = [v for k, v in rows.items() if k < 100]
         de = [v for k, v in rows.items() if k >= 100]
         assert min(en) > max(de), (min(en), max(de))
+
+    def test_logw_monotone_in_target_likeness(self, spark):
+        # graded overlap with the target domain -> strictly decreasing
+        # logw: 100% target bigrams > 2/3 > 1/3 > 0%
+        tgt_text = "alpha beta gamma delta"  # target bigrams: 3
+        rows = [
+            (0, "alpha beta gamma delta"),          # 3/3 target bigrams
+            (1, "alpha beta gamma zork"),           # 2/3
+            (2, "alpha beta yerp zork"),            # 1/3
+            (3, "wibble yerp zork quux"),           # 0/3
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        tgt = spark.createDataFrame([(99, tgt_text)], "doc_id int, text string")
+        w = {r["doc_id"]: r["dsir_logw"]
+             for r in pj.dsir_weights(df, tgt, "text", "doc_id").collect()}
+        assert w[0] > w[1] > w[2] > w[3], w
 
     def test_source_equals_target_is_exactly_zero(self, spark):
         # T == S bucket-for-bucket -> every log-ratio is exactly 0.0
