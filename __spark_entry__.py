@@ -1777,43 +1777,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
     }
-    # Round-9 window.  Composition rule (unchanged from r7): changed
+    # Round-10 window.  Composition rule (unchanged from r7): changed
     # code out-ranks stale-but-green attestations; rotated-out entries
     # stay replica-covered (tools/check_correctness.py).
     _WINDOW = [
-        # (a) the ONLY never-driver-green entry: pq_encode (r8 failed in
-        # the driver canonicalizer on the array<int> column; the gate
-        # now projects scalar code columns)
-        "pq_encode",
-        # (b) verbs whose code changed in round 9 (ADVICE fixes: PQ
-        # nulls-last + code_col guard, process_text return_type sentinel
-        # + varchar(n) guard + string-coerced fallback, excel micros
-        # precision, complete fill widening)
-        "pq_topk", "ivf_pq_topk",
-        "process_text", "process_text_fallback",
-        "convert_excel_date", "complete",
-        "bin_numeric", "find_replace",
-        "convert_matlab_date", "convert_unix_date", "case_when",
-        "data_description", "pivot_wider", "clean_names",
-        # (c) ALL 25 r4-era stale attestations (VERDICT r8 task 2)
-        "fingerprint", "simhash", "minhash_lsh_pairs",
-        "ngram_jaccard_pairs", "embedding_near_dup", "lsh_bucket_topk",
-        "ivf_topk", "token_count", "quality_score", "language_id",
-        "resize_payload", "normal_cdf", "probit", "near_dup_clusters",
-        "dup_span_fraction", "normalize_text", "winsorize",
-        "robust_scale", "dedupe_near_best", "sessionize",
-        "running_counter", "top_domains", "smiles_descriptors",
-        "ngram_lm_score", "top_collocations",
-        # (d) ALL 17 r5-era stale attestations
-        "filter_date", "min_max_scale", "factorize_columns", "sigmoid",
-        "log", "currency_column_to_numeric",
-        "fill_missing_timestamps", "kmeans_assign",
-        # (hash_columns / heavy_hitters / url_normalize / frame_sample /
-        # mix_corpora / decode_features / windowed_agg /
-        # remove_duplicated_spans r5-era rows displaced by the
-        # probe-wave changed verbs above; rotate in r10)
-        # (e) round-9 new ops — never driver-attested
-        "weighted_sample", "dsir_weights",
+        # (a) NEW gates — never driver-attested: the capped-jaccard
+        # semantics gate and the ORC write->read roundtrip
+        "ngram_jaccard_capped", "orc_roundtrip",
+        # (b) verbs whose code changed in round 10 (ngram_jaccard
+        # default cap, bin_numeric label precision, clean_names unicode
+        # digits, process_text contains-flags boolean fallback,
+        # dsir_weights empty-corpus guard, pivot_longer dict-pattern /
+        # multi-.value / .value-only spec fixes)
+        "ngram_jaccard_pairs", "bin_numeric", "clean_names",
+        "process_text", "process_text_fallback", "dsir_weights",
+        "pivot_longer", "pivot_longer_spec",
+        # (c) ALL 8 r5-era stale attestations the r9 window displaced
+        # (VERDICT r9 task 2 — the true oldest rows)
+        "decode_features", "frame_sample", "hash_columns",
+        "heavy_hitters", "mix_corpora", "remove_duplicated_spans",
+        "url_normalize", "windowed_agg",
+        # (d) ALL 24 r6-era stale attestations
+        "add_column_values", "assign_packs", "concatenate_columns",
+        "conditional_join_equi", "conditional_join_indicator",
+        "conditional_join_keep_first", "conditional_join_keep_last",
+        "conditional_join_outer", "convert_units",
+        "deconcatenate_column", "dropnotnull", "flag_nulls",
+        "hashed_tfidf", "inflate_currency", "label_encode",
+        "limit_column_characters", "move_rows", "remove_empty",
+        "round_to_fraction", "semdedup", "simhash_pairs",
+        "sort_naturally", "take_token_budget", "truncate_datetime",
+        # (e) r7-era rows that fit: the remaining 4 conditional_join
+        # variants (the hardest §2 operator gets fresh rows) + the 4
+        # most complex other r7-era gates.  After this window no
+        # entry's last driver-green is older than r7.
+        "conditional_join_left", "conditional_join_range",
+        "conditional_join_range_open", "conditional_join_right",
+        "xlsx_table", "xlsx_cells", "fill_direction", "impute",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
