@@ -54,19 +54,26 @@ __all__ = [
 ]
 
 
-def _pairs_in_bucket(ids: Column) -> Column:
-    """All ordered pairs (id_1 < id_2) from a SORTED id array — the
-    in-task pair emitter for bucketed candidate generation.
+def _emit_pairs(bucketed: DataFrame, ids_col: str = "__ids") -> DataFrame:
+    """All ordered pairs (id_1 < id_2) from bucket rows holding a SORTED
+    id array, emitted CHUNKED: posexplode the array, then each
+    (element i) row explodes only its successors ``slice(ids, i+2, n)``
+    (posexplode index is 0-based, slice position 1-based).
 
-    ``transform``'s second lambda parameter is the 0-based element
-    index; successors of element i start at 1-based position i+2."""
-    return F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_1"), y.alias("id_2")),
-            ),
+    Same Σ C(bucket, 2) output as a flattened all-pairs array, but the
+    largest single row holds |bucket| elements, not C(|bucket|, 2) —
+    a 1e6-doc hot bucket (one boilerplate body across a 100 TB corpus)
+    streams as 1e6 rows × ≤8 MB arrays instead of materializing a
+    5e11-struct array in one task.  Both generators stay inside
+    whole-stage codegen; no extra shuffle."""
+    ids = F.col(ids_col)
+    return (
+        bucketed.select(ids, F.posexplode(ids).alias("__i", "id_1"))
+        .select(
+            "id_1",
+            F.explode(
+                F.slice(ids, F.col("__i") + F.lit(2), F.size(ids))
+            ).alias("id_2"),
         )
     )
 
@@ -182,15 +189,15 @@ def minhash_lsh_pairs(
     # pipeline for both sides and shuffle it twice).  Bucket sizes are
     # bounded by near-dup cluster sizes, so the collect_list is safe;
     # cost stays ∝ Σ bucket² either way.
-    pairs = (
+    bucketed = (
         buckets.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
-        .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
-        .select("p.id_1", "p.id_2")
-        .distinct()
     )
-    return pairs
+    # chunked emission: LSH bands have NO bucket-size cap (an exact-dup
+    # cluster lands whole in one bucket), so the per-row pair array must
+    # stay O(bucket), not O(bucket²)
+    return _emit_pairs(bucketed).distinct()
 
 
 def simhash(
@@ -362,15 +369,17 @@ def ngram_jaccard_pairs(
     dominate (exact all-pairs Jaccard is inherently Σ bucket²).
 
     ``max_doc_freq`` is the 100 TB guard for the remaining hazard the
-    candidates path can't remove (the C(bucket, 2) pair ARRAY is built
-    in-task before the semi-join can drop it — one shingle shared by
-    1e6 docs is a 5e11-element array in one executor): shingles whose
-    document frequency exceeds the cap are dropped from BOTH the
-    intersection stream and the per-doc set sizes, giving exact Jaccard
-    over the non-stop shingle space (the standard stop-shingle cut —
+    candidates path can't remove: pair emission is chunked
+    (:func:`_emit_pairs` — no single row ever holds C(bucket, 2)
+    structs), but the pair STREAM is still quadratic in the bucket —
+    one shingle shared by 1e6 docs is 5e11 pair rows of generate +
+    semi-join work flowing out of ONE task.  Shingles whose document
+    frequency exceeds the cap are dropped from BOTH the intersection
+    stream and the per-doc set sizes, giving exact Jaccard over the
+    non-stop shingle space (the standard stop-shingle cut —
     self-consistent, layout-stable, and the dropped shingles are
     precisely the least discriminating ones).  The cap is ON BY DEFAULT
-    (``10_000``: worst single-task pair array C(10k, 2) ≈ 5e7 structs,
+    (``10_000``: worst single-bucket pair stream C(10k, 2) ≈ 5e7 rows,
     bounded regardless of corpus size); pass ``None`` to opt out into
     fully exact all-shingle semantics when the corpus is known to have
     no stop shingles — the scale hazard is then yours."""
@@ -412,11 +421,9 @@ def ngram_jaccard_pairs(
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
             .filter(F.size("__ids") > 1)
         )
-    pair_stream = (
-        bucketed
-        .select(F.explode(_pairs_in_bucket(F.col("__ids"))).alias("p"))
-        .select(F.col("p.id_1").alias("id_1"), F.col("p.id_2").alias("id_2"))
-    )
+    # chunked emission (O(bucket) per row, not O(bucket²)): belt and
+    # braces under the doc-freq cap, the whole story without it
+    pair_stream = _emit_pairs(bucketed)
     if candidates is not None:
         # semi-filter BEFORE the pair-count aggregation: the quadratic
         # stop-shingle pair stream is dropped ahead of the shuffle (AQE
