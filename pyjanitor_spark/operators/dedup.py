@@ -396,12 +396,16 @@ def ngram_jaccard_pairs(
         # one shuffle into buckets, capped BEFORE pair emission; sizes
         # re-derived from the kept buckets (2nd shuffle — same count as
         # the uncapped path) so |A| and |A∩B| live in the same space.
-        # Lazy checkpoint: sizes and pairs share the bucket aggregation.
+        # NO lazy checkpoint here: a non-materialized LogicalRDD reports
+        # bogus-small statistics, and every subtree above it inherits
+        # them — Catalyst then plans a BROADCAST of the (huge) pair
+        # aggregation and OOMs the driver (found by the r10 sf1 check).
+        # Recomputing the bucket agg on both branches costs one extra
+        # scan+shuffle, same as the uncapped path's double use of sh.
         buckets = (
             sh.groupBy("s")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
             .filter(F.size("__ids") <= max_doc_freq)
-            .localCheckpoint(eager=False)
         )
         sizes = (
             buckets.select(F.explode("__ids").alias(id_col))
@@ -435,8 +439,18 @@ def ngram_jaccard_pairs(
     inter = pair_stream.groupBy("id_1", "id_2").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    # merge hint: Catalyst's STATIC size estimate of the pair aggregate
+    # is bogus-small on the capped branch (generate+aggregate estimation
+    # after the bucket filter), so without the hint it plans a BROADCAST
+    # of the quadratic inter side and OOMs the driver (r10 sf1 check).
+    # The hint pins sort-merge statically; AQE still demotes to a
+    # broadcast of the genuinely-small side at runtime from REAL sizes —
+    # the correct plan at every scale (sizes is one row per doc: not
+    # broadcastable at 1e9 docs, so a static broadcast(sa) would be the
+    # opposite mistake).
     out = (
-        inter.join(sa, "id_1")
+        inter.hint("merge")
+        .join(sa, "id_1")
         .join(sb, "id_2")
         .withColumn(
             "jaccard",

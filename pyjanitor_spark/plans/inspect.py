@@ -30,6 +30,7 @@ __all__ = [
     "read_schema",
     "scan_columns",
     "scale_report",
+    "generate_fed_broadcasts",
 ]
 
 
@@ -103,6 +104,41 @@ def scan_columns(df: DataFrame) -> set[str]:
             if ":" in field:
                 cols.add(field.split(":")[0].strip())
     return cols
+
+
+def generate_fed_broadcasts(df: DataFrame) -> int:
+    """Number of ``BroadcastExchange`` nodes whose build subtree
+    contains a ``Generate`` (explode) node.
+
+    Catalyst's static size estimation does NOT grow through Generate or
+    the Aggregate above it, so an explode-derived frame (a pair stream,
+    a shingle table) can be estimated under the 10 MB broadcast
+    threshold while its true size is gigabytes — the static planner
+    then builds it as a broadcast hash relation and OOMs the driver
+    (found live: ngram_jaccard_pairs' capped branch at ~sf1).  Any
+    non-zero count deserves either a ``hint("merge")`` on the big side
+    or a documented boundedness argument (e.g. a k-row centroid or
+    bench-shingle attach that happens to pass through an explode)."""
+    lines = executed_plan(df).splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        if m:
+            return m.start()
+        return len(line) - len(line.lstrip(" :*"))
+
+    hits = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        for sub in lines[i + 1:]:
+            if sub.strip() and depth(sub) <= d and re.search(r"[+:]- ", sub):
+                break
+            if "Generate" in sub:
+                hits += 1
+                break
+    return hits
 
 
 def scale_report(df: DataFrame) -> dict:

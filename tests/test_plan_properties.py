@@ -284,6 +284,69 @@ def test_registry_scale_lint(spark):
     assert not bad, f"scale lint failures: {bad}"
 
 
+def test_registry_generate_broadcast_lint(spark):
+    """Registry-wide lint #2 (r10): every BroadcastExchange whose build
+    subtree contains a Generate (explode) must be on the reviewed
+    whitelist.
+
+    Why: Catalyst's static size estimate passes UNCHANGED through
+    Generate and Aggregate, so a frame whose true size is SUPERLINEAR
+    in its scan (a pair stream) can be estimated broadcastable while
+    actually being gigabytes — the static planner then builds it on the
+    driver and OOMs (found live: ngram_jaccard_pairs' inter aggregate at
+    ~sf1; fixed with hint('merge')).  Frames whose true size is LINEAR
+    in the scan (per-doc sizes tables, bucketized dims, id lists) are
+    safe: their estimate tracks the input, so at real scale the planner
+    switches to sort-merge on its own.  The whitelist records that
+    review per entry; any NEW generate-fed broadcast fails here by
+    name and needs the same linear-vs-superlinear argument."""
+    import __spark_entry__ as e
+    from pyjanitor_spark.plans import generate_fed_broadcasts
+
+    sf = "/root/testdata/sf0.001"
+    REVIEWED = {
+        # pair family: remaining broadcasts are per-doc sizes tables /
+        # id lists (linear; the quadratic inter side is merge-hinted)
+        "ngram_jaccard_pairs", "ngram_jaccard_capped", "dedupe_against",
+        "remove_duplicated_spans", "simhash_pairs", "semdedup",
+        # bucketized range join: right side exploded into range buckets;
+        # estimate derives from the real FileScan, growth factor is
+        # buckets-per-row (small constant)
+        "conditional_join_range", "conditional_join_range_open",
+        "conditional_join_keep_first", "conditional_join_keep_last",
+        # bounded stat / model attaches that pass through an explode
+        "hashed_tfidf", "top_collocations", "contamination",
+        "nb_classify", "expand_grid",
+    }
+    bad = {}
+    for name, q in e.queries().items():
+        try:
+            n = generate_fed_broadcasts(q(spark, sf))
+        except Exception as ex:
+            bad[name] = f"build error: {ex}"
+            continue
+        if n and name not in REVIEWED:
+            bad[name] = f"{n} unreviewed generate-fed broadcast(s)"
+    assert not bad, f"generate-broadcast lint failures: {bad}"
+
+
+def test_generate_fed_broadcasts_detector(spark):
+    # the detector itself: explode-derived build side counts, plain
+    # small-dim broadcast does not
+    from pyspark.sql import functions as F
+
+    from pyjanitor_spark.plans import generate_fed_broadcasts
+
+    big = spark.range(1000).withColumn("k", F.col("id") % 10)
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), F.explode(F.array(F.lit("a"), F.lit("b"))).alias("v")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    j = big.join(F.broadcast(dim), "k")
+    assert generate_fed_broadcasts(j) == 1
+    plain = big.join(F.broadcast(spark.range(10).select(F.col("id").alias("k"))), "k")
+    assert generate_fed_broadcasts(plain) == 0
+
+
 def test_scale_report(lineitem):
     from pyjanitor_spark.plans import scale_report
 
