@@ -200,3 +200,7 @@ from pyjanitor_spark.operators.transforms import (
     truncate_datetime_dataframe,
     unionize_dataframe_categories,
 )
+from pyjanitor_spark.operators.xarray_compat import (
+    clone_using,
+    convert_datetime_to_number,
+)
