@@ -814,7 +814,11 @@ def bin_numeric(
     import math
 
     def _round_frac(x: float, precision: int) -> float:
-        # pandas.core.reshape.tile._round_frac
+        # pandas.core.reshape.tile._round_frac — np.around, NOT python
+        # round: np.around scales by 10**digits and rounds the product,
+        # so for tiny magnitudes it can land one ulp away from the
+        # correctly-rounded decimal (1.4e-45 → 1.3999999999999999e-45).
+        # Label parity requires reproducing that exact arithmetic.
         if x == 0 or not math.isfinite(x):
             return x
         frac, whole = math.modf(x)
@@ -822,7 +826,9 @@ def bin_numeric(
             digits = -int(math.floor(math.log10(abs(frac)))) - 1 + precision
         else:
             digits = precision
-        return round(x, digits)
+        import numpy as np
+
+        return float(np.around(x, digits))
 
     def _infer_prec(breaks: list[float]) -> int:
         # pandas _infer_precision: smallest precision >= 3 keeping the
