@@ -33,7 +33,9 @@ _AGGS = {
     # pandas count is non-null only; size counts every row incl. nulls
     "count": F.count, "size": lambda c: F.count(F.lit(1)),
     "std": F.stddev, "var": F.variance,
-    "median": lambda c: F.percentile_approx(c, 0.5),
+    # exact interpolating percentile — pandas groupby median
+    # interpolates on even counts; percentile_approx picks a member
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
     "first": lambda c: F.first(c, ignorenulls=True),
     "last": lambda c: F.last(c, ignorenulls=True),
     "nunique": F.countDistinct,  # grouped path only; see _WINDOWED_AGGS

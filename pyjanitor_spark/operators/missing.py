@@ -109,7 +109,10 @@ def fill_empty(df: DataFrame, column_names: Any, value: Any) -> DataFrame:
 _STATS = {
     "mean": F.avg,
     "average": F.avg,
-    "median": lambda c: F.percentile_approx(c, 0.5),
+    # exact interpolating percentile, matching pandas Series.median()
+    # on even counts (percentile_approx returns a member element — off
+    # by half a gap whenever the non-null count is even)
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
     # deterministic=True -> lowest of the most-frequent values, matching
     # pandas Series.mode().iloc[0] (sorted ascending)
     "mode": lambda c: F.mode(c, True),
@@ -130,7 +133,8 @@ def impute(
     """Fill nulls with a scalar or a column statistic (ref
     ``impute.py:17-142``).  Statistic path: ONE agg action computing all
     statistics in a single pass, then a null-safe ``coalesce`` — two scans
-    total regardless of column count."""
+    total regardless of column count.  Documented superset: ``'sum'`` is
+    accepted as a statistic (the reference's dict stops at max)."""
     cols = resolve_columns(df, column_names)
     if (value is None) == (statistic_column_name is None):
         raise ValueError("exactly one of value / statistic_column_name")
