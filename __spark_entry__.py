@@ -152,10 +152,27 @@ def q_fill_empty(spark, sf):
 
 
 def q_impute_mean(spark, sf):
-    li = _t(spark, sf, "lineitem").withColumn(
-        "q2", F.when(F.col("l_discount") > 0.05, F.lit(None)).otherwise(F.col("l_quantity"))
+    # mean AND median statistics: median is Spark's exact interpolating
+    # percentile (pandas parity on even non-null counts) — the DuckDB
+    # oracle's median() interpolates identically
+    li = (
+        _t(spark, sf, "lineitem")
+        .withColumn(
+            "q2",
+            F.when(F.col("l_discount") > 0.05, F.lit(None)).otherwise(
+                F.col("l_quantity")
+            ),
+        )
+        .withColumn(
+            "q3",
+            F.when(F.col("l_tax") > 0.04, F.lit(None)).otherwise(
+                F.col("l_quantity").cast("double")
+            ),
+        )
     )
-    return pj.impute(li, ["q2"], statistic_column_name="mean").select(*KEYS, "q2")
+    out = pj.impute(li, ["q2"], statistic_column_name="mean")
+    out = pj.impute(out, ["q3"], statistic_column_name="median")
+    return out.select(*KEYS, "q2", "q3")
 
 
 def q_get_dupes(spark, sf):
@@ -1283,9 +1300,11 @@ def q_groupby_agg_multi(spark, sf):
                 "sum_qty": ("l_quantity", "sum"),
                 "max_price": ("l_extendedprice", "max"),
                 "n_parts": ("l_partkey", "nunique"),
+                # exact interpolating percentile (pandas median parity)
+                "med_qty": ("l_quantity", "median"),
             },
         )
-        .select("l_returnflag", "sum_qty", "max_price", "n_parts")
+        .select("l_returnflag", "sum_qty", "max_price", "n_parts", "med_qty")
         .distinct()
     )
 
@@ -1808,12 +1827,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "round_to_fraction", "semdedup", "simhash_pairs",
         "sort_naturally", "take_token_budget", "truncate_datetime",
         # (e) r7-era rows that fit: the remaining 4 conditional_join
-        # variants (the hardest §2 operator gets fresh rows) + the 4
-        # most complex other r7-era gates.  After this window no
-        # entry's last driver-green is older than r7.
+        # variants (the hardest §2 operator gets fresh rows) + 3 of the
+        # 4 most complex other r7-era gates, and groupby_agg_multi,
+        # whose GATE changed this round (median agg added to attest the
+        # interpolating-percentile fix; changed code out-ranks the
+        # unchanged xlsx_cells, which stays r7-era and replica-covered).
+        # After this window no entry's last driver-green is older
+        # than r7.
         "conditional_join_left", "conditional_join_range",
         "conditional_join_range_open", "conditional_join_right",
-        "xlsx_table", "xlsx_cells", "fill_direction", "impute",
+        "xlsx_table", "fill_direction", "impute", "groupby_agg_multi",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -1944,7 +1967,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, coalesce("
             "CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END, "
             "(SELECT avg(CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END) "
-            "FROM lineitem)) AS q2 FROM lineitem"
+            "FROM lineitem)) AS q2, coalesce("
+            "CASE WHEN l_tax > 0.04 THEN NULL ELSE CAST(l_quantity AS DOUBLE) END, "
+            "(SELECT median(CASE WHEN l_tax > 0.04 THEN NULL "
+            "ELSE CAST(l_quantity AS DOUBLE) END) FROM lineitem)) AS q3 "
+            "FROM lineitem"
         ),
         "get_dupes": (
             "SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM lineitem "
@@ -2016,7 +2043,8 @@ def oracle_sql() -> dict[str, str]:
         "groupby_agg_multi": (
             "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
             "max(l_extendedprice) AS max_price, "
-            "CAST(count(DISTINCT l_partkey) AS INT) AS n_parts "
+            "CAST(count(DISTINCT l_partkey) AS INT) AS n_parts, "
+            "median(CAST(l_quantity AS DOUBLE)) AS med_qty "
             "FROM lineitem GROUP BY l_returnflag"
         ),
         "count_cumulative_unique": (
