@@ -1826,17 +1826,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "limit_column_characters", "move_rows", "remove_empty",
         "round_to_fraction", "semdedup", "simhash_pairs",
         "sort_naturally", "take_token_budget", "truncate_datetime",
-        # (e) r7-era rows that fit: the remaining 4 conditional_join
-        # variants (the hardest §2 operator gets fresh rows) + 3 of the
-        # 4 most complex other r7-era gates, and groupby_agg_multi,
-        # whose GATE changed this round (median agg added to attest the
-        # interpolating-percentile fix; changed code out-ranks the
-        # unchanged xlsx_cells, which stays r7-era and replica-covered).
+        # (e) the remaining 4 conditional_join variants (the hardest §2
+        # operator gets fresh rows) + the four gates whose CODE or GATE
+        # changed late this round (changed code out-ranks stale-but-
+        # green attestations): impute + groupby_agg_multi (median
+        # attestation), groupby_topk (null-padding fix), min_max_scale
+        # (reference operation order).  The displaced r7-era
+        # xlsx_table/xlsx_cells/fill_direction stay replica-covered.
         # After this window no entry's last driver-green is older
         # than r7.
         "conditional_join_left", "conditional_join_range",
         "conditional_join_range_open", "conditional_join_right",
-        "xlsx_table", "fill_direction", "impute", "groupby_agg_multi",
+        "impute", "groupby_agg_multi", "groupby_topk", "min_max_scale",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}

@@ -279,23 +279,20 @@ def groupby_topk(
     if dropna:
         for kcol in keys:
             df = df.filter(F.col(kcol).isNotNull())
-    # the reference tries nlargest/nsmallest first (numeric/temporal
-    # dtypes — those never return NaN rows, they rank only non-null
-    # values) and falls back to sort_values().head(k) on TypeError
-    # (object/bool dtypes — there NaN sorts LAST and can still appear
-    # when a group has fewer than k non-null values), groupby_topk.py:112-119
-    from pyspark.sql.types import DateType, NumericType, TimestampNTZType, TimestampType
-
-    dtype = df.schema[column].dataType
-    if isinstance(dtype, (NumericType, DateType, TimestampType, TimestampNTZType)):
-        df = df.filter(F.col(column).isNotNull())
-        order = F.col(column).asc() if ascending else F.col(column).desc()
-    else:
-        order = (
-            F.col(column).asc_nulls_last()
-            if ascending
-            else F.col(column).desc_nulls_last()
-        )
+    # both reference paths — nlargest/nsmallest (numeric/temporal) and
+    # the sort_values().head(k) TypeError fallback (object/bool) — rank
+    # the non-null values and then PAD with the group's null rows when
+    # fewer than k non-nulls exist (pandas nsmallest([NaN], 1) returns
+    # the NaN row; fuzz-pinned in test_fuzz_differential5).  nulls-LAST
+    # ordering reproduces exactly that: non-null top-k first, null rows
+    # fill the remainder.  Which null rows pad is row-order-dependent in
+    # pandas and layout-dependent here — the same latitude ties among
+    # equal ranked values already have.
+    order = (
+        F.col(column).asc_nulls_last()
+        if ascending
+        else F.col(column).desc_nulls_last()
+    )
     w = Window.partitionBy(*keys).orderBy(order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -1070,8 +1070,11 @@ def min_max_scale(
             # an invented value
             updates[c] = F.lit(None).cast("double")
             continue
+        # reference operation ORDER, min_max_scale.py:192: multiply by
+        # the new range BEFORE dividing by the old — the two
+        # associations differ by an ulp on some inputs (fuzz-pinned)
         updates[c] = (
-            (F.col(c) - F.lit(mn)) / F.lit(mx - mn) * F.lit(hi_t - lo_t) + F.lit(lo_t)
+            (F.col(c) - F.lit(mn)) * F.lit(hi_t - lo_t) / F.lit(mx - mn) + F.lit(lo_t)
         )
     return df.withColumns(updates)
 
