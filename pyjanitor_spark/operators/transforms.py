@@ -586,7 +586,12 @@ def change_type(
 
     ``ignore_exception='fillna'`` == try_cast (bad values -> null);
     ``'keep_values'`` keeps originals where the cast fails (string
-    supertype)."""
+    supertype).
+
+    Documented rendering divergence: float -> str uses the JVM's
+    ``Double.toString`` (``1.0E-5``), not python repr (``1e-05``) —
+    values agree, the scientific-notation spelling differs (fuzz-pinned
+    envelope in ``test_fuzz_differential6``)."""
     if ignore_exception and ignore_exception not in ("fillna", "keep_values"):
         raise ValueError("Unknown option for ignore_exception")
     dtype = _spark_dtype(dtype)
@@ -970,12 +975,17 @@ def quantile_bin(
 def round_to_fraction(
     df: DataFrame, column_name: str, denominator: float, digits: int | None = None
 ) -> DataFrame:
-    """Round to nearest 1/denominator (ref ``round_to_fraction.py:14-74``)."""
+    """Round to nearest 1/denominator (ref ``round_to_fraction.py:14-74``).
+
+    ``bround``, not ``round``: the reference rounds via ``np.round``,
+    which is half-to-EVEN — Spark's ``round`` is half-up, so exact .5
+    multiples (1.25 at denominator 2) would land one step high
+    (fuzz-pinned)."""
     if denominator <= 0:
         raise ValueError("denominator must be positive")
-    col = F.round(F.col(column_name) * denominator) / denominator
+    col = F.bround(F.col(column_name) * denominator) / denominator
     if digits is not None:
-        col = F.round(col, digits)
+        col = F.bround(col, digits)
     return df.withColumn(column_name, col)
 
 
