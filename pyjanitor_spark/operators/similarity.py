@@ -20,7 +20,7 @@ pipeline extensions (see build brief).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyjanitor_spark.operators.dedup import cosine_sim
@@ -151,19 +151,20 @@ def semdedup(
     outliers carry more information) or nearest (``keep='near'``), ties
     broken by smallest id.  Returns ``df`` filtered to kept rows.
 
-    Plan shape at 100 TB: pairwise cosine runs per cluster (one shuffle
-    on the cluster key, Σ size² within clusters — never a corpus
-    cross join; the cluster assignment bounds the blocks exactly like
-    LSH bands bound MinHash pairs); centroids are the decimal-exact
+    Plan shape at 100 TB: ONE shuffle on the cluster key feeds ONE
+    Arrow task per cluster, which computes the Σ size² pairwise cosine
+    as BLOCKED matrix products (numpy/BLAS — the paper's own
+    computation shape; the score-matrix block is capped at ~32 MB so
+    task memory is O(cluster·dim), never O(cluster²)) and closes the
+    duplicate groups with an in-task union-find — components can never
+    span clusters, so the log-round distributed label propagation
+    ``near_dup_clusters`` needs for unbounded graphs is unnecessary
+    here, and only (id, group) rows ever leave the task (the pair
+    stream itself is never shuffled).  Centroids are the decimal-exact
     bounded aggregate reused from :func:`ivf_topk` and join back
-    broadcast (n_clusters rows).  Duplicate groups close transitively
-    with an IN-TASK union-find per cluster (``applyInPandas`` over the
-    cluster key): components can never span clusters, so the log-round
-    distributed label propagation ``near_dup_clusters`` needs for
-    unbounded graphs — and its per-round job overhead — is unnecessary
-    here (measured 13 s -> <1 s on the sf0.1 gate query).
-    ``checkpoint_dir`` is accepted for API compatibility and unused:
-    the in-task closure has no iterative lineage to checkpoint.
+    broadcast (n_clusters rows).  ``checkpoint_dir`` is accepted for
+    API compatibility and unused: the in-task closure has no iterative
+    lineage to checkpoint.
 
     The Σ size² pair cost is only bounded when clusters are genuinely
     small relative to the corpus — the natural failure mode is feeding a
@@ -171,14 +172,13 @@ def semdedup(
     (n/8)² per block.  ``max_cluster_size`` makes that cost explicit
     (the same gate pattern as ``embedding_near_dup``'s
     ``allow_cross_join``): any cluster exceeding it aborts the job.
-    ``check='inline'`` (default) enforces it with ``assert_true`` over a
-    window count that rides the SAME cluster-key shuffle the pair join
-    needs — zero extra jobs, the violation surfaces as a runtime error
-    naming the first offending cluster.  ``check='eager'`` runs one
-    bounded pre-flight aggregate instead and raises ``ValueError``
-    listing the five largest offenders before any heavy work starts
-    (nicer message, one extra scan).  Pass ``max_cluster_size=None`` to
-    skip entirely.
+    ``check='inline'`` (default) enforces it INSIDE the per-cluster
+    task before any pair work starts — zero extra jobs, the violation
+    surfaces as a runtime error naming the offending cluster.
+    ``check='eager'`` runs one bounded pre-flight aggregate instead and
+    raises ``ValueError`` listing the five largest offenders before any
+    heavy work starts (nicer message, one extra scan).  Pass
+    ``max_cluster_size=None`` to skip entirely.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
@@ -202,97 +202,84 @@ def semdedup(
                 f"larger k (kmeans_assign) or raise/disable "
                 f"max_cluster_size explicitly"
             )
-    from pyspark.sql import Window
-
     v = F.col(vec_col).cast("array<double>")
-    # norms are computed ONCE PER ROW here, not per pair: the pair
-    # predicate below then costs one dot product + a division —
-    # bitwise-identical to cosine_sim (same sqrt-of-aggregate value,
-    # same division), measured ~3x on the Σ size² pair stage
-    base = df.select(
-        F.col(id_col), F.col(cluster_col), v.alias("__v")
-    ).withColumn(
-        "__n",
-        F.sqrt(F.aggregate(F.col("__v"), F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
-    a = base.select(
-        F.col(cluster_col),
-        F.col(id_col).alias("id_1"),
-        F.col("__v").alias("__v1"),
-        F.col("__n").alias("__n1"),
-    )
-    if max_cluster_size is not None and check == "inline":
-        # zero-extra-job guard: the window count hash-shuffles on the
-        # cluster key — the very partitioning the pair join needs, so
-        # the exchange is shared.  assert_true aborts the job at
-        # execution when any cluster exceeds the cap; the filter keeps
-        # the guard expression from being pruned (assert_true returns
-        # NULL, so isNull() keeps every row).  Guarding ONE pair-join
-        # side is sufficient (the join always evaluates `a`) and keeps
-        # the window compute out of the b/centroid branches.
-        w_sz = Window.partitionBy(cluster_col)
-        guard = F.assert_true(
-            F.count(F.lit(1)).over(w_sz) <= F.lit(int(max_cluster_size)),
-            F.concat(
-                F.lit("semdedup: cluster "),
-                F.col(cluster_col).cast("string"),
-                F.lit(
-                    f" exceeds max_cluster_size={int(max_cluster_size)}; "
-                    f"the within-cluster pair join is quadratic in "
-                    f"cluster size - re-cluster with a larger k "
-                    f"(kmeans_assign) or raise/disable max_cluster_size"
-                ),
-            ),
-        )
-        a = a.withColumn("__guard", guard).filter(
-            F.col("__guard").isNull()
-        ).drop("__guard")
-    b = base.select(
-        F.col(cluster_col),
-        F.col(id_col).alias("id_2"),
-        F.col("__v").alias("__v2"),
-        F.col("__n").alias("__n2"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("__v1"), F.col("__v2"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = F.when(
-        (F.col("__n1") > 0) & (F.col("__n2") > 0),
-        dot / (F.col("__n1") * F.col("__n2")),
-    ).otherwise(F.lit(0.0))
-    pairs = (
-        a.join(b, cluster_col)
-        .filter(F.col("id_1") < F.col("id_2"))
-        .filter(cos >= eps)
-        .select(F.col(cluster_col), F.col("id_1"), F.col("id_2"))
-    )
+    base = df.select(F.col(id_col), F.col(cluster_col), v.alias("__v"))
     id_t = df.schema[id_col].dataType.simpleString()
+    eps_f = float(eps)
+    cap = None if max_cluster_size is None else int(max_cluster_size)
 
-    def _components(pdf):
+    # ONE Arrow task per cluster computes the Σ size² pair work as
+    # BLOCKED matrix products (the SemDeDup paper's own computation
+    # shape) and closes the duplicate groups with an in-task
+    # union-find.  vs the previous expression-join pair stage this (a)
+    # moves the quadratic inner loop from interpreted HOF lambdas
+    # (zip_with/aggregate are CodegenFallback — evaluated per PAIR)
+    # into one dgemm per block, and (b) removes the pair-stream
+    # shuffle entirely — only (id, group) rows leave the task.  The
+    # row-block size bounds the in-task score matrix to ~32 MB, so
+    # memory is O(cluster·dim + block·cluster) regardless of cluster
+    # size.  cos semantics unchanged: dot/(n1·n2), zero-norm pairs
+    # score 0.0.  The max_cluster_size guard aborts IN the task (same
+    # job-abort behavior the assert_true window gave, one less window).
+    def _cluster_groups(key, pdf):
+        import numpy as np
         import pandas as pd
 
-        parent: dict = {}
+        n_rows = len(pdf)
+        if cap is not None and n_rows > cap:
+            raise ValueError(
+                f"semdedup: cluster {key[0]!r} has {n_rows} rows, "
+                f"exceeding max_cluster_size={cap}; the within-cluster "
+                f"pair work is quadratic in cluster size - re-cluster "
+                f"with a larger k (kmeans_assign) or raise/disable "
+                f"max_cluster_size"
+            )
+        ids = pdf["__id"].tolist()
+        if n_rows < 2:
+            return pd.DataFrame({"__sid": ids, "__grp": ids})
+        V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        parent = list(range(n_rows))
 
         def find(x):
             r = x
-            while parent.get(r, r) != r:
+            while parent[r] != r:
                 r = parent[r]
-            while parent.get(x, x) != x:  # path compression
+            while parent[x] != x:  # path compression
                 parent[x], x = r, parent[x]
             return r
 
-        for x, y in zip(pdf["id_1"], pdf["id_2"]):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # min root keeps the representative = min reachable id
-                parent[max(rx, ry)] = min(rx, ry)
-        ids = sorted(set(pdf["id_1"]) | set(pdf["id_2"]))
-        return pd.DataFrame({"__sid": ids, "__grp": [find(i) for i in ids]})
+        block = max(1, (1 << 22) // n_rows)
+        for s in range(0, n_rows, block):
+            e = min(s + block, n_rows)
+            S = V[s:e] @ V.T
+            denom = norms[s:e, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, S / denom, 0.0)
+            bi, j = np.nonzero(C >= eps_f)
+            for x, y in zip(bi + s, j):
+                if x >= y:  # upper triangle only
+                    continue
+                rx, ry = find(x), find(y)
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+        # representative = min ID in the component (the previous
+        # min-reachable-id rule, applied on values not indices)
+        rep: dict = {}
+        roots = [find(i) for i in range(n_rows)]
+        for i, r in enumerate(roots):
+            if r not in rep or ids[i] < rep[r]:
+                rep[r] = ids[i]
+        return pd.DataFrame(
+            {"__sid": ids, "__grp": [rep[r] for r in roots]}
+        )
 
-    grp = pairs.groupBy(cluster_col).applyInPandas(
-        _components, f"__sid {id_t}, __grp {id_t}"
+    grp = (
+        base.select(
+            F.col(cluster_col), F.col(id_col).alias("__id"), F.col("__v")
+        )
+        .groupBy(cluster_col)
+        .applyInPandas(_cluster_groups, f"__sid {id_t}, __grp {id_t}")
     )
     cents = centroids(df, vec_col, cluster_col)
     # centrality carries EVERY id (base x broadcast centroids), so the
