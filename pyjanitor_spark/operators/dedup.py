@@ -542,16 +542,79 @@ def embedding_near_dup(
         dedup_pairs = True  # a pair can collide in several bands
     cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
     slim = df.select(*cols)
+    if block_col:
+        # one Arrow task per block computes the Σ block² cosine work as
+        # BLOCKED matrix products instead of an equi-join whose
+        # zip_with/aggregate cosine is CodegenFallback — interpreted
+        # once per PAIR (the semdedup lesson, similarity.py).  Only the
+        # verified (id_1, id_2, cos) pairs leave the task; the
+        # score-matrix row block is capped at ~32 MB so task memory is
+        # O(block·dim + rowblock·block).  cos semantics identical to
+        # cosine_sim: dot/(n1·n2), zero-norm sides score 0.0.
+        thr = float(threshold)
+        id_t = df.schema[id_col].dataType.simpleString()
+        vname, iname = vec_col, id_col
+
+        def _block_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            ids = pdf[iname].to_numpy()
+            empty = pd.DataFrame(
+                {
+                    "id_1": ids[:0],
+                    "id_2": ids[:0],
+                    "cos": np.empty(0, dtype=np.float64),
+                }
+            )
+            if n < 2:
+                return empty
+            V = np.asarray(pdf[vname].tolist(), dtype=np.float64)
+            norms = np.sqrt((V * V).sum(axis=1))
+            out_1, out_2, out_c = [], [], []
+            block = max(1, (1 << 22) // n)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                S = V[s:e] @ V.T
+                denom = norms[s:e, None] * norms[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = np.where(denom > 0, S / denom, 0.0)
+                bi, j = np.nonzero(C >= thr)
+                i = bi + s
+                keep = i < j  # upper triangle: each pair once
+                i, j = i[keep], j[keep]
+                if len(i):
+                    x, y = ids[i], ids[j]
+                    swap = x > y  # pair labeled id_1 < id_2
+                    out_1.append(np.where(swap, y, x))
+                    out_2.append(np.where(swap, x, y))
+                    out_c.append(C[bi[keep], j])
+            if not out_1:
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_1": np.concatenate(out_1),
+                    "id_2": np.concatenate(out_2),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+        out = slim.groupBy(block_col).applyInPandas(
+            _block_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
+        )
+        if dedup_pairs:
+            out = out.distinct()
+        return out
+    # documented small-frame exact brute force (allow_cross_join=True)
     a = slim.alias("a")
     b = slim.alias("b")
     on = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
-    if block_col:
-        on.insert(0, F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     dot = cosine_sim(
         F.col(f"a.{vec_col}").cast("array<double>"),
         F.col(f"b.{vec_col}").cast("array<double>"),
     )
-    out = (
+    return (
         a.join(b, on=on)
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
@@ -560,9 +623,6 @@ def embedding_near_dup(
         )
         .filter(F.col("cos") >= threshold)
     )
-    if dedup_pairs:
-        out = out.distinct()
-    return out
 
 
 def near_dup_clusters(
