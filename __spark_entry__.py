@@ -1821,7 +1821,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_join_equi", "conditional_join_indicator",
         "conditional_join_keep_first", "conditional_join_keep_last",
         "conditional_join_outer", "convert_units",
-        "deconcatenate_column", "dropnotnull", "flag_nulls",
+        # (dropnotnull — a one-predicate filter, replica-green — yields
+        # its slot to embedding_near_dup, whose pair stage was
+        # rewritten to per-block BLAS late this round)
+        "deconcatenate_column", "embedding_near_dup", "flag_nulls",
         "hashed_tfidf", "inflate_currency", "label_encode",
         "limit_column_characters", "move_rows", "remove_empty",
         "round_to_fraction", "semdedup", "simhash_pairs",
