@@ -1,0 +1,111 @@
+"""Block-boundary correctness for the BLAS pair stages.
+
+``semdedup`` and ``embedding_near_dup`` compute their Σ size² pair work
+as BLOCKED matrix products; the row-block split only engages when a
+cluster/block exceeds ~2048 rows ((1 << 22) // n < n), which the sf0.01
+oracle gates never reach — so the multi-block path gets its own
+brute-force equivalence test here: 3000 rows in one cluster (block
+size ≈ 1398 → 3 row blocks), deterministic pseudo-random vectors, the
+full pair set and kept set compared against a single unblocked numpy
+matmul.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pyjanitor_spark as pj
+
+N = 3000
+DIM = 6
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, engine-independent pseudo-randoms in [-1, 1)
+    h = hashlib.md5(f"blas:{i}".encode()).digest()
+    return [b / 127.5 - 1.0 for b in h[:DIM]]
+
+
+@pytest.fixture(scope="module")
+def frame():
+    return pd.DataFrame(
+        {
+            "vid": range(N),
+            "lab": ["only"] * N,
+            "emb": [_vec(i) for i in range(N)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def brute(frame):
+    V = np.asarray(frame["emb"].tolist(), dtype=np.float64)
+    n = np.sqrt((V * V).sum(axis=1))
+    denom = np.outer(n, n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C = np.where(denom > 0, (V @ V.T) / denom, 0.0)
+    return C
+
+
+def _sdf(spark, frame):
+    return spark.createDataFrame(
+        frame, "vid bigint, lab string, emb array<double>"
+    )
+
+
+def test_embedding_near_dup_multiblock_equals_bruteforce(spark, frame, brute):
+    thr = 0.9  # ~sparse but nonempty pair set on these vectors
+    ii, jj = np.nonzero(brute >= thr)
+    expect = {(int(x), int(y)) for x, y in zip(ii, jj) if x < y}
+    assert expect, "threshold produced no pairs; test would be vacuous"
+    got = pj.embedding_near_dup(
+        _sdf(spark, frame), "vid", "emb", threshold=thr, block_col="lab"
+    ).toPandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["id_1"], got["id_2"])}
+    assert got_pairs == expect
+    # cos values exact (same matmul arithmetic, block split irrelevant)
+    for _, r in got.iterrows():
+        assert abs(r["cos"] - brute[int(r["id_1"]), int(r["id_2"])]) < 1e-12
+
+
+def test_semdedup_multiblock_equals_bruteforce(spark, frame, brute):
+    thr = 0.9
+    # union-find over the brute-force edge set; keep = farthest from
+    # centroid (min cosine-to-centroid), ties to min id
+    parent = list(range(N))
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    ii, jj = np.nonzero(brute >= thr)
+    for x, y in zip(ii, jj):
+        if x < y:
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    V = np.asarray(frame["emb"].tolist(), dtype=np.float64)
+    cent = V.mean(axis=0)
+    n = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((cent * cent).sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where((n > 0) & (cn > 0), (V @ cent) / (n * cn), 0.0)
+    groups: dict = {}
+    for i in range(N):
+        groups.setdefault(find(i), []).append(i)
+    expect = {min(m, key=lambda i: (cc[i], i)) for m in groups.values()}
+
+    kept = pj.semdedup(
+        _sdf(spark, frame), "emb", "vid", "lab", eps=thr,
+        max_cluster_size=None,
+    ).toPandas()
+    got = set(int(v) for v in kept["vid"])
+    # centroid arithmetic differs (decimal-exact vs numpy float) — the
+    # GROUPING must match exactly; representative picks may flip only
+    # on centroid-cosine ties, which these random vectors don't have
+    assert got == expect
