@@ -1816,7 +1816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_features", "frame_sample", "hash_columns",
         "heavy_hitters", "mix_corpora", "remove_duplicated_spans",
         "url_normalize", "windowed_agg",
-        # (d) ALL 24 r6-era stale attestations
+        # (d) 23 of the 24 r6-era stale attestations + the late-round
+        # embedding_near_dup rewrite (which displaced dropnotnull — see
+        # the inline note below; dropnotnull stays replica-covered and
+        # rotates next round)
         "add_column_values", "assign_packs", "concatenate_columns",
         "conditional_join_equi", "conditional_join_indicator",
         "conditional_join_keep_first", "conditional_join_keep_last",
