@@ -580,6 +580,31 @@ def q_embedding_near_dup(spark, sf):
     )
 
 
+def q_near_dup_multiblock(spark, sf):
+    # drives the BLAS pair stage's ROW-BLOCK SPLIT (engages only above
+    # ~2048 rows per block, which no plain sf0.01 gate reaches): FIVE
+    # key-shifted copies of the whole table land in ONE block (sf0.01:
+    # 500 vectors -> 2500 rows -> 2 row blocks); clone pairs score
+    # cos=1.0 exactly, natural pairs join them above the 0.93 cut
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    u = e
+    for i in (1, 2, 3, 4):
+        u = u.union(
+            e.select(
+                (F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    u = u.withColumn("__blk", F.lit(1))
+    # pair-SET comparison only: ~800 clone pairs score cos = 1.0 up to
+    # an ulp, and engine-order float noise would shuffle the driver's
+    # sorted-row compare; the plain embedding_near_dup gate attests the
+    # cos values themselves
+    return pj.embedding_near_dup(
+        u, "vec_id", "embedding", threshold=0.93, block_col="__blk"
+    ).select("id_1", "id_2")
+
+
 def _query_vec(spark, sf):
     e = _embs(spark, sf)
     # fetch the query vector from the RAW table (filter reaches the scan);
@@ -1661,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_multiblock": q_near_dup_multiblock,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
@@ -1802,7 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _WINDOW = [
         # (a) NEW gates — never driver-attested: the capped-jaccard
         # semantics gate and the ORC write->read roundtrip
-        "ngram_jaccard_capped", "orc_roundtrip",
+        "ngram_jaccard_capped", "orc_roundtrip", "near_dup_multiblock",
         # (b) verbs whose code changed in round 10 (ngram_jaccard
         # default cap, bin_numeric label precision, clean_names unicode
         # digits, process_text contains-flags boolean fallback,
@@ -1828,7 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its slot to embedding_near_dup, whose pair stage was
         # rewritten to per-block BLAS late this round)
         "deconcatenate_column", "embedding_near_dup", "flag_nulls",
-        "hashed_tfidf", "inflate_currency", "label_encode",
+        # (label_encode — trivial appearance-order encoder,
+        # replica-green — yields its slot to the new multiblock gate)
+        "hashed_tfidf", "inflate_currency",
         "limit_column_characters", "move_rows", "remove_empty",
         "round_to_fraction", "semdedup", "simhash_pairs",
         "sort_naturally", "take_token_budget", "truncate_datetime",
@@ -3020,6 +3048,18 @@ def _pipeline_oracles() -> dict[str, str]:
         + " AS cos FROM e a JOIN e b ON a.label = b.label "
         "AND a.vec_id < b.vec_id WHERE " + _cos("a.v", "b.v") + " >= 0.4"
     )
+    near_dup_multiblock = (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings), "
+        "e AS (SELECT vec_id, v FROM base "
+        "UNION ALL SELECT vec_id + 100000, v FROM base "
+        "UNION ALL SELECT vec_id + 200000, v FROM base "
+        "UNION ALL SELECT vec_id + 300000, v FROM base "
+        "UNION ALL SELECT vec_id + 400000, v FROM base) "
+        "SELECT a.vec_id AS id_1, b.vec_id AS id_2 "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+        "WHERE " + _cos("a.v", "b.v") + " >= 0.93"
+    )
     topk = (
         "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
@@ -3219,6 +3259,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "ngram_jaccard_pairs": jaccard,
         "ngram_jaccard_capped": jaccard_capped,
         "embedding_near_dup": near_dup,
+        "near_dup_multiblock": near_dup_multiblock,
         "cosine_topk": topk,
         "lsh_bucket_topk": lsh_topk,
         "ivf_topk": ivf,
