@@ -1,0 +1,63 @@
+"""Executable documentation: the README's cookbook pipeline runs
+verbatim (same verbs, same arguments) on the bundled test data, and its
+intermediate contracts hold — docs that drift from the API fail CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pyjanitor_spark as pj
+
+DATA = "/root/testdata/sf0.001"
+
+
+def test_readme_cookbook_pipeline(spark):
+    docs = spark.read.parquet(f"{DATA}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. language + quality filter
+    docs = pj.language_id(docs, "text")
+    docs = pj.quality_score(docs, "text")
+    docs = docs.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") > 0.3)
+    )
+    n1 = docs.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact then near dedup
+    docs = pj.dedupe_exact(docs, "text", id_col="doc_id")
+    docs = pj.dedupe_near(
+        docs, id_col="doc_id", column_name="text", jaccard_threshold=0.8
+    )
+    n2 = docs.count()
+    assert 0 < n2 <= n1
+    assert docs.select("doc_id").distinct().count() == n2
+
+    # 3. decontamination: (id, score) frame, semi-join the clean ids
+    bench = docs.limit(20).select(F.col("text").alias("bench_text"))
+    scores = pj.contamination_score(
+        docs,
+        bench,
+        id_col="doc_id",
+        column_name="text",
+        benchmark_column="bench_text",
+    )
+    assert scores.columns == ["doc_id", "contamination"]
+    clean = scores.filter(F.col("contamination") < 0.5).select("doc_id")
+    docs = docs.join(clean, "doc_id", "left_semi")
+    n3 = docs.count()
+    # the 20 benchmark docs contaminate themselves out
+    assert 0 < n3 < n2
+
+    # 4. holdout + packing
+    docs = pj.split_train_holdout(docs, "doc_id", holdout_fraction=0.05)
+    train = docs.filter(~F.col("is_holdout"))
+    train = pj.assign_packs(train, "text", max_tokens=2048, order_by="doc_id")
+    out = train.select("doc_id", "pack_id").toPandas()
+    assert out["pack_id"].notna().all()
+    assert len(out) > 0
+    # packs are contiguous in doc_id order: a later doc never lands in
+    # an earlier pack
+    srt = out.sort_values("doc_id")
+    assert (srt["pack_id"].diff().fillna(0) >= 0).all()
