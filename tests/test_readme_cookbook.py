@@ -61,3 +61,51 @@ def test_readme_cookbook_pipeline(spark):
     # an earlier pack
     srt = out.sort_values("doc_id")
     assert (srt["pack_id"].diff().fillna(0) >= 0).all()
+
+
+def test_readme_ann_lifecycle(spark, tmp_path):
+    index = str(tmp_path / "index")
+    embeddings = spark.read.parquet(f"{DATA}/embeddings.parquet")
+    row = embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
+    query_vec = [float(v) for v in row[0]]
+
+    # build once per corpus version
+    vecs = pj.kmeans_assign(embeddings, "embedding", "vec_id", k=8)
+    cents = pj.centroids(vecs, "embedding", "cluster")
+    books = pj.pq_train(vecs, "embedding", "vec_id", m=4, k=16)
+    coded = pj.pq_encode(vecs, "embedding", books)
+    cents.write.parquet(f"{index}/centroids")
+    books.write.parquet(f"{index}/codebooks")
+    coded.write.partitionBy("cluster").parquet(f"{index}/vectors")
+
+    # serve from the stored frames only
+    stored = spark.read.parquet(f"{index}/vectors")
+    hits = pj.ivf_pq_topk(
+        stored,
+        query_vec,
+        "embedding",
+        "vec_id",
+        "cluster",
+        k=10,
+        nprobe=3,
+        m=4,
+        codebooks=spark.read.parquet(f"{index}/codebooks"),
+        centroids_df=spark.read.parquet(f"{index}/centroids"),
+    ).toPandas()
+    assert len(hits) == 10
+    # the query vector itself must surface (its ADC distance is minimal)
+    assert 0 in set(hits["vec_id"])
+    # index reuse is deterministic: a second serve returns the same ids
+    hits2 = pj.ivf_pq_topk(
+        stored,
+        query_vec,
+        "embedding",
+        "vec_id",
+        "cluster",
+        k=10,
+        nprobe=3,
+        m=4,
+        codebooks=spark.read.parquet(f"{index}/codebooks"),
+        centroids_df=spark.read.parquet(f"{index}/centroids"),
+    ).toPandas()
+    assert list(hits["vec_id"]) == list(hits2["vec_id"])
