@@ -487,6 +487,7 @@ def embedding_near_dup(
     auto_block_bands: int = 4,
     dim: int | None = None,
     allow_cross_join: bool = False,
+    max_block_cells: int | None = 200_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
@@ -505,7 +506,19 @@ def embedding_near_dup(
     with no ``block_col`` and no ``auto_block_planes``, a provided
     ``dim`` auto-enables 8-plane banded blocking, and otherwise the call
     raises unless ``allow_cross_join=True`` (exact brute force — small
-    frames only)."""
+    frames only).
+
+    ``max_block_cells`` bounds the per-task embedding matrix at
+    rows × dim float64 CELLS (default 2e8 ≈ 1.6 GB) — a row-count cap
+    alone under-gates high-dim embeddings (100k rows × 3072 dims is
+    2.5 GB before any score block).  A violating block aborts the job
+    naming the block; split it (finer ``block_col`` / more planes) or
+    raise the cap explicitly.  Degenerate vectors — null, ragged
+    length, or containing non-finite components — score 0.0 against
+    everything and so never pair (the historical expression-join
+    exclusion semantics; in particular a NaN component does NOT ride
+    Spark's NaN-is-largest comparison into the output).  Two rows
+    sharing one id value never emit a self-pair."""
     if block_col is None and not auto_block_planes and not allow_cross_join:
         if dim is not None:
             auto_block_planes = 8
@@ -550,29 +563,47 @@ def embedding_near_dup(
         # verified (id_1, id_2, cos) pairs leave the task; the
         # score-matrix row block is capped at ~32 MB so task memory is
         # O(block·dim + rowblock·block).  cos semantics identical to
-        # cosine_sim: dot/(n1·n2), zero-norm sides score 0.0.
+        # cosine_sim: dot/(n1·n2), zero-norm sides score 0.0.  The
+        # applyInArrow entry reads the vector column's flat Arrow
+        # buffer as the (n, dim) matrix directly (utils/vecmat.py) —
+        # no per-row Python objects, degenerate rows zero-filled.
         thr = float(threshold)
+        cells_cap = None if max_block_cells is None else int(max_block_cells)
         id_t = df.schema[id_col].dataType.simpleString()
         vname, iname = vec_col, id_col
+        bname = block_col
 
-        def _block_pairs(pdf):
+        def _block_pairs(key, tbl):
             import numpy as np
-            import pandas as pd
+            import pyarrow as pa
 
-            n = len(pdf)
-            ids = pdf[iname].to_numpy()
-            empty = pd.DataFrame(
+            from pyjanitor_spark.utils.vecmat import list_column_matrix
+
+            n = tbl.num_rows
+            ids_arr = tbl.column(iname)
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            empty = pa.table(
                 {
-                    "id_1": ids[:0],
-                    "id_2": ids[:0],
-                    "cos": np.empty(0, dtype=np.float64),
+                    "id_1": ids_arr.slice(0, 0),
+                    "id_2": ids_arr.slice(0, 0),
+                    "cos": pa.array([], type=pa.float64()),
                 }
             )
             if n < 2:
                 return empty
-            V = np.asarray(pdf[vname].tolist(), dtype=np.float64)
+            V, _good, dim = list_column_matrix(tbl.column(vname))
+            if cells_cap is not None and n * dim > cells_cap:
+                raise ValueError(
+                    f"embedding_near_dup: block {key[0]!r} holds "
+                    f"{n} x {dim} = {n * dim} embedding cells, exceeding "
+                    f"max_block_cells={cells_cap} (~{cells_cap * 8 >> 30} GiB "
+                    f"float64 per task); split the block (finer block_col / "
+                    f"more auto_block_planes) or raise max_block_cells"
+                )
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
             norms = np.sqrt((V * V).sum(axis=1))
-            out_1, out_2, out_c = [], [], []
+            out_i, out_j, out_c = [], [], []
             block = max(1, (1 << 22) // n)
             for s in range(0, n, block):
                 e = min(s + block, n)
@@ -582,29 +613,36 @@ def embedding_near_dup(
                     C = np.where(denom > 0, S / denom, 0.0)
                 bi, j = np.nonzero(C >= thr)
                 i = bi + s
-                keep = i < j  # upper triangle: each pair once
-                i, j = i[keep], j[keep]
+                # upper triangle once; rows sharing an id value never
+                # self-pair (the old a.id < b.id join predicate)
+                keep = (i < j) & (ids_np[i] != ids_np[j])
+                i, j, bi = i[keep], j[keep], bi[keep]
                 if len(i):
-                    x, y = ids[i], ids[j]
-                    swap = x > y  # pair labeled id_1 < id_2
-                    out_1.append(np.where(swap, y, x))
-                    out_2.append(np.where(swap, x, y))
-                    out_c.append(C[bi[keep], j])
-            if not out_1:
+                    swap = ids_np[i] > ids_np[j]  # pair labeled id_1 < id_2
+                    out_i.append(np.where(swap, j, i))
+                    out_j.append(np.where(swap, i, j))
+                    out_c.append(C[bi, j])
+            if not out_i:
                 return empty
-            return pd.DataFrame(
+            i1 = pa.array(np.concatenate(out_i), type=pa.int64())
+            i2 = pa.array(np.concatenate(out_j), type=pa.int64())
+            return pa.table(
                 {
-                    "id_1": np.concatenate(out_1),
-                    "id_2": np.concatenate(out_2),
-                    "cos": np.concatenate(out_c),
+                    "id_1": ids_arr.take(i1),
+                    "id_2": ids_arr.take(i2),
+                    "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
                 }
             )
 
-        out = slim.groupBy(block_col).applyInPandas(
+        out = slim.groupBy(bname).applyInArrow(
             _block_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
         )
         if dedup_pairs:
-            out = out.distinct()
+            # a pair colliding in several bands is scored once per band
+            # by independent BLAS blocks; dedup on the PAIR KEY only —
+            # distinct() over the float cos would keep both copies on
+            # any ulp difference between bands
+            out = out.groupBy("id_1", "id_2").agg(F.max("cos").alias("cos"))
         return out
     # documented small-frame exact brute force (allow_cross_join=True)
     a = slim.alias("a")

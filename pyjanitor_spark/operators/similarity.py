@@ -142,6 +142,7 @@ def semdedup(
     checkpoint_dir: str | None = None,
     max_cluster_size: int | None = 100_000,
     check: str = "inline",
+    max_cluster_cells: int | None = 200_000_000,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -179,34 +180,64 @@ def semdedup(
     raises ``ValueError`` listing the five largest offenders before any
     heavy work starts (nicer message, one extra scan).  Pass
     ``max_cluster_size=None`` to skip entirely.
+
+    ``max_cluster_cells`` additionally bounds rows × dim float64 CELLS
+    per task (default 2e8 ≈ 1.6 GB): a row cap alone under-gates
+    high-dim embeddings — 100k rows passes ``max_cluster_size`` but at
+    3072 dims is a 2.5 GB matrix before any score block.  Checked
+    under the same ``check`` policy (eager uses one ``size(vec)``
+    sample per cluster).  Degenerate vectors — null, ragged length, or
+    non-finite components — are zero-filled in-task: they group with
+    nothing (cosine 0.0 < any positive eps) and survive as singleton
+    groups, matching the old expression path's null-pair exclusion
+    instead of crashing the task.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     if check not in ("inline", "eager"):
         raise ValueError(f"check must be 'inline' or 'eager', got {check!r}")
-    if max_cluster_size is not None and check == "eager":
+    if check == "eager" and (
+        max_cluster_size is not None or max_cluster_cells is not None
+    ):
+        row_cap = -1 if max_cluster_size is None else int(max_cluster_size)
+        cell_cap = -1 if max_cluster_cells is None else int(max_cluster_cells)
         big = (
             df.groupBy(cluster_col)
-            .agg(F.count(F.lit(1)).alias("__sz"))
-            .filter(F.col("__sz") > int(max_cluster_size))
-            .orderBy(F.col("__sz").desc())
+            .agg(
+                F.count(F.lit(1)).alias("__sz"),
+                F.max(F.size(F.col(vec_col))).alias("__dim"),
+            )
+            .filter(
+                ((F.lit(row_cap) >= 0) & (F.col("__sz") > row_cap))
+                | (
+                    (F.lit(cell_cap) >= 0)
+                    & (F.col("__sz") * F.col("__dim") > cell_cap)
+                )
+            )
+            .orderBy((F.col("__sz") * F.col("__dim")).desc())
             .limit(5)
             .collect()  # bounded: 5 rows
         )
         if big:
-            worst = ", ".join(f"{r[cluster_col]}={r['__sz']}" for r in big)
+            worst = ", ".join(
+                f"{r[cluster_col]}={r['__sz']}rows x {r['__dim']}dims"
+                for r in big
+            )
             raise ValueError(
                 f"semdedup: cluster(s) exceed max_cluster_size="
-                f"{max_cluster_size} ({worst}); the within-cluster pair "
-                f"join is quadratic in cluster size — re-cluster with a "
-                f"larger k (kmeans_assign) or raise/disable "
-                f"max_cluster_size explicitly"
+                f"{max_cluster_size} rows or max_cluster_cells="
+                f"{max_cluster_cells} rows*dims ({worst}); the "
+                f"within-cluster pair work is quadratic in cluster size "
+                f"and task memory is rows*dims*8 bytes — re-cluster with "
+                f"a larger k (kmeans_assign) or raise/disable the caps "
+                f"explicitly"
             )
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), F.col(cluster_col), v.alias("__v"))
     id_t = df.schema[id_col].dataType.simpleString()
     eps_f = float(eps)
     cap = None if max_cluster_size is None else int(max_cluster_size)
+    cells_cap = None if max_cluster_cells is None else int(max_cluster_cells)
 
     # ONE Arrow task per cluster computes the Σ size² pair work as
     # BLOCKED matrix products (the SemDeDup paper's own computation
@@ -221,11 +252,18 @@ def semdedup(
     # size.  cos semantics unchanged: dot/(n1·n2), zero-norm pairs
     # score 0.0.  The max_cluster_size guard aborts IN the task (same
     # job-abort behavior the assert_true window gave, one less window).
-    def _cluster_groups(key, pdf):
+    # applyInArrow reads the vector column's flat Arrow buffer as the
+    # (n, dim) matrix directly (utils/vecmat.py) — no per-row Python
+    # objects at peak; degenerate vectors are zero-filled (singleton
+    # groups), and a rows×dim cells cap guards high-dim clusters a
+    # row count alone would admit.
+    def _cluster_groups(key, tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        n_rows = len(pdf)
+        from pyjanitor_spark.utils.vecmat import list_column_matrix
+
+        n_rows = tbl.num_rows
         if cap is not None and n_rows > cap:
             raise ValueError(
                 f"semdedup: cluster {key[0]!r} has {n_rows} rows, "
@@ -234,10 +272,21 @@ def semdedup(
                 f"with a larger k (kmeans_assign) or raise/disable "
                 f"max_cluster_size"
             )
-        ids = pdf["__id"].tolist()
+        ids_arr = tbl.column("__id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
         if n_rows < 2:
-            return pd.DataFrame({"__sid": ids, "__grp": ids})
-        V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            return pa.table({"__sid": ids_arr, "__grp": ids_arr})
+        V, _good, dim = list_column_matrix(tbl.column("__v"))
+        if cells_cap is not None and n_rows * dim > cells_cap:
+            raise ValueError(
+                f"semdedup: cluster {key[0]!r} holds {n_rows} x {dim} "
+                f"= {n_rows * dim} embedding cells, exceeding "
+                f"max_cluster_cells={cells_cap} (~{cells_cap * 8 >> 30} "
+                f"GiB float64 per task); re-cluster with a larger k or "
+                f"raise/disable max_cluster_cells"
+            )
+        ids = ids_arr.to_numpy(zero_copy_only=False)
         norms = np.sqrt((V * V).sum(axis=1))
         parent = list(range(n_rows))
 
@@ -268,18 +317,19 @@ def semdedup(
         rep: dict = {}
         roots = [find(i) for i in range(n_rows)]
         for i, r in enumerate(roots):
-            if r not in rep or ids[i] < rep[r]:
-                rep[r] = ids[i]
-        return pd.DataFrame(
-            {"__sid": ids, "__grp": [rep[r] for r in roots]}
+            if r not in rep or ids[i] < ids[rep[r]]:
+                rep[r] = i
+        grp_idx = pa.array(
+            np.fromiter((rep[r] for r in roots), dtype=np.int64, count=n_rows)
         )
+        return pa.table({"__sid": ids_arr, "__grp": ids_arr.take(grp_idx)})
 
     grp = (
         base.select(
             F.col(cluster_col), F.col(id_col).alias("__id"), F.col("__v")
         )
         .groupBy(cluster_col)
-        .applyInPandas(_cluster_groups, f"__sid {id_t}, __grp {id_t}")
+        .applyInArrow(_cluster_groups, f"__sid {id_t}, __grp {id_t}")
     )
     cents = centroids(df, vec_col, cluster_col)
     # centrality carries EVERY id (base x broadcast centroids), so the
