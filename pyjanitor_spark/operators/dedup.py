@@ -78,6 +78,26 @@ def _emit_pairs(bucketed: DataFrame, ids_col: str = "__ids") -> DataFrame:
     )
 
 
+def _emit_star(bucketed: DataFrame, ids_col: str = "__ids") -> DataFrame:
+    """STAR pairs from bucket rows holding a SORTED id array: the bucket
+    MIN id paired with every other member — O(bucket) edges with the
+    SAME connected components as the C(bucket, 2) clique
+    (:func:`_emit_pairs`), because every member reaches every other
+    through the hub.
+
+    This is the asymptotic fix for clustering consumers: a 1e6-doc
+    exact-dup bucket (one boilerplate body across a 100 TB corpus)
+    emits 1e6 edges instead of 5e11.  Only valid when downstream needs
+    CONNECTIVITY (components / dedupe), not the full candidate pair
+    set — pair verification (Jaccard thresholds) must see every pair
+    and keeps the all-pairs emitter."""
+    ids = F.col(ids_col)
+    return bucketed.select(
+        F.element_at(ids, 1).alias("id_1"),
+        F.explode(F.slice(ids, 2, F.size(ids))).alias("id_2"),
+    )
+
+
 def dedupe_exact(
     df: DataFrame,
     column_name: str,
@@ -138,12 +158,23 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    mode: str = "all",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_1 < id_2) sharing ≥1 LSH band.
 
     signature[k] → ``bands`` bands of k/bands rows; band key = concat of
     its signature elements; pairs = self-equi-join on (band_idx, key)
-    then distinct.  The join shuffles only (band, key) — scalable."""
+    then distinct.  The join shuffles only (band, key) — scalable.
+
+    ``mode='all'`` (default) emits every in-bucket pair — the candidate
+    set a verification stage (exact Jaccard) must see.  ``mode='star'``
+    emits each bucket's MIN id paired with every other member: O(bucket)
+    edges instead of C(bucket, 2) with IDENTICAL connected components —
+    the right shape when the pairs only feed ``near_dup_clusters`` /
+    ``dedupe_near`` (a 1e6-doc exact-dup bucket drops from 5e11 emitted
+    pairs to 1e6 edges)."""
+    if mode not in ("all", "star"):
+        raise ValueError(f"mode must be 'all' or 'star', got {mode!r}")
     if k < 1 or bands < 1:
         raise ValueError("k and bands must be >= 1")
     if k % bands:
@@ -197,7 +228,8 @@ def minhash_lsh_pairs(
     # chunked emission: LSH bands have NO bucket-size cap (an exact-dup
     # cluster lands whole in one bucket), so the per-row pair array must
     # stay O(bucket), not O(bucket²)
-    return _emit_pairs(bucketed).distinct()
+    emit = _emit_star if mode == "star" else _emit_pairs
+    return emit(bucketed).distinct()
 
 
 def simhash(
@@ -773,8 +805,19 @@ def dedupe_near(
     (e.g. a quality score, or a length column to keep the most complete
     variant); ties fall back to min id.  That path adds one join of the
     cluster table against ``(id, keep_by)`` plus a per-cluster window —
-    both keyed on cluster ids, still nothing quadratic."""
-    pairs = minhash_lsh_pairs(df, id_col, column_name, k=k, bands=bands, shingle_n=shingle_n)
+    both keyed on cluster ids, still nothing quadratic.
+
+    Pair emission: without a ``jaccard_threshold`` the LSH pairs feed
+    straight into connected components, which needs CONNECTIVITY, not
+    all pairs — so the candidate stage runs in ``mode='star'`` (each
+    bucket's min id × every member: O(bucket) edges, identical
+    components).  With verification every candidate pair must be
+    Jaccard-checked, so the all-pairs emitter stays."""
+    pair_mode = "star" if jaccard_threshold is None else "all"
+    pairs = minhash_lsh_pairs(
+        df, id_col, column_name,
+        k=k, bands=bands, shingle_n=shingle_n, mode=pair_mode,
+    )
     if jaccard_threshold is not None:
         pairs = ngram_jaccard_pairs(
             df, id_col, column_name,
