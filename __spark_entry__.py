@@ -1477,6 +1477,93 @@ def q_orc_roundtrip(spark, sf):
     )
 
 
+def q_csv_roundtrip(spark, sf):
+    # write_csv (hive-partitioned) -> read back with an explicit schema
+    # (sinks.py:99): content must equal the source projection.  The
+    # partition column returns last/string; restore order and types.
+    import hashlib
+
+    from pyjanitor_spark.sources.sinks import write_csv
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/csv_fixture/{tag}"
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    write_csv(o, d, partition_by=["o_orderstatus"])
+    out = spark.read.option("header", "true").schema(
+        "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).option("basePath", d).csv(d)
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+def q_json_roundtrip(spark, sf):
+    # write_json (hive-partitioned JSON-lines) -> schema'd read back
+    # (sinks.py:116); content equals the source projection
+    import hashlib
+
+    from pyjanitor_spark.sources.sinks import write_json
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/json_fixture/{tag}"
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    write_json(c, d, partition_by=["c_mktsegment"])
+    out = spark.read.schema(
+        "c_custkey long, c_name string, c_acctbal double"
+    ).option("basePath", d).json(d)
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+
+
+def q_bucketed_roundtrip(spark, sf):
+    # write_bucketed_table -> catalog read-back (sinks.py:132,273): the
+    # shuffle paid at write time, content equal to the source; the gate
+    # also proves the catalog metadata round-trips (bucketBy+sortBy)
+    import hashlib
+
+    from pyjanitor_spark.sources.sinks import (
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    name = f"pj_gate_part_{tag}"
+    p = _t(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    write_bucketed_table(p, name, bucket_by=["p_partkey"], num_buckets=4,
+                         sort_by=["p_partkey"])
+    return read_bucketed_table(spark, name).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+
+
+def q_zorder_roundtrip(spark, sf):
+    # write_zordered -> plain parquet read-back (sinks.py:238): the
+    # Morton clustering reorders rows/files but the CONTENT is the
+    # source projection — layout is exercised, values are gated
+    import hashlib
+
+    from pyjanitor_spark.sources.sinks import write_zordered
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    d = f"/root/repo/.cache/zorder_fixture/{tag}"
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    write_zordered(ev, d, zorder_by=["user_id", "value"], num_files=4)
+    return spark.read.parquet(d).select("event_id", "user_id", "value")
+
+
 # ---- round-7 second wave: struct-index verbs, pipe combinators, sources ----
 
 def q_collapse_levels(spark, sf):
@@ -1655,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_join_indices": q_get_join_indices,
         "read_csvs": q_read_csvs,
         "orc_roundtrip": q_orc_roundtrip,
+        # round-11 sink roundtrip gates (same recipe as orc_roundtrip)
+        "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "bucketed_roundtrip": q_bucketed_roundtrip,
+        "zorder_roundtrip": q_zorder_roundtrip,
         # (b) order.py probe riders + math trio + r6 regression re-times
         "ecdf": q_ecdf,
         "z_score": q_z_score,
@@ -1951,6 +2043,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(l_linenumber AS BIGINT) AS l_linenumber, "
             "CAST(l_quantity AS DOUBLE) AS l_quantity, "
             "CAST(l_returnflag AS VARCHAR) AS l_returnflag FROM lineitem"
+        ),
+        "csv_roundtrip": (
+            "SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, "
+            "CAST(o_totalprice AS DOUBLE) AS o_totalprice, "
+            "o_orderpriority, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus "
+            "FROM orders"
+        ),
+        "json_roundtrip": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, "
+            "CAST(c_acctbal AS DOUBLE) AS c_acctbal, "
+            "CAST(c_mktsegment AS VARCHAR) AS c_mktsegment FROM customer"
+        ),
+        "bucketed_roundtrip": (
+            "SELECT p_partkey, p_brand, p_size, p_retailprice FROM part"
+        ),
+        "zorder_roundtrip": (
+            "SELECT event_id, user_id, value FROM events"
         ),
         "groupby_agg": (
             "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_returnflag"
