@@ -451,3 +451,85 @@ def test_foreach_batch_sink(spark, stream_events, tmp_path):
     got = spark.read.parquet(out_path)
     # one survivor per event_type (all data arrives in one micro-batch here)
     assert got.count() == batch.select("event_type").distinct().count()
+
+
+def test_streaming_dedupe_near_multi_batch_single_run(spark, tmp_path):
+    """TWO micro-batches inside ONE availableNow run
+    (maxFilesPerTrigger=1): the foreachBatch body fires once per source
+    file, and the second batch's near-duplicates of the FIRST batch's
+    survivors are dropped via the signature store written moments
+    earlier in the same run — the live incremental-state path, not a
+    query restart."""
+    from pyjanitor_spark.streaming import streaming_dedupe_near
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # dup of batch-1 doc 1
+            (11, "fresh words never seen before"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_dedupe_near(
+        stream, "id", "text", store, ckpt, available_now=True
+    )
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 2, (
+        "expected >=2 non-empty micro-batches, got "
+        f"{[p['numInputRows'] for p in progress]}"
+    )
+    kept = {r["id"] for r in spark.read.parquet(store).collect()}
+    assert kept == {1, 2, 11}, kept
+
+
+def test_foreach_batch_sink_incremental_batches(spark, tmp_path):
+    """foreach_batch_sink under maxFilesPerTrigger=1: the callback runs
+    once per micro-batch with distinct batch_ids and sees only that
+    batch's rows — per-batch-id idempotency is the contract the
+    docstring promises, so pin the batch boundary behavior."""
+    from pyjanitor_spark.streaming import foreach_batch_sink
+
+    src = str(tmp_path / "src")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(3, "c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def handle(bdf, batch_id):
+        bdf.withColumn("bid", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_sink(stream, handle, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    by_bid = {
+        r["bid"]: r["n"]
+        for r in got.groupBy("bid").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(by_bid) == 2 and sum(by_bid.values()) == 3, by_bid
