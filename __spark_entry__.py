@@ -1914,56 +1914,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
     }
-    # Round-10 window.  Composition rule (unchanged from r7): changed
-    # code out-ranks stale-but-green attestations; rotated-out entries
-    # stay replica-covered (tools/check_correctness.py).
+    # Round-11 window, composition COMPUTED by tools/close_round.py
+    # from CORRECTNESS_r01..r10.json (rule unchanged from r7: new
+    # gates, then changed code, then oldest attestations first;
+    # rotated-out entries stay replica-covered).
     _WINDOW = [
-        # (a) NEW gates — never driver-attested: the capped-jaccard
-        # semantics gate and the ORC write->read roundtrip
-        "ngram_jaccard_capped", "orc_roundtrip", "near_dup_multiblock",
-        # (b) verbs whose code changed in round 10 (ngram_jaccard
-        # default cap, bin_numeric label precision, clean_names unicode
-        # digits, process_text contains-flags boolean fallback,
-        # dsir_weights empty-corpus guard, pivot_longer dict-pattern /
-        # multi-.value / .value-only spec fixes)
-        "ngram_jaccard_pairs", "bin_numeric", "clean_names",
-        "process_text", "process_text_fallback", "dsir_weights",
-        "pivot_longer", "pivot_longer_spec",
-        # (c) ALL 8 r5-era stale attestations the r9 window displaced
-        # (VERDICT r9 task 2 — the true oldest rows)
-        "decode_features", "frame_sample", "hash_columns",
-        "heavy_hitters", "mix_corpora", "remove_duplicated_spans",
-        "url_normalize", "windowed_agg",
-        # (d) 23 of the 24 r6-era stale attestations + the late-round
-        # embedding_near_dup rewrite (which displaced dropnotnull — see
-        # the inline note below; dropnotnull stays replica-covered and
-        # rotates next round)
-        "add_column_values", "assign_packs", "concatenate_columns",
-        "conditional_join_equi", "conditional_join_indicator",
-        "conditional_join_keep_first", "conditional_join_keep_last",
-        "conditional_join_outer", "convert_units",
-        # (dropnotnull — a one-predicate filter, replica-green — yields
-        # its slot to embedding_near_dup, whose pair stage was
-        # rewritten to per-block BLAS late this round)
-        "deconcatenate_column", "embedding_near_dup", "flag_nulls",
-        # (label_encode — trivial appearance-order encoder,
-        # replica-green — yields its slot to the new multiblock gate)
-        "hashed_tfidf", "inflate_currency",
-        "limit_column_characters", "move_rows", "remove_empty",
-        "round_to_fraction", "semdedup", "simhash_pairs",
-        "sort_naturally", "take_token_budget", "truncate_datetime",
-        # (e) the remaining 4 conditional_join variants (the hardest §2
-        # operator gets fresh rows) + the four gates whose CODE or GATE
-        # changed late this round (changed code out-ranks stale-but-
-        # green attestations): impute + groupby_agg_multi (median
-        # attestation), groupby_topk (null-padding fix), min_max_scale
-        # (reference operation order).  The displaced r7-era
-        # xlsx_table/xlsx_cells/fill_direction stay replica-covered.
-        # After this window no entry's last driver-green is older
-        # than r7.
-        "conditional_join_left", "conditional_join_range",
-        "conditional_join_range_open", "conditional_join_right",
-        "impute", "groupby_agg_multi", "groupby_topk", "min_max_scale",
+        # (a) 4 NEW sink roundtrip gates — never driver-attested
+        "csv_roundtrip", "json_roundtrip", "bucketed_roundtrip",
+        "zorder_roundtrip",
+        # (b) 7 entries whose CODE changed in round 11 (Arrow-direct
+        # BLAS stages + cells gates + degenerate-vector semantics;
+        # star-mode LSH pair emission; triangle-split hot-cluster path;
+        # centrality left-join for all-degenerate clusters)
+        "semdedup", "embedding_near_dup", "near_dup_multiblock",
+        "dedupe_near", "dedupe_near_best", "minhash_lsh_pairs",
+        "near_dup_clusters",
+        # (c) the LAST 2 pre-r7 attestations (VERDICT r10 task 4)
+        "dropnotnull", "label_encode",
+        # (d) ALL 27 r7-era attestations — after this window no entry's
+        # last driver-green is older than r8
+        "coalesce", "column_ops", "count_cumulative_unique",
+        "drop_constant_columns", "drop_duplicate_columns", "ecdf",
+        "encode_categorical", "expand", "expand_column", "expand_grid",
+        "factorize_appearance", "fill_direction", "filter_column_isin",
+        "filter_on", "filter_string", "get_dupes", "get_join_indices",
+        "jitter", "quantile_bin", "read_csvs", "shuffle", "softmax",
+        "sort_timestamps_monotonically", "to_datetime", "xlsx_cells",
+        "xlsx_table", "z_score",
+        # (e) the 10 alphabetically-first r8-era rows fill the window
+        "add_columns", "also_then", "asof_join", "binary_metadata",
+        "bloom_dedupe_against", "bm25_score", "bpe_encode",
+        "cartesian_product", "change_index_dtype", "change_type",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}

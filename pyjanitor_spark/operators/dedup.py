@@ -520,6 +520,7 @@ def embedding_near_dup(
     dim: int | None = None,
     allow_cross_join: bool = False,
     max_block_cells: int | None = 200_000_000,
+    split: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
@@ -550,7 +551,21 @@ def embedding_near_dup(
     everything and so never pair (the historical expression-join
     exclusion semantics; in particular a NaN component does NOT ride
     Spark's NaN-is-largest comparison into the output).  Two rows
-    sharing one id value never emit a self-pair."""
+    sharing one id value never emit a self-pair.
+
+    ``split`` > 1 is the HOT-BLOCK straggler fix: one giant block (a
+    boilerplate cluster) otherwise runs as ONE Arrow task while every
+    other core idles.  Triangle partitioning shards each block's pair
+    space into ``split·(split+1)/2`` independent sub-tasks — row r
+    lands in deterministic sub-block ``xxhash64(id) mod split``, and
+    task (i, j) scores sub-block i against sub-block j (diagonal tasks
+    score their own triangle) — every pair lands in exactly ONE task,
+    output identical to ``split=1``.  Each row is replicated ``split``
+    times (shuffle volume ×split) and per-task memory drops to
+    ~(2·block/split)·dim, so ``split ≈ ceil(block_rows / 50k)`` turns
+    a one-task straggler into a fleet of balanced tasks."""
+    if int(split) < 1:
+        raise ValueError("split must be >= 1")
     if block_col is None and not auto_block_planes and not allow_cross_join:
         if dim is not None:
             auto_block_planes = 8
@@ -666,9 +681,126 @@ def embedding_near_dup(
                 }
             )
 
-        out = slim.groupBy(bname).applyInArrow(
-            _block_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
-        )
+        s_n = int(split)
+
+        def _split_pairs(key, tbl):
+            # triangle-partitioned sub-task: key = (block, ti, tj).
+            # diagonal (ti == tj): upper triangle over this sub-block's
+            # rows; off-diagonal: full cross product sub-block ti ×
+            # sub-block tj.  Every (a, b) pair lands in exactly one
+            # task — (sb_a, sb_b) sorted — so no downstream dedup is
+            # needed beyond the banded-collision groupBy below.
+            import numpy as np
+            import pyarrow as pa
+
+            from pyjanitor_spark.utils.vecmat import list_column_matrix
+
+            # applyInArrow hands grouping keys as pyarrow scalars
+            ti, tj = (
+                int(k.as_py() if hasattr(k, "as_py") else k) for k in key[-2:]
+            )
+            n = tbl.num_rows
+            ids_arr = tbl.column(iname)
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            empty = pa.table(
+                {
+                    "id_1": ids_arr.slice(0, 0),
+                    "id_2": ids_arr.slice(0, 0),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+            if n < 2:
+                return empty
+            V, _good, dim = list_column_matrix(tbl.column(vname))
+            if cells_cap is not None and n * dim > cells_cap:
+                raise ValueError(
+                    f"embedding_near_dup: sub-task {key!r} holds "
+                    f"{n} x {dim} = {n * dim} embedding cells, exceeding "
+                    f"max_block_cells={cells_cap}; raise split= or "
+                    f"max_block_cells"
+                )
+            ids_np = ids_arr.to_numpy(zero_copy_only=False)
+            sb_np = np.asarray(tbl.column("__sb"))
+            norms = np.sqrt((V * V).sum(axis=1))
+            if ti == tj:
+                ia = ib = np.nonzero(sb_np == ti)[0]
+            else:
+                ia = np.nonzero(sb_np == ti)[0]
+                ib = np.nonzero(sb_np == tj)[0]
+            if len(ia) == 0 or len(ib) == 0:
+                return empty
+            A, B = V[ia], V[ib]
+            na_, nb_ = norms[ia], norms[ib]
+            out_i, out_j, out_c = [], [], []
+            rb = max(1, (1 << 22) // max(1, len(ib)))
+            for s in range(0, len(ia), rb):
+                e = min(s + rb, len(ia))
+                S = A[s:e] @ B.T
+                denom = na_[s:e, None] * nb_[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    C = np.where(denom > 0, S / denom, 0.0)
+                ri, rj = np.nonzero(C >= thr)
+                gi, gj = ia[ri + s], ib[rj]
+                if ti == tj:
+                    keep = gi < gj
+                else:
+                    keep = np.ones(len(gi), dtype=bool)
+                keep &= ids_np[gi] != ids_np[gj]
+                gi, gj, ri, rj = gi[keep], gj[keep], ri[keep], rj[keep]
+                if len(gi):
+                    swap = ids_np[gi] > ids_np[gj]
+                    out_i.append(np.where(swap, gj, gi))
+                    out_j.append(np.where(swap, gi, gj))
+                    out_c.append(C[ri, rj])
+            if not out_i:
+                return empty
+            i1 = pa.array(np.concatenate(out_i), type=pa.int64())
+            i2 = pa.array(np.concatenate(out_j), type=pa.int64())
+            return pa.table(
+                {
+                    "id_1": ids_arr.take(i1),
+                    "id_2": ids_arr.take(i2),
+                    "cos": pa.array(np.concatenate(out_c), type=pa.float64()),
+                }
+            )
+
+        if s_n > 1:
+            # deterministic sub-block from the id; a row fans out to
+            # every task touching its sub-block (split rows per input
+            # row), so shuffle volume is ×split while per-task memory
+            # drops ÷(split/2) — the straggler trade, made explicit
+            sb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s_n)).cast("int")
+            task_list = F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                    for i in range(s_n)
+                    for j in range(i, s_n)
+                ]
+            )
+            my_tasks = F.filter(
+                task_list,
+                lambda t: (t["i"] == F.col("__sb")) | (t["j"] == F.col("__sb")),
+            )
+            fanned = (
+                slim.withColumn("__sb", sb)
+                .withColumn("__t", F.explode(my_tasks))
+                .select(
+                    F.col(iname),
+                    F.col(vname),
+                    F.col(bname),
+                    F.col("__sb"),
+                    F.col("__t.i").alias("__ti"),
+                    F.col("__t.j").alias("__tj"),
+                )
+            )
+            out = fanned.groupBy(bname, "__ti", "__tj").applyInArrow(
+                _split_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
+            )
+        else:
+            out = slim.groupBy(bname).applyInArrow(
+                _block_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
+            )
         if dedup_pairs:
             # a pair colliding in several bands is scored once per band
             # by independent BLAS blocks; dedup on the PAIR KEY only —

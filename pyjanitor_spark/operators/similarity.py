@@ -143,6 +143,7 @@ def semdedup(
     max_cluster_size: int | None = 100_000,
     check: str = "inline",
     max_cluster_cells: int | None = 200_000_000,
+    split: int = 1,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -191,13 +192,30 @@ def semdedup(
     nothing (cosine 0.0 < any positive eps) and survive as singleton
     groups, matching the old expression path's null-pair exclusion
     instead of crashing the task.
+
+    ``split`` > 1 is the HOT-CLUSTER straggler fix: one dominant
+    cluster otherwise runs as a single Arrow task while every other
+    core idles.  The pair stage becomes triangle-partitioned
+    ``embedding_near_dup(split=...)`` sub-tasks — split·(split+1)/2
+    balanced tasks per cluster, per-task memory ÷(split/2) — and the
+    duplicate groups close through the distributed log-round
+    :func:`~pyjanitor_spark.operators.dedup.near_dup_clusters` (which
+    is where ``checkpoint_dir`` finally matters: pass a durable path
+    on a real cluster).  Output is identical — the in-task union-find
+    and min-label propagation both yield min-reachable-id groups.  In
+    split mode the cluster-level row gate does not apply;
+    ``max_cluster_cells`` is enforced per SUB-task (the memory-relevant
+    unit).  The quadratic pair COST remains — pick
+    ``split ≈ ceil(hot_cluster_rows / 50k)``.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     if check not in ("inline", "eager"):
         raise ValueError(f"check must be 'inline' or 'eager', got {check!r}")
-    if check == "eager" and (
-        max_cluster_size is not None or max_cluster_cells is not None
+    if (
+        check == "eager"
+        and int(split) == 1
+        and (max_cluster_size is not None or max_cluster_cells is not None)
     ):
         row_cap = -1 if max_cluster_size is None else int(max_cluster_size)
         cell_cap = -1 if max_cluster_cells is None else int(max_cluster_cells)
@@ -324,19 +342,50 @@ def semdedup(
         )
         return pa.table({"__sid": ids_arr, "__grp": ids_arr.take(grp_idx)})
 
-    grp = (
-        base.select(
-            F.col(cluster_col), F.col(id_col).alias("__id"), F.col("__v")
+    if int(split) > 1:
+        # hot-cluster path: triangle-partitioned pair sub-tasks
+        # (embedding_near_dup split=) + distributed min-label
+        # components — identical min-reachable-id groups, no
+        # single-task straggler.  The per-SUB-TASK cells gate
+        # (max_cluster_cells, applied as max_block_cells) still
+        # protects task memory; the cluster-level gates don't apply.
+        from pyjanitor_spark.operators.dedup import (
+            embedding_near_dup,
+            near_dup_clusters,
         )
-        .groupBy(cluster_col)
-        .applyInArrow(_cluster_groups, f"__sid {id_t}, __grp {id_t}")
-    )
+
+        pairs = embedding_near_dup(
+            base,
+            id_col,
+            "__v",
+            threshold=eps_f,
+            block_col=cluster_col,
+            max_block_cells=max_cluster_cells,
+            split=int(split),
+        )
+        grp = near_dup_clusters(
+            pairs.select("id_1", "id_2"),
+            id_col="__sid",
+            dest="__grp",
+            checkpoint_dir=checkpoint_dir,
+        )
+    else:
+        grp = (
+            base.select(
+                F.col(cluster_col), F.col(id_col).alias("__id"), F.col("__v")
+            )
+            .groupBy(cluster_col)
+            .applyInArrow(_cluster_groups, f"__sid {id_t}, __grp {id_t}")
+        )
     cents = centroids(df, vec_col, cluster_col)
     # centrality carries EVERY id (base x broadcast centroids), so the
     # group labels attach directly to it — unpaired rows coalesce to
     # singleton groups (their own id); no separate df.select(id) branch
     # and one less join than joining groups and centrality separately
-    centrality = base.join(F.broadcast(cents), cluster_col).select(
+    # LEFT join: a cluster whose vectors are all null/empty produces no
+    # centroid row (posexplode emits nothing) — its members must still
+    # flow through as singletons (__cent null), not silently vanish
+    centrality = base.join(F.broadcast(cents), cluster_col, "left").select(
         F.col(id_col),
         cosine_sim(F.col("__v"), F.col("centroid").cast("array<double>")).alias(
             "__cent"

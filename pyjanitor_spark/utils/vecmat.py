@@ -31,11 +31,15 @@ def list_column_matrix(arr) -> tuple[np.ndarray, np.ndarray, int]:
     """``(V, good, dim)`` from a ``pyarrow`` list<float/double> column.
 
     ``V`` is a C-contiguous float64 matrix of shape ``(n, dim)`` where
-    ``dim`` is the length of the first valid row (the uniform-dimension
-    precondition of every embedding op here); ``good`` is a boolean
-    mask — False rows were null, ragged (length != dim), or contained
-    non-finite components, and their ``V`` row is all-zero (cosine 0.0
-    against everything, hence excluded by any positive threshold).
+    ``dim`` is the MODAL length over non-null rows (ties to the larger
+    length) — deterministic regardless of the row order a shuffle
+    delivers, unlike "first row's length", and under the uniform-
+    dimension precondition of every embedding op here it is simply the
+    embedding width with a few corrupt rows outvoted.  ``good`` is a
+    boolean mask — False rows were null, ragged (length != dim), or
+    contained non-finite components, and their ``V`` row is all-zero
+    (cosine 0.0 against everything, hence excluded by any positive
+    threshold).
 
     Accepts a ``ChunkedArray`` or ``Array``; the clean fast path is a
     reshape of the flat values buffer — no per-row Python objects.
@@ -58,7 +62,9 @@ def list_column_matrix(arr) -> tuple[np.ndarray, np.ndarray, int]:
             np.zeros(n, dtype=bool),
             0,
         )
-    dim = int(valid_lengths[0])
+    # modal length, ties to larger: order-independent dim inference
+    uniq, counts = np.unique(valid_lengths, return_counts=True)
+    dim = int(uniq[counts >= counts.max()].max())
     good = (~null_mask) & (lengths == dim)
 
     # flat child values; a sliced array's offsets need not start at 0
@@ -80,6 +86,10 @@ def list_column_matrix(arr) -> tuple[np.ndarray, np.ndarray, int]:
         finite = np.isfinite(V).all(axis=1)
         bad_vals = good & ~finite
         if bad_vals.any():
+            if not V.flags.writeable:
+                # the clean fast path can be a zero-copy view of the
+                # read-only Arrow buffer; copy only when zero-filling
+                V = V.copy()
             V[bad_vals] = 0.0
             good = good & finite
     return V, good, dim

@@ -109,3 +109,58 @@ def test_semdedup_multiblock_equals_bruteforce(spark, frame, brute):
     # GROUPING must match exactly; representative picks may flip only
     # on centroid-cosine ties, which these random vectors don't have
     assert got == expect
+
+def test_embedding_near_dup_split_equals_unsplit(spark, frame, brute):
+    """Triangle-partitioned split sub-tasks (split>1) must emit the
+    EXACT pair set and cos values of the single-task path — every pair
+    lands in exactly one (sub-block i, sub-block j) task."""
+    thr = 0.9
+    base = pj.embedding_near_dup(
+        _sdf(spark, frame), "vid", "emb", threshold=thr, block_col="lab"
+    ).toPandas()
+    want = {
+        (int(a), int(b)): c
+        for a, b, c in zip(base["id_1"], base["id_2"], base["cos"])
+    }
+    for split in (2, 3):
+        got = pj.embedding_near_dup(
+            _sdf(spark, frame), "vid", "emb", threshold=thr,
+            block_col="lab", split=split,
+        ).toPandas()
+        got_m = {
+            (int(a), int(b)): c
+            for a, b, c in zip(got["id_1"], got["id_2"], got["cos"])
+        }
+        assert set(got_m) == set(want), f"split={split} pair set differs"
+        assert len(got) == len(got_m), f"split={split} emitted dup pairs"
+        for k, v in want.items():
+            assert abs(got_m[k] - v) < 1e-12
+
+
+def test_semdedup_split_equals_unsplit(spark, frame):
+    """split>1 routes pairs through distributed components instead of
+    the in-task union-find; the kept set must be identical."""
+    thr = 0.9
+    kept1 = set(
+        int(v)
+        for v in pj.semdedup(
+            _sdf(spark, frame), "emb", "vid", "lab", eps=thr,
+            max_cluster_size=None,
+        ).toPandas()["vid"]
+    )
+    kept3 = set(
+        int(v)
+        for v in pj.semdedup(
+            _sdf(spark, frame), "emb", "vid", "lab", eps=thr, split=3,
+        ).toPandas()["vid"]
+    )
+    assert kept1 == kept3
+
+
+def test_split_validates(spark, frame):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="split"):
+        pj.embedding_near_dup(
+            _sdf(spark, frame), "vid", "emb", block_col="lab", split=0
+        )

@@ -1,0 +1,314 @@
+"""Mechanized round-closing ledger (VERDICT r10 task 1).
+
+Three rounds running, the only defect class the judge found was
+hand-written closing claims drifting from committed artifacts (r8
+window math, r9 rotation claim, r10 fingerprint/count drift).  This
+tool derives every closing number FROM artifacts at the current HEAD,
+so the ledger can only say what the repo can prove:
+
+* **window composition** — computed from CORRECTNESS_r01..r{N-1}.json
+  (last driver-green round per entry) against the actual first-50
+  ``_WINDOW`` in ``__spark_entry__.py``: per-entry provenance (NEW /
+  changed / stale-rotation with its last-green round) plus the
+  post-round staleness tail (oldest non-window attestations left).
+* **pytest + replica counts** — optionally RUN at HEAD
+  (``--run-pytest`` / ``--run-replica``) and parsed, never typed.
+* **plan-fingerprint diff** — regenerates PLANS_r{N}(.full) via
+  ``tools/plan_fingerprints.py`` (``--run-fingerprints``), diffs
+  against the previous round's committed file, and detects NORMALIZER
+  DRIFT: if ``plan_fingerprints.py`` changed after the commit that
+  wrote the r{N-1} baseline, the old file is not comparable — the tool
+  says so, and ``--rebase-prev`` regenerates the r{N-1} baseline by
+  checking the r{N-1} commit out into a temp git worktree and running
+  the CURRENT normalizer against the OLD code (written to
+  ``PLANS_r{N-1}_rebased.json``).
+
+Writes ``CLOSING_r{N}.json`` and prints a ready-to-paste markdown
+block.  Every number in the block carries its source.
+
+Usage:
+  python tools/close_round.py --round 11 [--run-pytest] [--run-replica]
+      [--run-fingerprints] [--rebase-prev <commit>] [--changed a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def last_green_rounds(upto: int) -> dict[str, int]:
+    """entry -> last round with a fully green driver row (hash match)."""
+    green: dict[str, int] = {}
+    for r in range(1, upto + 1):
+        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            d = json.load(f)
+        for name, row in d.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") in (True, None))
+                and not row.get("err")
+            )
+            if ok:
+                green[name] = r
+    return green
+
+
+def registry_and_window() -> tuple[list[str], list[str]]:
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    return qs, qs[:50]
+
+
+def run_pytest() -> dict:
+    p = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = (p.stdout or "").strip().splitlines()[-1] if p.stdout else ""
+    m = re.search(r"(\d+) passed", tail)
+    f = re.search(r"(\d+) failed", tail)
+    return {
+        "summary": tail,
+        "passed": int(m.group(1)) if m else None,
+        "failed": int(f.group(1)) if f else 0,
+    }
+
+
+def run_replica() -> dict:
+    p = subprocess.run(
+        [sys.executable, "tools/check_correctness.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=5400,
+    )
+    tail = (p.stdout or "").strip().splitlines()
+    line = next((x for x in reversed(tail) if "ok," in x), "")
+    m = re.search(r"(\d+) ok, (\d+) failed, (\d+) rows-only", line)
+    return {
+        "summary": line,
+        "ok": int(m.group(1)) if m else None,
+        "failed": int(m.group(2)) if m else None,
+        "rows_only": int(m.group(3)) if m else None,
+    }
+
+
+def run_fingerprints(round_no: int, full: bool) -> str:
+    suffix = "_full" if full else ""
+    out_path = os.path.join(REPO, f"PLANS_r{round_no:02d}{suffix}.json")
+    args = [sys.executable, "tools/plan_fingerprints.py"]
+    if full:
+        args.append("--all")
+    p = subprocess.run(
+        args, cwd=REPO, capture_output=True, text=True, timeout=3600, check=True
+    )
+    with open(out_path, "w") as f:
+        f.write(p.stdout)
+    return out_path
+
+
+def normalizer_drift(prev_round: int) -> dict:
+    """Did plan_fingerprints.py change after the commit that wrote the
+    previous round's baseline?  If yes the old file isn't comparable."""
+    prev_file = f"PLANS_r{prev_round:02d}.json"
+    if not os.path.exists(os.path.join(REPO, prev_file)):
+        return {"comparable": False, "reason": f"{prev_file} missing"}
+    base_commit = _git("log", "--format=%H", "-1", "--", prev_file)
+    tool_commits = _git(
+        "log", "--format=%H", f"{base_commit}..HEAD", "--",
+        "tools/plan_fingerprints.py",
+    ).splitlines()
+    rebased = os.path.exists(
+        os.path.join(REPO, f"PLANS_r{prev_round:02d}_rebased.json")
+    )
+    return {
+        "comparable": not tool_commits or rebased,
+        "normalizer_commits_since_baseline": tool_commits,
+        "rebased_baseline_exists": rebased,
+        "baseline_commit": base_commit,
+    }
+
+
+def rebase_prev(prev_round: int, commit: str, full: bool = True) -> str:
+    """Regenerate the r{prev} baseline: old code, CURRENT normalizer."""
+    tmp = tempfile.mkdtemp(prefix="pj_rebase_")
+    out_path = os.path.join(REPO, f"PLANS_r{prev_round:02d}_rebased.json")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", tmp, commit],
+            cwd=REPO, check=True, capture_output=True,
+        )
+        shutil.copy(
+            os.path.join(REPO, "tools", "plan_fingerprints.py"),
+            os.path.join(tmp, "tools", "plan_fingerprints.py"),
+        )
+        args = [sys.executable, "tools/plan_fingerprints.py"]
+        if full:
+            args.append("--all")
+        env = dict(os.environ, PYTHONPATH=tmp)
+        p = subprocess.run(
+            args, cwd=tmp, capture_output=True, text=True,
+            timeout=3600, check=True, env=env,
+        )
+        with open(out_path, "w") as f:
+            f.write(p.stdout)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", tmp],
+            cwd=REPO, capture_output=True,
+        )
+    return out_path
+
+
+def fingerprint_diff(round_no: int) -> dict:
+    prev = round_no - 1
+    drift = normalizer_drift(prev)
+    base_name = (
+        f"PLANS_r{prev:02d}_rebased.json"
+        if drift.get("rebased_baseline_exists")
+        else f"PLANS_r{prev:02d}.json"
+    )
+    cur_name = f"PLANS_r{round_no:02d}.json"
+    base_p = os.path.join(REPO, base_name)
+    cur_p = os.path.join(REPO, cur_name)
+    if not (os.path.exists(base_p) and os.path.exists(cur_p)):
+        return {"drift": drift, "err": "baseline or current file missing"}
+    with open(base_p) as f:
+        base = json.load(f)
+    with open(cur_p) as f:
+        cur = json.load(f)
+    movers = sorted(
+        k for k in cur if k in base and cur[k] != base[k]
+    )
+    return {
+        "drift": drift,
+        "baseline_file": base_name,
+        "current_file": cur_name,
+        "movers": movers,
+        "added": sorted(set(cur) - set(base)),
+        "removed": sorted(set(base) - set(cur)),
+        "unchanged": len([k for k in cur if base.get(k) == cur[k]]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--changed", default="",
+                    help="comma list of entries whose CODE changed this round")
+    ap.add_argument("--run-pytest", action="store_true")
+    ap.add_argument("--run-replica", action="store_true")
+    ap.add_argument("--run-fingerprints", action="store_true")
+    ap.add_argument("--rebase-prev", metavar="COMMIT",
+                    help="regenerate r{N-1} fingerprint baseline from this "
+                         "commit under the CURRENT normalizer")
+    args = ap.parse_args()
+    n = args.round
+    changed = {c for c in args.changed.split(",") if c}
+
+    head = _git("rev-parse", "HEAD")
+    dirty = _git("status", "--porcelain")
+    green = last_green_rounds(n - 1)
+    registry, window = registry_and_window()
+
+    window_rows = []
+    for name in window:
+        if name not in green:
+            prov = "NEW (never driver-attested)"
+        elif name in changed:
+            prov = f"changed code (last green r{green[name]})"
+        else:
+            prov = f"stale rotation (last green r{green[name]})"
+        window_rows.append({"entry": name, "provenance": prov})
+
+    # staleness tail AFTER this round, assuming the window goes green
+    post = dict(green)
+    for name in window:
+        post[name] = n
+    tail = sorted(
+        ((post.get(name, 0), name) for name in registry if name in post),
+        key=lambda t: (t[0], t[1]),
+    )[:10]
+    never = [name for name in registry if name not in post]
+
+    out = {
+        "round": n,
+        "head": head,
+        "dirty": bool(dirty),
+        "registry_size": len(registry),
+        "window": window_rows,
+        "oldest_after_round": [
+            {"entry": name, "last_green": r} for r, name in tail
+        ],
+        "never_gateable_or_new": never,
+    }
+    if args.rebase_prev:
+        out["rebased_baseline"] = rebase_prev(n - 1, args.rebase_prev)
+    if args.run_fingerprints:
+        out["fingerprints_headline"] = run_fingerprints(n, full=False)
+        out["fingerprints_full"] = run_fingerprints(n, full=True)
+    out["fingerprint_diff"] = fingerprint_diff(n)
+    if args.run_pytest:
+        out["pytest"] = run_pytest()
+    if args.run_replica:
+        out["replica"] = run_replica()
+
+    with open(os.path.join(REPO, f"CLOSING_r{n:02d}.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    # ready-to-paste markdown
+    md = [f"### Round {n} closing (script-generated at HEAD {head[:9]}"
+          f"{', DIRTY TREE' if dirty else ''})", ""]
+    if "pytest" in out:
+        md.append(f"* pytest: **{out['pytest']['summary']}**")
+    if "replica" in out:
+        md.append(f"* full replica: **{out['replica']['summary']}** "
+                  f"(registry {len(registry)})")
+    fd = out["fingerprint_diff"]
+    if "movers" in fd:
+        cmp_note = ("" if fd["drift"]["comparable"]
+                    else " — NORMALIZER CHANGED since baseline; diff vs "
+                         "un-rebased file is NOT meaningful")
+        md.append(
+            f"* plan fingerprints vs {fd['baseline_file']}: "
+            f"{fd['unchanged']} unchanged, movers: "
+            f"{', '.join(fd['movers']) or 'none'}"
+            f"{'; new: ' + ', '.join(fd['added']) if fd['added'] else ''}"
+            f"{cmp_note}"
+        )
+    md.append("* window composition (entry — provenance):")
+    for row in window_rows:
+        md.append(f"  * `{row['entry']}` — {row['provenance']}")
+    md.append("* oldest attestations remaining after this round: "
+              + ", ".join(f"`{t['entry']}` r{t['last_green']}"
+                          for t in out["oldest_after_round"][:6]))
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,45 @@ def build(spark) -> None:
         ).otherwise(F.col("text")),
     ).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
+    # hot-CLUSTER embeddings (r11): 50k rows dim-64, ONE cluster holding
+    # 40% of rows — the BLAS-stage straggler shape (one Arrow task does
+    # 20k^2 cosine work while every other core idles) that split= fixes
+    n_emb, dim = 50_000, 64
+    ids = spark.range(n_emb).withColumnRenamed("id", "vec_id")
+    ue = _uniform(F.col("vec_id"))
+    cluster = (
+        F.when(ue < 0.40, F.lit(0))
+        .otherwise(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 20, 8),
+                    16,
+                    10,
+                )
+                % 63
+            ).cast("int")
+            + 1
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), d.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(2**52)
+        * 2.0
+        - 1.0,
+    )
+    ids.select(
+        "vec_id", cluster.alias("cluster"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
 
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
@@ -104,7 +143,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/documents.parquet"):
+    if "--rebuild" in sys.argv or not os.path.exists(f"{DST}/embeddings.parquet"):
         build(spark)
 
     ev = spark.read.parquet(f"{DST}/events.parquet")
@@ -147,6 +186,20 @@ def main() -> None:
     run("ngram_jaccard_hot_body", lambda: pj.ngram_jaccard_pairs(
         docs, "doc_id", "text").count())
 
+    # hot-CLUSTER BLAS stress (r11): one 20k-row cluster; split=1 runs
+    # its pair work as ONE Arrow task, split=4 as 10 balanced sub-tasks
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    run("embedding_near_dup_hot_cluster", lambda: pj.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.9,
+        block_col="cluster").count())
+    run("embedding_near_dup_hot_cluster_split4", lambda: pj.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.9,
+        block_col="cluster", split=4).count())
+    run("semdedup_hot_cluster", lambda: pj.semdedup(
+        emb, "embedding", "vec_id", "cluster", eps=0.9).count())
+    run("semdedup_hot_cluster_split4", lambda: pj.semdedup(
+        emb, "embedding", "vec_id", "cluster", eps=0.9, split=4).count())
+
     n_docs = docs.count()
     n_hot = docs.filter(F.col("text").startswith("the hot duplicated")).count()
     out["_meta"] = {
@@ -154,10 +207,12 @@ def main() -> None:
         "expected_hot_pairs": n_hot * (n_hot - 1) // 2,
         "hot_user_rows": ev.filter(F.col("user_id") == 0).count(),
         "hot_cust_orders": orders.filter(F.col("o_custkey") == 1).count(),
+        "n_embeddings": emb.count(),
+        "hot_cluster_rows": emb.filter(F.col("cluster") == 0).count(),
     }
     line = json.dumps(out, sort_keys=True)
     print(line)
-    with open("/root/repo/SKEW_BENCH_r10.json", "w") as f:
+    with open("/root/repo/SKEW_BENCH_r11.json", "w") as f:
         f.write(line + "\n")
 
 
