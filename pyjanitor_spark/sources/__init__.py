@@ -8,6 +8,7 @@ from pyjanitor_spark.sources.io import (  # noqa: F401
 )
 from pyjanitor_spark.sources.sinks import (  # noqa: F401
     read_bucketed_table,
+    read_csv,
     read_orc,
     write_bucketed_table,
     write_csv,
