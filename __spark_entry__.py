@@ -1483,7 +1483,7 @@ def q_csv_roundtrip(spark, sf):
     # partition column returns last/string; restore order and types.
     import hashlib
 
-    from pyjanitor_spark.sources.sinks import write_csv
+    from pyjanitor_spark.sources.sinks import read_csv, write_csv
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     d = f"/root/repo/.cache/csv_fixture/{tag}"
@@ -1491,9 +1491,12 @@ def q_csv_roundtrip(spark, sf):
         "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
     )
     write_csv(o, d, partition_by=["o_orderstatus"])
-    out = spark.read.option("header", "true").schema(
-        "o_orderkey long, o_totalprice double, o_orderpriority string"
-    ).option("basePath", d).csv(d)
+    out = read_csv(
+        spark,
+        d,
+        schema="o_orderkey long, o_totalprice double, o_orderpriority string",
+        basePath=d,
+    )
     return out.select(
         "o_orderkey",
         "o_totalprice",
