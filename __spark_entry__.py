@@ -699,6 +699,25 @@ def q_semdedup(spark, sf):
     )
 
 
+def q_semdedup_split(spark, sf):
+    # the SAME semantics as q_semdedup but through the triangle-split
+    # hot-cluster path (split=2): pair sub-tasks + distributed
+    # components must reproduce the in-task union-find output exactly,
+    # so this gate shares semdedup's oracle SQL verbatim
+    e, _ = _query_vec(spark, sf)
+    return pj.semdedup(
+        e, "embedding", "vec_id", "label", eps=0.3, split=2
+    ).select("vec_id", "label")
+
+
+def q_near_dup_split(spark, sf):
+    # q_embedding_near_dup through split=2 sub-tasks — same oracle
+    e = _embs(spark, sf)
+    return pj.embedding_near_dup(
+        e, "vec_id", "embedding", threshold=0.4, block_col="label", split=2
+    )
+
+
 def q_token_count(spark, sf):
     d = _docs(spark, sf)
     return pj.token_count(d, "text").select("doc_id", "n_tokens")
@@ -1782,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_multiblock": q_near_dup_multiblock,
+        "semdedup_split": q_semdedup_split,
+        "near_dup_split": q_near_dup_split,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
@@ -1924,7 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _WINDOW = [
         # (a) 4 NEW sink roundtrip gates — never driver-attested
         "csv_roundtrip", "json_roundtrip", "bucketed_roundtrip",
-        "zorder_roundtrip",
+        "zorder_roundtrip", "semdedup_split", "near_dup_split",
         # (b) 7 entries whose CODE changed in round 11 (Arrow-direct
         # BLAS stages + cells gates + degenerate-vector semantics;
         # star-mode LSH pair emission; triangle-split hot-cluster path;
@@ -1944,10 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jitter", "quantile_bin", "read_csvs", "shuffle", "softmax",
         "sort_timestamps_monotonically", "to_datetime", "xlsx_cells",
         "xlsx_table", "z_score",
-        # (e) the 10 alphabetically-first r8-era rows fill the window
+        # (e) the 8 alphabetically-first r8-era rows fill the window
         "add_columns", "also_then", "asof_join", "binary_metadata",
         "bloom_dedupe_against", "bm25_score", "bpe_encode",
-        "cartesian_product", "change_index_dtype", "change_type",
+        "cartesian_product",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -3353,6 +3374,9 @@ def _pipeline_oracles() -> dict[str, str]:
         "ngram_jaccard_capped": jaccard_capped,
         "embedding_near_dup": near_dup,
         "near_dup_multiblock": near_dup_multiblock,
+        # split=2 gates: identical expected output, same oracles
+        "semdedup_split": semdd,
+        "near_dup_split": near_dup,
         "cosine_topk": topk,
         "lsh_bucket_topk": lsh_topk,
         "ivf_topk": ivf,
