@@ -1564,6 +1564,15 @@ def q_bucketed_roundtrip(spark, sf):
     p = _t(spark, sf, "part").select(
         "p_partkey", "p_brand", "p_size", "p_retailprice"
     )
+    # a prior SESSION's managed-table location can survive on disk while
+    # this session's in-memory catalog has no such table; clear both or
+    # saveAsTable raises LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = f"{wh.removeprefix('file:')}/{name}"
+    shutil.rmtree(loc, ignore_errors=True)
     write_bucketed_table(p, name, bucket_by=["p_partkey"], num_buckets=4,
                          sort_by=["p_partkey"])
     return read_bucketed_table(spark, name).select(

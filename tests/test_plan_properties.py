@@ -309,6 +309,10 @@ def test_registry_generate_broadcast_lint(spark):
         # id lists (linear; the quadratic inter side is merge-hinted)
         "ngram_jaccard_pairs", "ngram_jaccard_capped", "dedupe_against",
         "remove_duplicated_spans", "simhash_pairs", "semdedup",
+        # split mode shares semdedup's k-row centroid attach; its
+        # broadcast subtree contains the centroid posexplode, and the
+        # build side is n_clusters rows by construction (bounded)
+        "semdedup_split",
         # bucketized range join: right side exploded into range buckets;
         # estimate derives from the real FileScan, growth factor is
         # buckets-per-row (small constant)
