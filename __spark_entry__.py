@@ -586,7 +586,16 @@ def q_near_dup_multiblock(spark, sf):
     # key-shifted copies of the whole table land in ONE block (sf0.01:
     # 500 vectors -> 2500 rows -> 2 row blocks); clone pairs score
     # cos=1.0 exactly, natural pairs join them above the 0.93 cut
-    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # input CAPPED at the first 600 vec_ids: this is a CORRECTNESS gate
+    # for the row-block split (600*5 = 3000 rows -> 3 row blocks), not a
+    # scale test — uncapped, the one-block design cost grows
+    # quadratically with SF (227 s at ~sf1 in the r11 sweep; the
+    # hot-block SCALE story lives in SKEW_BENCH_r11 + the split gates)
+    e = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 600)
+        .select("vec_id", "embedding")
+    )
     u = e
     for i in (1, 2, 3, 4):
         u = u.union(
@@ -3173,7 +3182,7 @@ def _pipeline_oracles() -> dict[str, str]:
     )
     near_dup_multiblock = (
         "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
-        "FROM embeddings), "
+        "FROM embeddings WHERE vec_id < 600), "
         "e AS (SELECT vec_id, v FROM base "
         "UNION ALL SELECT vec_id + 100000, v FROM base "
         "UNION ALL SELECT vec_id + 200000, v FROM base "
