@@ -739,6 +739,15 @@ def q_quality_score(spark, sf):
     )
 
 
+def q_gopher_repetition(spark, sf):
+    # the Gopher repetition-filter signal suite (text_analysis.py):
+    # dup line/para fractions + top/dup n-gram char fractions, the
+    # documented count*len upper-bound semantics clamped at 1.0
+    d = _docs(spark, sf)
+    return pj.gopher_repetition(d, "doc_id", "text")
+
+
+
 def q_language_id(spark, sf):
     d = _docs(spark, sf)
     return pj.language_id(d, "text").select("doc_id", "lang", "lang_pred")
@@ -1829,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
+        "gopher_repetition": q_gopher_repetition,
         "language_id": q_language_id,
         "binary_metadata": q_binary_metadata,
         "resize_payload": q_resize_payload,
@@ -1964,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) 4 NEW sink roundtrip gates — never driver-attested
         "csv_roundtrip", "json_roundtrip", "bucketed_roundtrip",
         "zorder_roundtrip", "semdedup_split", "near_dup_split",
+        "gopher_repetition",
         # (b) 7 entries whose CODE changed in round 11 (Arrow-direct
         # BLAS stages + cells gates + degenerate-vector semantics;
         # star-mode LSH pair emission; triangle-split hot-cluster path;
@@ -1983,10 +1994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jitter", "quantile_bin", "read_csvs", "shuffle", "softmax",
         "sort_timestamps_monotonically", "to_datetime", "xlsx_cells",
         "xlsx_table", "z_score",
-        # (e) the 8 alphabetically-first r8-era rows fill the window
+        # (e) the 7 alphabetically-first r8-era rows fill the window
         "add_columns", "also_then", "asof_join", "binary_metadata",
         "bloom_dedupe_against", "bm25_score", "bpe_encode",
-        "cartesian_product",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -3402,6 +3412,47 @@ def _pipeline_oracles() -> dict[str, str]:
             f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents"
         ),
         "quality_score": quality,
+        "gopher_repetition": (
+            # Gopher repetition suite: the documented count*len
+            # upper-bound formulas, clamped at 1.0 (text_analysis.py)
+            "WITH tok AS (SELECT doc_id, length(text) AS chars, "
+            r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "ln AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS ls, "
+            r"list_filter(list_transform(string_split_regex(text, '\n{2,}'), s -> trim(s)), s -> s <> '') AS ps "
+            "FROM documents), "
+            "base AS (SELECT t.doc_id, t.chars, "
+            "CASE WHEN len(l.ls) > 0 THEN 1.0 - CAST(len(list_distinct(l.ls)) AS DOUBLE)/len(l.ls) ELSE 0.0 END AS dup_line_frac, "
+            "CASE WHEN len(l.ps) > 0 THEN 1.0 - CAST(len(list_distinct(l.ps)) AS DOUBLE)/len(l.ps) ELSE 0.0 END AS dup_para_frac "
+            "FROM tok t JOIN ln l USING (doc_id)), "
+            "g AS (SELECT t.doc_id, v.n, array_to_string(list_slice(t.w, u.i, u.i + v.n - 1), ' ') AS gram "
+            "FROM tok t CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n), "
+            "unnest(generate_series(1, len(t.w) - v.n + 1)) AS u(i)), "
+            "cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram), "
+            "ranked AS (SELECT doc_id, n, c * length(gram) AS tc, "
+            "row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn FROM cnt), "
+            "pivt AS (SELECT doc_id, max(CASE WHEN n=2 THEN tc END) AS t2, "
+            "max(CASE WHEN n=3 THEN tc END) AS t3, max(CASE WHEN n=4 THEN tc END) AS t4 "
+            "FROM ranked WHERE rn = 1 GROUP BY doc_id), "
+            "pivd AS (SELECT doc_id, max(CASE WHEN n=5 THEN dc END) AS d5, "
+            "max(CASE WHEN n=6 THEN dc END) AS d6, max(CASE WHEN n=7 THEN dc END) AS d7, "
+            "max(CASE WHEN n=8 THEN dc END) AS d8, max(CASE WHEN n=9 THEN dc END) AS d9, "
+            "max(CASE WHEN n=10 THEN dc END) AS d10 FROM "
+            "(SELECT doc_id, n, sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dc "
+            "FROM cnt GROUP BY doc_id, n) GROUP BY doc_id) "
+            "SELECT b.doc_id, b.dup_line_frac, b.dup_para_frac, "
+            "CASE WHEN b.chars > 0 AND t2 IS NOT NULL THEN least(1.0, CAST(t2 AS DOUBLE)/b.chars) ELSE 0.0 END AS top_2_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND t3 IS NOT NULL THEN least(1.0, CAST(t3 AS DOUBLE)/b.chars) ELSE 0.0 END AS top_3_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND t4 IS NOT NULL THEN least(1.0, CAST(t4 AS DOUBLE)/b.chars) ELSE 0.0 END AS top_4_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d5 IS NOT NULL THEN least(1.0, CAST(d5 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_5_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d6 IS NOT NULL THEN least(1.0, CAST(d6 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_6_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d7 IS NOT NULL THEN least(1.0, CAST(d7 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_7_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d8 IS NOT NULL THEN least(1.0, CAST(d8 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_8_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d9 IS NOT NULL THEN least(1.0, CAST(d9 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_9_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d10 IS NOT NULL THEN least(1.0, CAST(d10 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_10_gram_char_frac "
+            "FROM base b LEFT JOIN pivt USING (doc_id) LEFT JOIN pivd USING (doc_id)"
+        ),
         "language_id": lang,
         "binary_metadata": (
             "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "

@@ -87,6 +87,7 @@ from pyjanitor_spark.operators.text_analysis import (
     chunk_text,
     extract_urls,
     fingerprint,
+    gopher_repetition,
     language_id,
     ngram_lm_score,
     normalize_text,

@@ -28,6 +28,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "repetition_score",
+    "gopher_repetition",
     "pii_redact",
     "top_collocations",
     "top_ngrams",
@@ -392,6 +393,177 @@ def repetition_score(
         1.0 - F.size(word_shingles(col, shingle_n)).cast("double") / n_grams,
     ).otherwise(F.lit(0.0))
     return df.withColumn(dest, word_frac).withColumn("rep_ngram_frac", ngram_frac)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    column_name: str,
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The Gopher repetition-filter signal suite (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", table A1 — public
+    literature; the same signals DataTrove/Dolma implement):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of non-empty
+      line (paragraph) occurrences that are repeats
+      (``1 - distinct/total``, the :func:`repetition_score`
+      convention).  Pure per-row expressions.
+    * ``top_{n}_gram_char_frac`` (n ∈ ``top_ns``) — fraction of the
+      document's characters covered by the single most frequent word
+      n-gram: ``count(top) * len(top) / len(text)``, the top gram
+      chosen by (count, char length, lexicographic) so ties are
+      deterministic and engine-portable.
+    * ``dup_{n}_gram_char_frac`` (n ∈ ``dup_ns``) — fraction of
+      characters covered by ALL word n-grams occurring more than
+      once: ``Σ_{count(g)≥2} count(g)·len(g) / len(text)``.
+
+    Overlap semantics: occurrences of an n-gram OVERLAP for n ≥ 2
+    (``a a a a`` holds three ``a a`` bigrams in 7 chars), so the
+    count·len numerator can exceed the text length; span-union
+    implementations (e.g. DataTrove) dedupe overlapping character
+    positions instead.  These fractions are therefore an UPPER BOUND
+    of the span-union fraction, clamped to 1.0 — conservative for
+    filtering (never under-flags a repetitive document), identical
+    whenever duplicated grams don't overlap, and computable as one
+    hash-aggregate with no per-document position walk.
+
+    Filter thresholds from the paper (e.g. drop when
+    top_2_gram_char_frac > 0.20 or dup_5_gram_char_frac > 0.15) are
+    the caller's policy; this verb just computes the signals.
+
+    Plan shape at 100 TB: the line/para fractions never shuffle; the
+    n-gram fractions explode once into ``(id, n, gram)`` for ALL
+    requested n values, hash-aggregate counts (map-side combined,
+    shuffle keyed on id+n+gram strings), reduce to one row per (id, n)
+    and pivot back via one join on ``id_col``.  Nothing quadratic; no
+    per-row HOF counting loops (an in-array count per distinct gram
+    would be interpreted O(k²) per document).
+    Docs shorter than n tokens score 0.0 for that n; empty docs score
+    0.0 everywhere.
+    """
+    all_ns = sorted(set(tuple(top_ns) + tuple(dup_ns)))
+    if not all_ns or min(all_ns) < 1:
+        raise ValueError("top_ns/dup_ns must be positive n-gram sizes")
+    col = F.col(column_name)
+
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(col, "\n{2,}"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+    def rep_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
+        ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        F.length(col).alias("__chars"),
+        rep_frac(lines).alias("dup_line_frac"),
+        rep_frac(paras).alias("dup_para_frac"),
+    )
+
+    # ONE explode for every n: (id, n, gram); word_shingles(distinct=
+    # False) keeps every occurrence so the count survives the explode.
+    # NB the tag lambda must take exactly ONE parameter — PySpark
+    # passes the array index to any second parameter, even a defaulted
+    # closure capture (the minhash_signature lesson).
+    def tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    # collapse+trim ALL whitespace before shingling: raw split would
+    # produce empty tokens around leading/trailing newlines/tabs
+    # (F.trim strips spaces only), and a whitespace-only document would
+    # otherwise mint separator "grams" scoring 1.0
+    gram_src = F.trim(F.regexp_replace(col, r"\s+", " "))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            word_shingles(gram_src, n, distinct=False), tag(n)
+                        )
+                        for n in all_ns
+                    ]
+                )
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram"))
+    counted = grams.groupBy(id_col, "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    per_n = counted.groupBy(id_col, "__n").agg(
+        F.max(
+            F.struct(
+                F.col("__c"),
+                F.length("__gram").alias("__l"),
+                F.col("__gram"),
+            )
+        ).alias("__top"),
+        F.sum(
+            F.when(
+                F.col("__c") >= 2, F.col("__c") * F.length("__gram")
+            ).otherwise(F.lit(0))
+        ).alias("__dupchars"),
+    )
+    agg_cols = []
+    for n in top_ns:
+        agg_cols.append(
+            F.max(
+                F.when(
+                    F.col("__n") == n,
+                    F.col("__top.__c") * F.col("__top.__l"),
+                )
+            ).alias(f"__topchars_{n}")
+        )
+    for n in dup_ns:
+        agg_cols.append(
+            F.max(F.when(F.col("__n") == n, F.col("__dupchars"))).alias(
+                f"__dupchars_{n}"
+            )
+        )
+    pivoted = per_n.groupBy(id_col).agg(*agg_cols)
+    out = base.join(pivoted, id_col, "left")
+    proj = [
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        F.col("dup_para_frac"),
+    ]
+    chars = F.col("__chars")
+    for n in top_ns:
+        proj.append(
+            F.when(
+                (chars > 0) & F.col(f"__topchars_{n}").isNotNull(),
+                F.least(
+                    F.lit(1.0),
+                    F.col(f"__topchars_{n}").cast("double") / chars,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}_gram_char_frac")
+        )
+    for n in dup_ns:
+        proj.append(
+            F.when(
+                (chars > 0) & F.col(f"__dupchars_{n}").isNotNull(),
+                F.least(
+                    F.lit(1.0),
+                    F.col(f"__dupchars_{n}").cast("double") / chars,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}_gram_char_frac")
+        )
+    return out.select(*proj)
 
 
 # Conservative, engine-portable (Java regex == RE2) PII patterns.

@@ -321,6 +321,10 @@ def test_registry_generate_broadcast_lint(spark):
         # bounded stat / model attaches that pass through an explode
         "hashed_tfidf", "top_collocations", "contamination",
         "nb_classify", "expand_grid",
+        # per-doc n-gram fraction table: one row per doc_id (LINEAR in
+        # the scan; the estimate tracks the input, so at real scale the
+        # planner switches to sort-merge on its own)
+        "gopher_repetition",
     }
     bad = {}
     for name, q in e.queries().items():
