@@ -25,6 +25,17 @@ def test_readme_cookbook_pipeline(spark):
     n1 = docs.count()
     assert 0 < n1 <= n0
 
+    # 1b. Gopher repetition rules at the published thresholds
+    rep = pj.gopher_repetition(docs, "doc_id", "text")
+    keep = rep.filter(
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_2_gram_char_frac") <= 0.20)
+        & (F.col("dup_5_gram_char_frac") <= 0.15)
+    ).select("doc_id")
+    docs = docs.join(keep, "doc_id", "left_semi")
+    n1b = docs.count()
+    assert 0 < n1b <= n1
+
     # 2. exact then near dedup
     docs = pj.dedupe_exact(docs, "text", id_col="doc_id")
     docs = pj.dedupe_near(
@@ -35,7 +46,7 @@ def test_readme_cookbook_pipeline(spark):
     assert docs.select("doc_id").distinct().count() == n2
 
     # 3. decontamination: (id, score) frame, semi-join the clean ids
-    bench = docs.limit(20).select(F.col("text").alias("bench_text"))
+    bench = docs.limit(5).select(F.col("text").alias("bench_text"))
     scores = pj.contamination_score(
         docs,
         bench,
@@ -47,7 +58,7 @@ def test_readme_cookbook_pipeline(spark):
     clean = scores.filter(F.col("contamination") < 0.5).select("doc_id")
     docs = docs.join(clean, "doc_id", "left_semi")
     n3 = docs.count()
-    # the 20 benchmark docs contaminate themselves out
+    # the 5 benchmark docs contaminate themselves out
     assert 0 < n3 < n2
 
     # 4. holdout + packing
