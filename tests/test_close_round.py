@@ -119,3 +119,38 @@ def test_parse_replica_summary(monkeypatch):
         "failed": 0,
         "rows_only": 0,
     }
+
+
+def test_recommended_window_rule():
+    registry = ["new1", "chg1", "old_r1", "old_r2a", "old_r2b", "fresh"]
+    green = {"chg1": 5, "old_r1": 1, "old_r2a": 2, "old_r2b": 2, "fresh": 9}
+    rec = close_round.recommended_window(
+        registry, green, changed={"chg1"}, size=4
+    )
+    # new first, changed second, then oldest-first alphabetical
+    assert rec == ["new1", "chg1", "old_r1", "old_r2a"]
+
+
+def test_window_check_diffs():
+    registry = ["a", "b", "c", "d"]
+    green = {"b": 1, "c": 2, "d": 3}
+    chk = close_round.window_check(
+        registry, ["a", "d"], green, changed=set()
+    )
+    # rule wants [a (new), b (oldest)]: d is unexpected, b missing
+    assert not chk["matches_rule"]
+    assert chk["missing_from_window"] == ["b"]
+    assert chk["unexpected_in_window"] == ["d"]
+
+
+def test_live_window_matches_rule():
+    """The committed r11 window satisfies the composition rule."""
+    changed = {
+        "semdedup", "embedding_near_dup", "near_dup_multiblock",
+        "dedupe_near", "dedupe_near_best", "minhash_lsh_pairs",
+        "near_dup_clusters",
+    }
+    green = close_round.last_green_rounds(10)
+    registry, window = close_round.registry_and_window()
+    chk = close_round.window_check(registry, window, green, changed)
+    assert chk["matches_rule"], chk

@@ -81,6 +81,50 @@ def registry_and_window() -> tuple[list[str], list[str]]:
     return qs, qs[:50]
 
 
+def recommended_window(
+    registry: list[str],
+    green: dict[str, int],
+    changed: set[str],
+    size: int = 50,
+) -> list[str]:
+    """The r7 composition rule, computed: (a) never-attested entries
+    (new gates) first, (b) entries whose code changed this round, then
+    (c) the stalest attestations oldest-first (alphabetical within a
+    round).  Returns the recommended SET as an ordered list."""
+    new = [n for n in registry if n not in green]
+    chg = [n for n in registry if n in changed and n in green]
+    rest = sorted(
+        (n for n in registry if n in green and n not in changed),
+        key=lambda n: (green[n], n),
+    )
+    out = []
+    for group in (new, chg, rest):
+        for n in group:
+            if len(out) >= size:
+                break
+            if n not in out:
+                out.append(n)
+    return out[:size]
+
+
+def window_check(
+    registry: list[str],
+    window: list[str],
+    green: dict[str, int],
+    changed: set[str],
+) -> dict:
+    """Set-diff the ACTUAL first-50 window against the rule's
+    recommendation.  Ordering inside the window is presentation;
+    composition is the contract."""
+    rec = recommended_window(registry, green, changed, size=len(window))
+    actual, want = set(window), set(rec)
+    return {
+        "matches_rule": actual == want,
+        "missing_from_window": sorted(want - actual),
+        "unexpected_in_window": sorted(actual - want),
+    }
+
+
 def run_pytest() -> dict:
     p = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
@@ -262,6 +306,7 @@ def main() -> None:
         "dirty": bool(dirty),
         "registry_size": len(registry),
         "window": window_rows,
+        "window_check": window_check(registry, window, green, changed),
         "oldest_after_round": [
             {"entry": name, "last_green": r} for r, name in tail
         ],
@@ -300,6 +345,16 @@ def main() -> None:
             f"{', '.join(fd['movers']) or 'none'}"
             f"{'; new: ' + ', '.join(fd['added']) if fd['added'] else ''}"
             f"{cmp_note}"
+        )
+    wc = out["window_check"]
+    if wc["matches_rule"]:
+        md.append("* window composition MATCHES the r7 rule "
+                  "(new → changed → oldest-first), verified by set-diff")
+    else:
+        md.append(
+            f"* window RULE MISMATCH — missing: "
+            f"{wc['missing_from_window']}; unexpected: "
+            f"{wc['unexpected_in_window']}"
         )
     md.append("* window composition (entry — provenance):")
     for row in window_rows:
