@@ -727,6 +727,42 @@ def q_near_dup_split(spark, sf):
     )
 
 
+def q_near_dup_autosplit(spark, sf):
+    # split='auto': per-block factor sized by the rows×dim window;
+    # auto_split_cells=2000 forces every sf0.01 label block (~125 rows
+    # × 64 dims = 8000 cells) to a 4-way triangle split, so the gate
+    # exercises the dynamic task builder, not the m=1 degenerate case
+    # — same oracle as embedding_near_dup
+    e = _embs(spark, sf)
+    return pj.embedding_near_dup(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        block_col="label",
+        split="auto",
+        auto_split_cells=2000,
+    )
+
+
+def q_semdedup_auto(spark, sf):
+    # split='auto' with a tiny per-sub-block budget: the bounded
+    # pre-flight sees the largest cluster exceed auto_split_cells at
+    # ≥20% cell share and routes through the split pipeline — output
+    # must equal the in-task union-find, so this shares semdedup's
+    # oracle SQL verbatim
+    e, _ = _query_vec(spark, sf)
+    return pj.semdedup(
+        e,
+        "embedding",
+        "vec_id",
+        "label",
+        eps=0.3,
+        split="auto",
+        auto_split_cells=500,
+    ).select("vec_id", "label")
+
+
 def q_token_count(spark, sf):
     d = _docs(spark, sf)
     return pj.token_count(d, "text").select("doc_id", "n_tokens")
@@ -1830,6 +1866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_multiblock": q_near_dup_multiblock,
         "semdedup_split": q_semdedup_split,
         "near_dup_split": q_near_dup_split,
+        "semdedup_auto": q_semdedup_auto,
+        "near_dup_autosplit": q_near_dup_autosplit,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
@@ -3405,6 +3443,11 @@ def _pipeline_oracles() -> dict[str, str]:
         # split=2 gates: identical expected output, same oracles
         "semdedup_split": semdd,
         "near_dup_split": near_dup,
+        # split='auto' gates (r12): tiny auto_split_cells forces the
+        # window-sized per-block split / the pre-flight split decision;
+        # output contract is IDENTITY with the unsplit plans
+        "semdedup_auto": semdd,
+        "near_dup_autosplit": near_dup,
         "cosine_topk": topk,
         "lsh_bucket_topk": lsh_topk,
         "ivf_topk": ivf,

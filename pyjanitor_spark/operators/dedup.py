@@ -520,7 +520,8 @@ def embedding_near_dup(
     dim: int | None = None,
     allow_cross_join: bool = False,
     max_block_cells: int | None = 200_000_000,
-    split: int = 1,
+    split: int | str = 1,
+    auto_split_cells: int = 25_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
@@ -563,9 +564,51 @@ def embedding_near_dup(
     output identical to ``split=1``.  Each row is replicated ``split``
     times (shuffle volume ×split) and per-task memory drops to
     ~(2·block/split)·dim, so ``split ≈ ceil(block_rows / 50k)`` turns
-    a one-task straggler into a fleet of balanced tasks."""
-    if int(split) < 1:
+    a one-task straggler into a fleet of balanced tasks.
+
+    ``split='auto'`` sizes the split PER BLOCK from the data, so a
+    100 TB corpus needs no a-priori knowledge of its hot-block size:
+    one window over the block key (a shuffle the pair stage pays
+    anyway) measures each block's rows × dim cells, and the block is
+    sharded into ``ceil(cells / auto_split_cells)`` sub-blocks —
+    cold blocks keep ``split=1`` (a single (0,0) diagonal task,
+    identical math to the unsplit path) while the one boilerplate
+    cluster fans out exactly as far as it needs.  ``auto_split_cells``
+    (default 2.5e7 ≈ 200 MB float64) is the per-SUB-BLOCK matrix
+    budget; a task holds at most two sub-blocks (~2× that).  The
+    per-block factor is capped at 256: a block needing more than 256
+    sub-blocks exceeds ``max_block_cells`` per sub-task anyway and
+    aborts through that gate with a message naming the block — at that
+    size the quadratic pair cost itself is the problem, not task
+    memory.  Shuffle volume within a block grows ×split (each row is
+    replicated to every sub-task touching its sub-block) — inherent to
+    exact all-pairs scoring, and still Σ block²-bounded.
+
+    With ``allow_cross_join=True`` (the documented small-frame exact
+    brute force) ``split``, ``auto_split_cells`` and
+    ``max_block_cells`` do not apply — there is no blocked Arrow task
+    to shard or gate, pairs come from one expression join.  Passing
+    ``split`` != 1 together with the cross-join path raises instead of
+    silently ignoring the knob."""
+    auto_split = isinstance(split, str)
+    if auto_split:
+        if split != "auto":
+            raise ValueError(f"split must be an int >= 1 or 'auto', got {split!r}")
+        if int(auto_split_cells) < 1:
+            raise ValueError("auto_split_cells must be >= 1")
+    elif int(split) < 1:
         raise ValueError("split must be >= 1")
+    if (
+        block_col is None
+        and not auto_block_planes
+        and allow_cross_join
+        and (auto_split or int(split) != 1)
+    ):
+        raise ValueError(
+            "split applies to the blocked pair stage; allow_cross_join=True "
+            "without a block takes a single expression join with no tasks "
+            "to shard — drop split= or use block_col/auto_block_planes"
+        )
     if block_col is None and not auto_block_planes and not allow_cross_join:
         if dim is not None:
             auto_block_planes = 8
@@ -681,7 +724,7 @@ def embedding_near_dup(
                 }
             )
 
-        s_n = int(split)
+        s_n = 0 if auto_split else int(split)
 
         def _split_pairs(key, tbl):
             # triangle-partitioned sub-task: key = (block, ti, tj).
@@ -765,26 +808,59 @@ def embedding_near_dup(
                 }
             )
 
-        if s_n > 1:
+        if auto_split or s_n > 1:
             # deterministic sub-block from the id; a row fans out to
-            # every task touching its sub-block (split rows per input
-            # row), so shuffle volume is ×split while per-task memory
-            # drops ÷(split/2) — the straggler trade, made explicit
-            sb = F.pmod(F.xxhash64(F.col(id_col)), F.lit(s_n)).cast("int")
-            task_list = F.array(
-                *[
-                    F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
-                    for i in range(s_n)
-                    for j in range(i, s_n)
-                ]
+            # every task touching its sub-block (m rows per input row,
+            # m = the block's split factor), so shuffle volume is ×m
+            # while per-task memory drops ÷(m/2) — the straggler
+            # trade, made explicit.  'auto' sizes m PER BLOCK with one
+            # window over the block key (the same key the pair stage
+            # shuffles on anyway): ceil(rows × dim / auto_split_cells)
+            # capped at 256 — cold blocks stay m=1 (single diagonal
+            # task, same math as the unsplit path), only the hot block
+            # fans out.  The cap is safe: a block still oversized at
+            # 256-way split trips the per-sub-task cells gate below
+            # with a message naming it.
+            if auto_split:
+                wb = Window.partitionBy(bname)
+                blk_cells = F.count(F.lit(1)).over(wb) * F.coalesce(
+                    F.max(F.size(F.col(vname))).over(wb).cast("long"),
+                    F.lit(1),
+                )
+                m_col = F.least(
+                    F.lit(256),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            blk_cells
+                            / F.lit(float(int(auto_split_cells)))
+                        ).cast("int"),
+                    ),
+                ).cast("int")
+            else:
+                m_col = F.lit(s_n)
+            pre = slim.withColumn("__m", m_col).withColumn(
+                "__sb",
+                F.pmod(
+                    F.xxhash64(F.col(id_col)), F.col("__m").cast("bigint")
+                ).cast("int"),
             )
-            my_tasks = F.filter(
-                task_list,
-                lambda t: (t["i"] == F.col("__sb")) | (t["j"] == F.col("__sb")),
+            # tasks touching sub-block sb: (i, sb) for i ≤ sb plus
+            # (sb, j) for j > sb — exactly the i ≤ j triangle rows/cols
+            # through sb, built per-row so m can vary per block
+            lower = F.transform(
+                F.sequence(F.lit(0), F.col("__sb")),
+                lambda i: F.struct(i.alias("i"), F.col("__sb").alias("j")),
             )
+            upper = F.when(
+                F.col("__sb") < F.col("__m") - 1,
+                F.transform(
+                    F.sequence(F.col("__sb") + 1, F.col("__m") - 1),
+                    lambda j: F.struct(F.col("__sb").alias("i"), j.alias("j")),
+                ),
+            ).otherwise(F.slice(lower, 1, 0))
             fanned = (
-                slim.withColumn("__sb", sb)
-                .withColumn("__t", F.explode(my_tasks))
+                pre.withColumn("__t", F.explode(F.concat(lower, upper)))
                 .select(
                     F.col(iname),
                     F.col(vname),
@@ -839,13 +915,28 @@ def near_dup_clusters(
     id_2): every id gets ``dest`` = the MIN id reachable through the
     pair graph — the canonical representative of its duplicate cluster.
 
-    Iterative min-label propagation with pointer jumping (each round:
-    take the min label over graph neighbors, then hop ``l(v) <-
-    l(l(v))``), so rounds ~ O(log diameter) — near-dup clusters are
-    shallow, typically 2-4 rounds.  Each round is two shuffles on ids;
-    ``localCheckpoint`` truncates the growing lineage, and one bounded
-    driver action per round checks convergence (this is inherently an
-    iterative algorithm — the documented exception to pure-lazy verbs).
+    Alternating star contraction (the two-phase algorithm of Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond" —
+    public literature; the production MapReduce CC algorithm).  Each
+    round rewires the edge set toward a union of stars rooted at each
+    component's minimum id:
+
+    * large-star: per node u, every STRICTLY LARGER neighbor is
+      re-pointed at ``min(Γ(u) ∪ {u})``;
+    * small-star: per node u (edges keyed on the larger endpoint),
+      every smaller-or-self member is re-pointed at ``min(Γ⁻(u) ∪
+      {u})``.
+
+    Both are one groupBy + one join on id keys; convergence is proven
+    in O(log² n) rounds and is 3-6 rounds in practice EVEN FOR
+    LONG-CHAIN graphs — unlike naive min-label propagation, whose
+    round count grows with graph DIAMETER (a 600-node proximity chain
+    needs 20+ propagation rounds; this implementation previously
+    capped at ``max_iter`` and could return a non-converged labeling
+    silently — r12 fuzz finding).  One bounded driver action per round
+    (count + order-independent edge checksum) detects the fixed point;
+    exhausting ``max_iter`` (default 20 ≈ graphs beyond any physical
+    corpus) now RAISES rather than returning wrong labels.
 
     ``nodes`` (a frame with ``id_col``) adds unpaired ids as singleton
     clusters (``dest`` = own id).
@@ -860,53 +951,89 @@ def near_dup_clusters(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(d: DataFrame) -> DataFrame:
-        # eager=False: the next action (the convergence count / first
-        # round's join) materializes the checkpoint in the SAME job —
-        # an eager checkpoint would run one extra blocking job per round
+        # eager=False: the next action (the convergence signature)
+        # materializes the checkpoint in the SAME job — an eager
+        # checkpoint would run one extra blocking job per round
         return (
             d.checkpoint(eager=False)
             if checkpoint_dir is not None
             else d.localCheckpoint(eager=False)
         )
 
-    e1 = pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+    # edges normalized child > parent, no self loops, distinct
     edges = _ckpt(
-        e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.greatest("id_1", "id_2").alias("c"),
+            F.least("id_1", "id_2").alias("p"),
+        )
+        .filter(F.col("c") != F.col("p"))
+        .distinct()
     )
-    labels = _ckpt(
-        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    )
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
+    sig_prev = None
+    for rnd in range(max_iter):
+        # ---- large-star: strictly larger neighbors -> neighborhood min
+        sym = edges.union(
+            edges.select(F.col("p").alias("c"), F.col("c").alias("p"))
         )
-        # carry the round-start label through so convergence is a flag on
-        # this round's output, not an extra join against the old labels
-        prop = labels.join(nbr, labels.id == nbr.src, "left").select(
-            labels.id.alias("id"),
-            F.col("lbl").alias("lbl0"),
-            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+        mins = sym.groupBy("c").agg(
+            F.least(F.min("p"), F.first("c")).alias("m")
         )
-        # pointer jumping: follow the label's own label
-        hop = (
-            prop.alias("a")
-            .join(prop.alias("b"), F.col("a.lbl") == F.col("b.id"), "left")
-            .select(
-                F.col("a.id").alias("id"),
-                F.coalesce(F.col("b.lbl"), F.col("a.lbl")).alias("lbl"),
-                (F.coalesce(F.col("b.lbl"), F.col("a.lbl")) != F.col("a.lbl0")).alias(
-                    "__changed"
-                ),
-            )
+        large = (
+            sym.filter(F.col("p") > F.col("c"))
+            .join(mins, "c")
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
         )
-        hop = _ckpt(hop)
-        changed = hop.filter(F.col("__changed")).count()  # scans the checkpoint
-        labels = hop.drop("__changed")
-        if changed == 0:
+        # ---- small-star: smaller-or-self members -> min of Γ⁻(u)∪{u}
+        smins = large.groupBy("c").agg(F.min("p").alias("m"))
+        edges = _ckpt(
+            large.join(smins, "c")
+            .select(F.col("p").alias("x"), F.col("m"))
+            .union(smins.select(F.col("c").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("c"), F.col("m").alias("p"))
+            .distinct()
+        )
+        # one bounded action: row count + order-independent checksum —
+        # the star fixed point reproduces the identical edge set
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("c", "p").cast("decimal(38,0)")).alias("h"),
+        ).head()
+        sig = (row["n"], row["h"])
+        if sig == sig_prev:
             break
-    out = labels.select(F.col("id").alias(id_col), F.col("lbl").alias(dest))
+        sig_prev = sig
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters: star contraction did not converge in "
+            f"max_iter={max_iter} rounds — raise max_iter (the two-phase "
+            f"algorithm needs O(log^2 n) rounds; 20 covers any physical "
+            f"graph, so this likely indicates pathological input such as "
+            f"ids mutating between actions)"
+        )
+    # the signature detects a fixed point of the COMPOSED round; assert
+    # the fixed point is the star shape the labeling below assumes
+    # (parents never reappear as children) — one bounded action, never
+    # expected to fire, cheap insurance against a silent mislabel
+    non_star = (
+        edges.alias("a")
+        .join(edges.alias("b"), F.col("a.p") == F.col("b.c"))
+        .limit(1)
+        .count()
+    )
+    if non_star:
+        raise RuntimeError(
+            "near_dup_clusters: converged edge set is not a union of "
+            "stars — please report; raising instead of mislabeling"
+        )
+    # converged edges form stars (child -> component min); roots label
+    # themselves
+    out = edges.select(F.col("c").alias(id_col), F.col("p").alias(dest)).union(
+        edges.select(F.col("p").alias(id_col), F.col("p").alias(dest)).distinct()
+    )
     if nodes is not None:
         all_ids = nodes.select(F.col(id_col)).distinct()
         out = all_ids.join(out, id_col, "left").select(

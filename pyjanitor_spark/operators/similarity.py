@@ -44,6 +44,20 @@ def _qvec(query: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in query]).cast("array<double>")
 
 
+# sentinel distinguishing "caller passed max_cluster_size" from the
+# 100_000 default — split mode can't enforce the cluster-level row
+# gate, and an EXPLICIT cap being silently inactive deserves a warning
+# while the mere default does not
+_ROW_CAP_UNSET: object = object()
+
+# a cluster counts as a straggler only when it holds at least this
+# share of the corpus' embedding cells: below it, other clusters keep
+# the cores busy while the big one runs, and the distributed-components
+# overhead of split mode outweighs the win (measured crossover,
+# SKEW_BENCH_r11 / SCALE.md)
+_AUTO_HOT_SHARE = 0.2
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -140,10 +154,11 @@ def semdedup(
     eps: float = 0.95,
     keep: str = "far",
     checkpoint_dir: str | None = None,
-    max_cluster_size: int | None = 100_000,
+    max_cluster_size: int | None = _ROW_CAP_UNSET,  # type: ignore[assignment]
     check: str = "inline",
     max_cluster_cells: int | None = 200_000_000,
-    split: int = 1,
+    split: int | str = 1,
+    auto_split_cells: int = 25_000_000,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -203,18 +218,101 @@ def semdedup(
     is where ``checkpoint_dir`` finally matters: pass a durable path
     on a real cluster).  Output is identical — the in-task union-find
     and min-label propagation both yield min-reachable-id groups.  In
-    split mode the cluster-level row gate does not apply;
-    ``max_cluster_cells`` is enforced per SUB-task (the memory-relevant
-    unit).  The quadratic pair COST remains — pick
-    ``split ≈ ceil(hot_cluster_rows / 50k)``.
+    split mode the cluster-level row gate does not apply
+    (``max_cluster_size`` default 100,000 — passing it EXPLICITLY
+    together with a split emits a warning instead of silently ignoring
+    it, as does ``check='eager'``, whose cluster-level pre-flight is
+    replaced by the per-sub-task gates); ``max_cluster_cells`` is
+    enforced per SUB-task (the memory-relevant unit).  The quadratic
+    pair COST remains — pick ``split ≈ ceil(hot_cluster_rows / 50k)``.
+
+    ``split='auto'`` removes the manual knob entirely: ONE bounded
+    pre-flight aggregate (a single collected row — max and total
+    rows × dim cells over clusters) decides the path.  The split
+    pipeline engages only when the in-task path would either ABORT
+    (the largest cluster violates ``max_cluster_size`` /
+    ``max_cluster_cells``) or STRAGGLE (the largest cluster exceeds
+    ``auto_split_cells`` — the per-sub-block matrix budget, default
+    2.5e7 cells ≈ 200 MB float64 — AND holds ≥ 20 % of all embedding
+    cells, the measured crossover below which other clusters keep the
+    cores busy and distributed components costs more than it saves,
+    SCALE.md).  When it engages, the per-BLOCK split factor is then
+    sized by the pair stage itself
+    (``embedding_near_dup(split='auto')``) — cold clusters run as
+    single diagonal tasks, only hot ones fan out.  Output is identical
+    to ``split=1`` in every case.
     """
     if keep not in ("far", "near"):
         raise ValueError(f"keep must be 'far' or 'near', got {keep!r}")
     if check not in ("inline", "eager"):
         raise ValueError(f"check must be 'inline' or 'eager', got {check!r}")
+    explicit_row_cap = max_cluster_size is not _ROW_CAP_UNSET
+    if not explicit_row_cap:
+        max_cluster_size = 100_000
+    if isinstance(split, str):
+        if split != "auto":
+            raise ValueError(
+                f"split must be an int >= 1 or 'auto', got {split!r}"
+            )
+        v0 = F.col(vec_col).cast("array<double>")
+        st = (
+            df.groupBy(cluster_col)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.coalesce(F.max(F.size(v0)).cast("long"), F.lit(1)).alias(
+                    "__d"
+                ),
+            )
+            .agg(
+                F.max(F.col("__n") * F.col("__d")).alias("mx_cells"),
+                F.sum(F.col("__n") * F.col("__d")).alias("tot_cells"),
+                F.max(F.col("__n")).alias("mx_rows"),
+            )
+            .head()  # bounded: exactly one row
+        )
+        if st is None or st["mx_cells"] is None:
+            split_eff: int | str = 1  # empty frame
+        else:
+            would_abort = (
+                max_cluster_size is not None
+                and st["mx_rows"] > int(max_cluster_size)
+            ) or (
+                max_cluster_cells is not None
+                and st["mx_cells"] > int(max_cluster_cells)
+            )
+            straggler = st["mx_cells"] > int(auto_split_cells) and st[
+                "mx_cells"
+            ] >= _AUTO_HOT_SHARE * max(1, st["tot_cells"])
+            split_eff = "auto" if (would_abort or straggler) else 1
+    else:
+        split_eff = int(split)
+        if split_eff < 1:
+            raise ValueError("split must be >= 1")
+    split_path = split_eff == "auto" or split_eff > 1
+    if split_path:
+        import warnings
+
+        notes = []
+        if explicit_row_cap and max_cluster_size is not None:
+            notes.append(
+                f"the cluster-level row gate max_cluster_size="
+                f"{max_cluster_size} does not apply in split mode "
+                f"(pass max_cluster_size=None to silence)"
+            )
+        if check == "eager":
+            notes.append(
+                "check='eager' has no cluster-level pre-flight in split "
+                "mode; max_cluster_cells is enforced per sub-task instead"
+            )
+        if notes:
+            warnings.warn(
+                "semdedup split mode: " + "; ".join(notes),
+                UserWarning,
+                stacklevel=2,
+            )
     if (
         check == "eager"
-        and int(split) == 1
+        and not split_path
         and (max_cluster_size is not None or max_cluster_cells is not None)
     ):
         row_cap = -1 if max_cluster_size is None else int(max_cluster_size)
@@ -342,13 +440,15 @@ def semdedup(
         )
         return pa.table({"__sid": ids_arr, "__grp": ids_arr.take(grp_idx)})
 
-    if int(split) > 1:
+    if split_path:
         # hot-cluster path: triangle-partitioned pair sub-tasks
         # (embedding_near_dup split=) + distributed min-label
         # components — identical min-reachable-id groups, no
         # single-task straggler.  The per-SUB-TASK cells gate
         # (max_cluster_cells, applied as max_block_cells) still
         # protects task memory; the cluster-level gates don't apply.
+        # split_eff == 'auto' defers the per-cluster factor to the
+        # pair stage's own window-sized triangle split.
         from pyjanitor_spark.operators.dedup import (
             embedding_near_dup,
             near_dup_clusters,
@@ -361,7 +461,8 @@ def semdedup(
             threshold=eps_f,
             block_col=cluster_col,
             max_block_cells=max_cluster_cells,
-            split=int(split),
+            split=split_eff,
+            auto_split_cells=auto_split_cells,
         )
         grp = near_dup_clusters(
             pairs.select("id_1", "id_2"),

@@ -164,3 +164,178 @@ def test_split_validates(spark, frame):
         pj.embedding_near_dup(
             _sdf(spark, frame), "vid", "emb", block_col="lab", split=0
         )
+
+
+# ---------------------------------------------------------------- auto
+
+
+@pytest.fixture(scope="module")
+def skew_frame():
+    """One hot block (80% of rows), one cold block, one 3-row block —
+    the shape split='auto' exists for: only the hot block should fan
+    out, the others run as single diagonal tasks."""
+    rows = []
+    for i in range(N):
+        lab = "hot" if i % 10 < 8 else ("cold" if i % 10 < 9 else "tiny")
+        if lab == "tiny" and i > 100:
+            lab = "cold"
+        rows.append((i, lab, _vec(i)))
+    return pd.DataFrame(rows, columns=["vid", "lab", "emb"])
+
+
+def test_embedding_near_dup_autosplit_equals_unsplit(spark, skew_frame):
+    """split='auto' sizes the triangle split PER BLOCK from the
+    rows×dim window; pair set and cos values must be identical to the
+    unsplit path with the hot block forced to m≈rows·dim/budget and
+    the cold/tiny blocks left at m=1."""
+    thr = 0.9
+    sdf = _sdf(spark, skew_frame)
+    base = pj.embedding_near_dup(
+        sdf, "vid", "emb", threshold=thr, block_col="lab"
+    ).toPandas()
+    want = {
+        (int(a), int(b)): c
+        for a, b, c in zip(base["id_1"], base["id_2"], base["cos"])
+    }
+    # hot block = 2400 rows x 6 dims = 14400 cells -> m=3 at 5000;
+    # cold (597x6=3582) and tiny (3x6=18) stay m=1
+    got = pj.embedding_near_dup(
+        sdf, "vid", "emb", threshold=thr, block_col="lab",
+        split="auto", auto_split_cells=5000,
+    ).toPandas()
+    got_m = {
+        (int(a), int(b)): c
+        for a, b, c in zip(got["id_1"], got["id_2"], got["cos"])
+    }
+    assert set(got_m) == set(want)
+    assert len(got) == len(got_m), "auto split emitted duplicate pairs"
+    for k, v in want.items():
+        assert abs(got_m[k] - v) < 1e-12
+
+
+def test_autosplit_degenerate_vectors(spark, skew_frame):
+    """Null / ragged / NaN rows keep the zero-fill exclusion semantics
+    through the auto-split path (they pair with nothing)."""
+    thr = 0.9
+    bad = pd.DataFrame(
+        {
+            "vid": [N + 1, N + 2, N + 3],
+            "lab": ["hot", "hot", "cold"],
+            "emb": [None, [1.0, 2.0], [float("nan")] * DIM],
+        }
+    )
+    frame2 = pd.concat([skew_frame, bad], ignore_index=True)
+    sdf = _sdf(spark, frame2)
+    base = pj.embedding_near_dup(
+        sdf, "vid", "emb", threshold=thr, block_col="lab"
+    ).toPandas()
+    got = pj.embedding_near_dup(
+        sdf, "vid", "emb", threshold=thr, block_col="lab",
+        split="auto", auto_split_cells=5000,
+    ).toPandas()
+    key = lambda d: sorted(zip(d["id_1"], d["id_2"]))  # noqa: E731
+    assert key(got) == key(base)
+    assert not set(int(v) for v in got["id_1"]) & {N + 1, N + 2, N + 3}
+    assert not set(int(v) for v in got["id_2"]) & {N + 1, N + 2, N + 3}
+
+
+def test_semdedup_auto_picks_in_task_when_cold(spark, skew_frame):
+    """No cluster exceeds the budget -> the bounded pre-flight keeps
+    the single-task union-find path; output identical to split=1."""
+    thr = 0.9
+    sdf = _sdf(spark, skew_frame)
+    base = set(
+        int(v)
+        for v in pj.semdedup(
+            sdf, "emb", "vid", "lab", eps=thr, max_cluster_size=None
+        ).toPandas()["vid"]
+    )
+    got = set(
+        int(v)
+        for v in pj.semdedup(
+            sdf, "emb", "vid", "lab", eps=thr, split="auto",
+            max_cluster_size=None,
+        ).toPandas()["vid"]
+    )
+    assert got == base
+
+
+def test_semdedup_auto_splits_hot_cluster(spark, skew_frame):
+    """Tiny budget -> the hot cluster trips the straggler rule and the
+    split pipeline must reproduce the in-task kept set exactly."""
+    thr = 0.9
+    sdf = _sdf(spark, skew_frame)
+    base = set(
+        int(v)
+        for v in pj.semdedup(
+            sdf, "emb", "vid", "lab", eps=thr, max_cluster_size=None
+        ).toPandas()["vid"]
+    )
+    got = set(
+        int(v)
+        for v in pj.semdedup(
+            sdf, "emb", "vid", "lab", eps=thr, split="auto",
+            auto_split_cells=5000, max_cluster_size=None,
+        ).toPandas()["vid"]
+    )
+    assert got == base
+
+
+def test_semdedup_auto_rescues_would_abort(spark, skew_frame):
+    """A cluster violating an explicit row cap would ABORT the in-task
+    path; auto must route it through the split pipeline instead (with
+    a warning that the row gate is inactive) and still match."""
+    import warnings as _w
+
+    thr = 0.9
+    sdf = _sdf(spark, skew_frame)
+    base = set(
+        int(v)
+        for v in pj.semdedup(
+            sdf, "emb", "vid", "lab", eps=thr, max_cluster_size=None
+        ).toPandas()["vid"]
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = set(
+            int(v)
+            for v in pj.semdedup(
+                sdf, "emb", "vid", "lab", eps=thr, split="auto",
+                max_cluster_size=100,
+            ).toPandas()["vid"]
+        )
+    assert got == base
+    assert any("row gate" in str(r.message) for r in rec)
+
+
+def test_semdedup_split_warns_on_explicit_gates(spark, frame):
+    import warnings as _w
+
+    sdf = _sdf(spark, frame)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pj.semdedup(sdf, "emb", "vid", "lab", eps=0.9, split=2,
+                    check="eager")
+    assert any("eager" in str(r.message) for r in rec)
+    # default caps in split mode stay silent — only EXPLICIT ones warn
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pj.semdedup(sdf, "emb", "vid", "lab", eps=0.9, split=2)
+    assert not [r for r in rec if "row gate" in str(r.message)]
+
+
+def test_autosplit_validates(spark, frame):
+    import pytest as _pt
+
+    sdf = _sdf(spark, frame)
+    with _pt.raises(ValueError, match="auto"):
+        pj.embedding_near_dup(sdf, "vid", "emb", block_col="lab",
+                              split="bogus")
+    with _pt.raises(ValueError, match="auto"):
+        pj.semdedup(sdf, "emb", "vid", "lab", split="bogus")
+    with _pt.raises(ValueError, match="auto_split_cells"):
+        pj.embedding_near_dup(sdf, "vid", "emb", block_col="lab",
+                              split="auto", auto_split_cells=0)
+    with _pt.raises(ValueError, match="cross"):
+        pj.embedding_near_dup(sdf.limit(5), "vid", "emb",
+                              allow_cross_join=True, split="auto")

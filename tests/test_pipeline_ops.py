@@ -336,10 +336,38 @@ def test_near_dup_clusters_components(spark):
 
 
 def test_near_dup_clusters_long_chain(spark):
-    # pointer jumping must collapse a diameter-9 path well inside max_iter
+    # star contraction must collapse a diameter-9 path well inside max_iter
     chain = spark.createDataFrame([(i, i + 1) for i in range(10, 19)], ["id_1", "id_2"])
     out = pj.near_dup_clusters(chain, max_iter=8)
     assert {r[0] for r in out.select("cluster_id").collect()} == {10}
+
+
+def test_near_dup_clusters_very_long_chain(spark):
+    """r12 regression: a 1500-node path graph.  The previous min-label
+    propagation covered only ~2 hops per round, silently returning a
+    NON-converged labeling once the diameter exceeded ~2·max_iter
+    (found via the semdedup auto-split differential, where a 600-node
+    cos-proximity chain mislabeled 164 nodes).  Star contraction is
+    O(log² n) rounds, so 1500 nodes converge in a handful; correctness
+    must not depend on the default max_iter."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1500)], ["id_1", "id_2"]
+    )
+    out = pj.near_dup_clusters(chain)
+    got = {r[0] for r in out.select("cluster_id").collect()}
+    assert got == {0}
+    assert out.count() == 1501
+
+
+def test_near_dup_clusters_exhaustion_raises(spark):
+    """max_iter too small must RAISE, never return wrong labels."""
+    import pytest as _pt
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_1", "id_2"]
+    )
+    with _pt.raises(RuntimeError, match="converge"):
+        pj.near_dup_clusters(chain, max_iter=1).collect()
 
 
 def test_dedupe_near_end_to_end(docs):

@@ -311,8 +311,9 @@ def test_registry_generate_broadcast_lint(spark):
         "remove_duplicated_spans", "simhash_pairs", "semdedup",
         # split mode shares semdedup's k-row centroid attach; its
         # broadcast subtree contains the centroid posexplode, and the
-        # build side is n_clusters rows by construction (bounded)
-        "semdedup_split",
+        # build side is n_clusters rows by construction (bounded) —
+        # semdedup_auto is the same plan routed by the pre-flight
+        "semdedup_split", "semdedup_auto",
         # bucketized range join: right side exploded into range buckets;
         # estimate derives from the real FileScan, growth factor is
         # buckets-per-row (small constant)
