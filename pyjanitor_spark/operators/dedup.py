@@ -522,6 +522,7 @@ def embedding_near_dup(
     max_block_cells: int | None = 200_000_000,
     split: int | str = 1,
     auto_split_cells: int = 25_000_000,
+    auto_split_flops: int = 2_000_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_1 < id_2, cos ≥
     threshold).
@@ -569,18 +570,26 @@ def embedding_near_dup(
     ``split='auto'`` sizes the split PER BLOCK from the data, so a
     100 TB corpus needs no a-priori knowledge of its hot-block size:
     one window over the block key (a shuffle the pair stage pays
-    anyway) measures each block's rows × dim cells, and the block is
-    sharded into ``ceil(cells / auto_split_cells)`` sub-blocks —
-    cold blocks keep ``split=1`` (a single (0,0) diagonal task,
-    identical math to the unsplit path) while the one boilerplate
-    cluster fans out exactly as far as it needs.  ``auto_split_cells``
-    (default 2.5e7 ≈ 200 MB float64) is the per-SUB-BLOCK matrix
-    budget; a task holds at most two sub-blocks (~2× that).  The
-    per-block factor is capped at 256: a block needing more than 256
-    sub-blocks exceeds ``max_block_cells`` per sub-task anyway and
-    aborts through that gate with a message naming the block — at that
-    size the quadratic pair cost itself is the problem, not task
-    memory.  Shuffle volume within a block grows ×split (each row is
+    anyway) measures each block's rows and dim, and the block is
+    sharded ``m`` ways where ``m`` covers BOTH straggler causes:
+
+    * memory — ``ceil(rows·dim / auto_split_cells)`` keeps each
+      sub-block's matrix under ``auto_split_cells`` float64 cells
+      (default 2.5e7 ≈ 200 MB; a task holds at most two sub-blocks);
+    * compute — ``ceil(rows·sqrt(dim / auto_split_flops))`` keeps each
+      sub-task's pair work ``(rows/m)²·dim`` under ``auto_split_flops``
+      multiply-adds (default 2e9 ≈ a ~1 s BLAS task): a 20k-row
+      64-dim cluster is only 1.3M cells but 2.6e10 pair-flops — a
+      half-minute single task while every other core idles, the shape
+      the memory rule alone cannot see.
+
+    Cold blocks keep ``m=1`` (a single (0,0) diagonal task, identical
+    math to the unsplit path) while the one boilerplate cluster fans
+    out exactly as far as it needs.  The per-block factor is capped at
+    256: a block still oversized at 256-way split trips the
+    ``max_block_cells`` per-sub-task gate with a message naming it —
+    at that size the quadratic pair cost itself is the problem, not
+    task memory.  Shuffle volume within a block grows ×m (each row is
     replicated to every sub-task touching its sub-block) — inherent to
     exact all-pairs scoring, and still Σ block²-bounded.
 
@@ -596,6 +605,8 @@ def embedding_near_dup(
             raise ValueError(f"split must be an int >= 1 or 'auto', got {split!r}")
         if int(auto_split_cells) < 1:
             raise ValueError("auto_split_cells must be >= 1")
+        if int(auto_split_flops) < 1:
+            raise ValueError("auto_split_flops must be >= 1")
     elif int(split) < 1:
         raise ValueError("split must be >= 1")
     if (
@@ -823,19 +834,29 @@ def embedding_near_dup(
             # with a message naming it.
             if auto_split:
                 wb = Window.partitionBy(bname)
-                blk_cells = F.count(F.lit(1)).over(wb) * F.coalesce(
+                blk_rows = F.count(F.lit(1)).over(wb)
+                blk_cells = blk_rows * F.coalesce(
                     F.max(F.size(F.col(vname))).over(wb).cast("long"),
                     F.lit(1),
                 )
+                # memory rule: sub-block matrix <= auto_split_cells;
+                # compute rule: sub-task pair work (rows/m)^2*dim <=
+                # auto_split_flops  =>  m >= rows*sqrt(dim/flops)
+                #                       = sqrt(cells*rows/flops)
+                # (double math: cells*rows overflows long at ~1e9 rows)
+                m_mem = F.ceil(
+                    blk_cells / F.lit(float(int(auto_split_cells)))
+                ).cast("int")
+                m_flops = F.ceil(
+                    F.sqrt(
+                        blk_cells.cast("double")
+                        * blk_rows.cast("double")
+                        / F.lit(float(int(auto_split_flops)))
+                    )
+                ).cast("int")
                 m_col = F.least(
                     F.lit(256),
-                    F.greatest(
-                        F.lit(1),
-                        F.ceil(
-                            blk_cells
-                            / F.lit(float(int(auto_split_cells)))
-                        ).cast("int"),
-                    ),
+                    F.greatest(F.lit(1), m_mem, m_flops),
                 ).cast("int")
             else:
                 m_col = F.lit(s_n)
@@ -870,6 +891,22 @@ def embedding_near_dup(
                     F.col("__t.j").alias("__tj"),
                 )
             )
+            # explicit numPartitions on the group key: sub-tasks are
+            # CPU-heavy but byte-small ((rows/m)·dim floats), so AQE's
+            # byte-based coalescing would glue the hot block's sub-tasks
+            # back into one task, re-creating the straggler the split
+            # exists to kill (measured: 12 vs 30 tasks, 1.6× wall).  A
+            # user-specified repartition is exempt from AQE coalescing;
+            # 4× parallelism over-partitioning keeps two heavy sub-tasks
+            # from hashing into the same partition with high probability,
+            # and the groupBy below reuses this exact hash partitioning
+            # (no second exchange).
+            sess = df.sparkSession
+            n_part = 4 * max(
+                sess.sparkContext.defaultParallelism,
+                int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+            )
+            fanned = fanned.repartition(n_part, bname, "__ti", "__tj")
             out = fanned.groupBy(bname, "__ti", "__tj").applyInArrow(
                 _split_pairs, f"id_1 {id_t}, id_2 {id_t}, cos double"
             )

@@ -159,6 +159,7 @@ def semdedup(
     max_cluster_cells: int | None = 200_000_000,
     split: int | str = 1,
     auto_split_cells: int = 25_000_000,
+    auto_split_flops: int = 2_000_000_000,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023): within each pre-assigned cluster, rows whose
@@ -227,17 +228,19 @@ def semdedup(
     pair COST remains — pick ``split ≈ ceil(hot_cluster_rows / 50k)``.
 
     ``split='auto'`` removes the manual knob entirely: ONE bounded
-    pre-flight aggregate (a single collected row — max and total
-    rows × dim cells over clusters) decides the path.  The split
+    pre-flight aggregate (a single collected row — per-cluster rows,
+    cells and pair-flops maxima/totals) decides the path.  The split
     pipeline engages only when the in-task path would either ABORT
     (the largest cluster violates ``max_cluster_size`` /
-    ``max_cluster_cells``) or STRAGGLE (the largest cluster exceeds
-    ``auto_split_cells`` — the per-sub-block matrix budget, default
-    2.5e7 cells ≈ 200 MB float64 — AND holds ≥ 20 % of all embedding
-    cells, the measured crossover below which other clusters keep the
-    cores busy and distributed components costs more than it saves,
-    SCALE.md).  When it engages, the per-BLOCK split factor is then
-    sized by the pair stage itself
+    ``max_cluster_cells``) or STRAGGLE — the largest cluster exceeds a
+    per-task budget (``auto_split_cells``, the sub-block matrix
+    budget, default 2.5e7 cells ≈ 200 MB float64; or
+    ``auto_split_flops``, the pair-work budget ``rows²·dim``
+    multiply-adds, default 2e9 ≈ a ~1 s BLAS task) AND holds ≥ 20 %
+    of the corpus' total pair work, the measured crossover below
+    which other clusters keep the cores busy and distributed
+    components costs more than it saves (SCALE.md).  When it engages,
+    the per-BLOCK split factor is then sized by the pair stage itself
     (``embedding_near_dup(split='auto')``) — cold clusters run as
     single diagonal tasks, only hot ones fan out.  Output is identical
     to ``split=1`` in every case.
@@ -265,8 +268,18 @@ def semdedup(
             )
             .agg(
                 F.max(F.col("__n") * F.col("__d")).alias("mx_cells"),
-                F.sum(F.col("__n") * F.col("__d")).alias("tot_cells"),
                 F.max(F.col("__n")).alias("mx_rows"),
+                # pair-work n²·d in double (long overflows at ~1e9 rows)
+                F.max(
+                    F.col("__n").cast("double")
+                    * F.col("__n")
+                    * F.col("__d")
+                ).alias("mx_flops"),
+                F.sum(
+                    F.col("__n").cast("double")
+                    * F.col("__n")
+                    * F.col("__d")
+                ).alias("tot_flops"),
             )
             .head()  # bounded: exactly one row
         )
@@ -280,9 +293,12 @@ def semdedup(
                 max_cluster_cells is not None
                 and st["mx_cells"] > int(max_cluster_cells)
             )
-            straggler = st["mx_cells"] > int(auto_split_cells) and st[
-                "mx_cells"
-            ] >= _AUTO_HOT_SHARE * max(1, st["tot_cells"])
+            over_budget = st["mx_cells"] > int(auto_split_cells) or st[
+                "mx_flops"
+            ] > float(auto_split_flops)
+            straggler = over_budget and st["mx_flops"] >= _AUTO_HOT_SHARE * max(
+                1.0, st["tot_flops"]
+            )
             split_eff = "auto" if (would_abort or straggler) else 1
     else:
         split_eff = int(split)
@@ -463,6 +479,7 @@ def semdedup(
             max_block_cells=max_cluster_cells,
             split=split_eff,
             auto_split_cells=auto_split_cells,
+            auto_split_flops=auto_split_flops,
         )
         grp = near_dup_clusters(
             pairs.select("id_1", "id_2"),

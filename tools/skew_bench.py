@@ -195,10 +195,22 @@ def main() -> None:
     run("embedding_near_dup_hot_cluster_split4", lambda: pj.embedding_near_dup(
         emb, "vec_id", "embedding", threshold=0.9,
         block_col="cluster", split=4).count())
+    # r12: NO user-supplied split — the rows×dim window sizes the
+    # triangle split per block (the 20k hot cluster is compute-bound:
+    # 2.6e10 pair-flops vs the 2e9 default budget -> m≈4; cold
+    # clusters stay m=1)
+    run("embedding_near_dup_hot_cluster_auto", lambda: pj.embedding_near_dup(
+        emb, "vec_id", "embedding", threshold=0.9,
+        block_col="cluster", split="auto").count())
     run("semdedup_hot_cluster", lambda: pj.semdedup(
         emb, "embedding", "vec_id", "cluster", eps=0.9).count())
     run("semdedup_hot_cluster_split4", lambda: pj.semdedup(
         emb, "embedding", "vec_id", "cluster", eps=0.9, split=4).count())
+    # r12: the bounded pre-flight must route this through the split
+    # pipeline on its own (hot cluster ≈ 94% of total pair flops)
+    run("semdedup_hot_cluster_auto", lambda: pj.semdedup(
+        emb, "embedding", "vec_id", "cluster", eps=0.9,
+        split="auto").count())
 
     n_docs = docs.count()
     n_hot = docs.filter(F.col("text").startswith("the hot duplicated")).count()
@@ -212,7 +224,7 @@ def main() -> None:
     }
     line = json.dumps(out, sort_keys=True)
     print(line)
-    with open("/root/repo/SKEW_BENCH_r11.json", "w") as f:
+    with open("/root/repo/SKEW_BENCH_r12.json", "w") as f:
         f.write(line + "\n")
 
 
