@@ -2004,37 +2004,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
     }
-    # Round-11 window, composition COMPUTED by tools/close_round.py
-    # from CORRECTNESS_r01..r10.json (rule unchanged from r7: new
+    # Round-12 window, composition COMPUTED by tools/close_round.py
+    # from CORRECTNESS_r01..r11.json (rule unchanged from r7: new
     # gates, then changed code, then oldest attestations first;
     # rotated-out entries stay replica-covered).
     _WINDOW = [
-        # (a) 4 NEW sink roundtrip gates — never driver-attested
-        "csv_roundtrip", "json_roundtrip", "bucketed_roundtrip",
-        "zorder_roundtrip", "semdedup_split", "near_dup_split",
-        "gopher_repetition",
-        # (b) 7 entries whose CODE changed in round 11 (Arrow-direct
-        # BLAS stages + cells gates + degenerate-vector semantics;
-        # star-mode LSH pair emission; triangle-split hot-cluster path;
-        # centrality left-join for all-degenerate clusters)
-        "semdedup", "embedding_near_dup", "near_dup_multiblock",
-        "dedupe_near", "dedupe_near_best", "minhash_lsh_pairs",
-        "near_dup_clusters",
-        # (c) the LAST 2 pre-r7 attestations (VERDICT r10 task 4)
-        "dropnotnull", "label_encode",
-        # (d) ALL 27 r7-era attestations — after this window no entry's
-        # last driver-green is older than r8
-        "coalesce", "column_ops", "count_cumulative_unique",
-        "drop_constant_columns", "drop_duplicate_columns", "ecdf",
-        "encode_categorical", "expand", "expand_column", "expand_grid",
-        "factorize_appearance", "fill_direction", "filter_column_isin",
-        "filter_on", "filter_string", "get_dupes", "get_join_indices",
-        "jitter", "quantile_bin", "read_csvs", "shuffle", "softmax",
-        "sort_timestamps_monotonically", "to_datetime", "xlsx_cells",
-        "xlsx_table", "z_score",
-        # (e) the 7 alphabetically-first r8-era rows fill the window
-        "add_columns", "also_then", "asof_join", "binary_metadata",
-        "bloom_dedupe_against", "bm25_score", "bpe_encode",
+        # (a) NEW r12 gates — never driver-attested (auto-split)
+        "semdedup_auto", "near_dup_autosplit",
+        # (b) entries whose CODE changed in round 12 (star-contraction
+        # connected components replacing the diameter-bound min-label
+        # propagation; split fanout repartition + flops sizing)
+        "semdedup_split", "near_dup_split", "dedupe_near",
+        "dedupe_near_best", "near_dup_clusters",
+        # (c) ALL 34 r8-era attestations — after this window no entry's
+        # last driver-green is older than r9 (VERDICT r11 task 3)
+        "cartesian_product", "change_index_dtype", "change_type",
+        "chunk_text", "collapse_levels", "contamination", "cosine_topk",
+        "dedupe_against", "dedupe_exact", "deterministic_sample", "exp",
+        "explode_index", "fill_empty", "flag_jumps", "get_columns",
+        "groupby_agg", "groupby_agg_nunique", "join_apply", "logit",
+        "move_reorder", "nb_classify", "pii_redact", "read_commandline",
+        "repetition_score", "row_to_names", "sort_column_value_order",
+        "split_train_holdout", "stratified_sample", "take_first",
+        "top_ngrams", "toset", "transform_column", "unionize_categories",
+        "update_where",
+        # (d) the 9 alphabetically-first r9-era rows fill the window
+        "case_when", "complete", "convert_excel_date",
+        "convert_matlab_date", "convert_unix_date",
+        "currency_column_to_numeric", "data_description",
+        "dup_span_fraction", "factorize_columns",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}

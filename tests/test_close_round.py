@@ -144,13 +144,69 @@ def test_window_check_diffs():
 
 
 def test_live_window_matches_rule():
-    """The committed r11 window satisfies the composition rule."""
+    """The committed r12 window satisfies the composition rule."""
     changed = {
-        "semdedup", "embedding_near_dup", "near_dup_multiblock",
-        "dedupe_near", "dedupe_near_best", "minhash_lsh_pairs",
-        "near_dup_clusters",
+        "semdedup_split", "near_dup_split", "dedupe_near",
+        "dedupe_near_best", "near_dup_clusters",
     }
-    green = close_round.last_green_rounds(10)
+    green = close_round.last_green_rounds(11)
     registry, window = close_round.registry_and_window()
     chk = close_round.window_check(registry, window, green, changed)
     assert chk["matches_rule"], chk
+
+
+def _bench(total, queries, sf):
+    return {"metric": "headline_total_wall", "value": total,
+            "unit": "sec", "queries": queries, "sf": sf}
+
+
+def test_bench_block_ratios(tmp_path, monkeypatch):
+    """The r11 defect class: a hand-typed scale ratio drifted 3% from
+    the committed artifacts.  bench_block must derive every ratio FROM
+    the files — totals, r/r over the SHARED query set only, and the
+    sf0.1→sf1 scale ratio."""
+    with open(tmp_path / "BENCH_LOCAL_r04.json", "w") as f:
+        json.dump(_bench(10.0, {"q1": 4.0, "q2": 6.0, "gone": 1.0}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r05.json", "w") as f:
+        json.dump(_bench(8.0, {"q1": 2.0, "q2": 6.0, "new": 0.5}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r05_sf1.json", "w") as f:
+        json.dump(_bench(16.0, {"q1": 4.0, "q2": 12.0}, 1.0), f)
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+    b = close_round.bench_block(5)
+    assert b["total_sf01"] == 8.0
+    # shared set is {q1, q2}: (2+6)/(4+6), not 8.0/10.0
+    assert b["rr_ratio_sf01"] == 0.8
+    assert b["rr_shared_queries"] == 2
+    # scale ratio over the sf0.1∩sf1 shared set: (4+12)/(2+6)
+    assert b["scale_ratio_sf01_to_sf1"] == 2.0
+    assert b["rr_best"][0] == {"query": "q1", "ratio": 0.5}
+    assert b["rr_worst"][0] == {"query": "q2", "ratio": 1.0}
+    assert b["sources"]["prev"] == "BENCH_LOCAL_r04.json"
+
+
+def test_bench_block_skips_missing_rounds(tmp_path, monkeypatch):
+    # r3 has no bench; prev lookup must walk back to r2, and a missing
+    # sf1 artifact is REPORTED, never guessed
+    with open(tmp_path / "BENCH_LOCAL_r02.json", "w") as f:
+        json.dump(_bench(5.0, {"q": 5.0}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r04.json", "w") as f:
+        json.dump(_bench(4.0, {"q": 4.0}, 0.1), f)
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+    b = close_round.bench_block(4)
+    assert b["sources"]["prev"] == "BENCH_LOCAL_r02.json"
+    assert b["rr_ratio_sf01"] == 0.8
+    assert "not committed" in b["sf1"]
+
+
+def test_bench_block_no_artifact(tmp_path, monkeypatch):
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+    assert "not committed" in close_round.bench_block(9)["error"]
+
+
+def test_bench_block_reproduces_r11_judge_numbers():
+    """Against the real committed artifacts: the judge computed 1.88×
+    (the hand-typed COVERAGE.md number was 1.85×)."""
+    b = close_round.bench_block(11)
+    assert b["total_sf01"] == 25.5995
+    assert b["total_sf1"] == 48.1185
+    assert abs(b["scale_ratio_sf01_to_sf1"] - 1.88) < 0.01

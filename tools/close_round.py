@@ -260,6 +260,80 @@ def fingerprint_diff(round_no: int) -> dict:
     }
 
 
+def bench_block(round_no: int) -> dict:
+    """Bench ratios COMPUTED from committed BENCH_LOCAL artifacts
+    (VERDICT r11 task 2: the one drifted number in the r11 closing was
+    a hand-typed scale ratio — 1.85× vs the committed artifacts'
+    1.88×).  Reads BENCH_LOCAL_r{N}[,_sf1].json and the newest prior
+    round's files, emits totals, per-query r/r ratios over the shared
+    query set, and the sf0.1→sf1 scale ratio.  Missing artifacts are
+    reported, never guessed."""
+
+    def _load(name):
+        p = os.path.join(REPO, name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _prev(suffix):
+        for r in range(round_no - 1, 0, -1):
+            d = _load(f"BENCH_LOCAL_r{r:02d}{suffix}.json")
+            if d is not None:
+                return r, d
+        return None, None
+
+    out: dict = {"sources": {}}
+    cur = _load(f"BENCH_LOCAL_r{round_no:02d}.json")
+    cur1 = _load(f"BENCH_LOCAL_r{round_no:02d}_sf1.json")
+    prev_r, prev = _prev("")
+    prev1_r, prev1 = _prev("_sf1")
+    if cur is None:
+        out["error"] = f"BENCH_LOCAL_r{round_no:02d}.json not committed"
+        return out
+    out["sources"][f"sf{cur.get('sf')}"] = f"BENCH_LOCAL_r{round_no:02d}.json"
+    out["total_sf01"] = round(float(cur["value"]), 4)
+    if prev is not None:
+        out["sources"]["prev"] = f"BENCH_LOCAL_r{prev_r:02d}.json"
+        out["prev_total_sf01"] = round(float(prev["value"]), 4)
+        shared = sorted(
+            set(cur.get("queries", {})) & set(prev.get("queries", {}))
+        )
+        out["rr_ratio_sf01"] = round(
+            sum(cur["queries"][q] for q in shared)
+            / max(1e-9, sum(prev["queries"][q] for q in shared)),
+            4,
+        )
+        out["rr_shared_queries"] = len(shared)
+        ratios = sorted(
+            (round(cur["queries"][q] / max(1e-9, prev["queries"][q]), 4), q)
+            for q in shared
+        )
+        out["rr_best"] = [{"query": q, "ratio": r} for r, q in ratios[:3]]
+        out["rr_worst"] = [
+            {"query": q, "ratio": r} for r, q in ratios[-3:][::-1]
+        ]
+    if cur1 is not None:
+        out["sources"]["sf1"] = f"BENCH_LOCAL_r{round_no:02d}_sf1.json"
+        out["total_sf1"] = round(float(cur1["value"]), 4)
+        shared1 = sorted(
+            set(cur.get("queries", {})) & set(cur1.get("queries", {}))
+        )
+        out["scale_ratio_sf01_to_sf1"] = round(
+            sum(cur1["queries"][q] for q in shared1)
+            / max(1e-9, sum(cur["queries"][q] for q in shared1)),
+            4,
+        )
+        if prev1 is not None:
+            out["sources"]["prev_sf1"] = f"BENCH_LOCAL_r{prev1_r:02d}_sf1.json"
+            out["rr_ratio_sf1"] = round(
+                float(cur1["value"]) / max(1e-9, float(prev1["value"])), 4
+            )
+    else:
+        out["sf1"] = f"BENCH_LOCAL_r{round_no:02d}_sf1.json not committed"
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -318,6 +392,7 @@ def main() -> None:
         out["fingerprints_headline"] = run_fingerprints(n, full=False)
         out["fingerprints_full"] = run_fingerprints(n, full=True)
     out["fingerprint_diff"] = fingerprint_diff(n)
+    out["bench"] = bench_block(n)
     if args.run_pytest:
         out["pytest"] = run_pytest()
     if args.run_replica:
@@ -362,6 +437,27 @@ def main() -> None:
     md.append("* oldest attestations remaining after this round: "
               + ", ".join(f"`{t['entry']}` r{t['last_green']}"
                           for t in out["oldest_after_round"][:6]))
+    b = out["bench"]
+    if "error" in b:
+        md.append(f"* bench: {b['error']}")
+    else:
+        line = f"* bench (computed from {b['sources']}): sf0.1 total **{b['total_sf01']}s**"
+        if "rr_ratio_sf01" in b:
+            line += (f", r/r **{b['rr_ratio_sf01']}×** over "
+                     f"{b['rr_shared_queries']} shared queries")
+        if "total_sf1" in b:
+            line += (f"; sf1 total **{b['total_sf1']}s**, scale ratio "
+                     f"sf0.1→sf1 **{b['scale_ratio_sf01_to_sf1']}×**")
+            if "rr_ratio_sf1" in b:
+                line += f" (sf1 r/r {b['rr_ratio_sf1']}×)"
+        md.append(line)
+        if "rr_best" in b:
+            md.append("  * biggest movers: best "
+                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
+                                  for t in b["rr_best"])
+                      + "; worst "
+                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
+                                  for t in b["rr_worst"]))
     print("\n".join(md))
 
 
