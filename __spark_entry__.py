@@ -784,6 +784,17 @@ def q_gopher_repetition(spark, sf):
 
 
 
+def q_gopher_repetition_exact(spark, sf):
+    # exact=True span-union semantics (DataTrove/Dolma threshold
+    # parity): char-interval union of repeated-gram occurrences, not
+    # the count*len upper bound.  Reduced n-set keeps the SQL oracle
+    # (token offsets + gaps-and-islands interval union) reviewable.
+    d = _docs(spark, sf)
+    return pj.gopher_repetition(
+        d, "doc_id", "text", top_ns=(2,), dup_ns=(5,), exact=True
+    )
+
+
 def q_language_id(spark, sf):
     d = _docs(spark, sf)
     return pj.language_id(d, "text").select("doc_id", "lang", "lang_pred")
@@ -1868,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_split": q_near_dup_split,
         "semdedup_auto": q_semdedup_auto,
         "near_dup_autosplit": q_near_dup_autosplit,
+        "gopher_repetition_exact": q_gopher_repetition_exact,
         "cosine_topk": q_cosine_topk,
         "lsh_bucket_topk": q_lsh_bucket_topk,
         "ivf_topk": q_ivf_topk,
@@ -3493,6 +3505,56 @@ def _pipeline_oracles() -> dict[str, str]:
             "CASE WHEN b.chars > 0 AND d9 IS NOT NULL THEN least(1.0, CAST(d9 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_9_gram_char_frac, "
             "CASE WHEN b.chars > 0 AND d10 IS NOT NULL THEN least(1.0, CAST(d10 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_10_gram_char_frac "
             "FROM base b LEFT JOIN pivt USING (doc_id) LEFT JOIN pivd USING (doc_id)"
+        ),
+        "gopher_repetition_exact": (
+            # span-union semantics: token char offsets in the
+            # whitespace-normalized text (starts from cumulative token
+            # lengths), per-(doc,n,gram) occurrence counts, interval
+            # union via gaps-and-islands; denominator = original length
+            "WITH tok AS (SELECT doc_id, length(text) AS chars, "
+            r"list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w "
+            "FROM documents), "
+            "ln AS (SELECT doc_id, "
+            "list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)), s -> s <> '') AS ls, "
+            r"list_filter(list_transform(string_split_regex(text, '\n{2,}'), s -> trim(s)), s -> s <> '') AS ps "
+            "FROM documents), "
+            "base AS (SELECT t.doc_id, t.chars, "
+            "CASE WHEN len(l.ls) > 0 THEN 1.0 - CAST(len(list_distinct(l.ls)) AS DOUBLE)/len(l.ls) ELSE 0.0 END AS dup_line_frac, "
+            "CASE WHEN len(l.ps) > 0 THEN 1.0 - CAST(len(list_distinct(l.ps)) AS DOUBLE)/len(l.ps) ELSE 0.0 END AS dup_para_frac "
+            "FROM tok t JOIN ln l USING (doc_id)), "
+            "pos AS (SELECT t.doc_id, u.i AS i, t.w[u.i] AS tk "
+            "FROM tok t, unnest(generate_series(1, len(t.w))) AS u(i)), "
+            "stt AS (SELECT doc_id, i, tk, "
+            "sum(length(tk)+1) OVER (PARTITION BY doc_id ORDER BY i) - length(tk) - 1 AS s FROM pos), "
+            "starts AS (SELECT doc_id, list(s ORDER BY i) AS st FROM stt GROUP BY doc_id), "
+            "g AS (SELECT t.doc_id, v.n AS n, "
+            "array_to_string(list_slice(t.w, u.i, u.i + v.n - 1), ' ') AS gram, "
+            "r.st[u.i] AS s, r.st[u.i + v.n - 1] + length(t.w[u.i + v.n - 1]) AS e "
+            "FROM tok t JOIN starts r USING (doc_id), (VALUES (2),(5)) v(n), "
+            "unnest(generate_series(1, len(t.w) - v.n + 1)) AS u(i)), "
+            "cnt AS (SELECT doc_id, n, gram, s, e, "
+            "count(*) OVER (PARTITION BY doc_id, n, gram) AS c FROM g), "
+            "topg AS (SELECT doc_id, n, gram AS tg FROM "
+            "(SELECT doc_id, n, gram, row_number() OVER (PARTITION BY doc_id, n "
+            "ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn "
+            "FROM (SELECT DISTINCT doc_id, n, gram, c FROM cnt)) WHERE rn = 1), "
+            "spans AS (SELECT doc_id, n, 'dup' AS kind, s, e FROM cnt WHERE c >= 2 AND n = 5 "
+            "UNION ALL SELECT c.doc_id, c.n, 'top' AS kind, c.s, c.e FROM cnt c "
+            "JOIN topg t ON c.doc_id = t.doc_id AND c.n = t.n AND c.gram = t.tg WHERE c.n = 2), "
+            "isl AS (SELECT doc_id, n, kind, s, e, CASE WHEN s > coalesce(max(e) OVER "
+            "(PARTITION BY doc_id, n, kind ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+            "THEN 1 ELSE 0 END AS brk FROM spans), "
+            "isl2 AS (SELECT doc_id, n, kind, s, e, sum(brk) OVER "
+            "(PARTITION BY doc_id, n, kind ORDER BY s, e) AS gid FROM isl), "
+            "uni AS (SELECT doc_id, n, kind, sum(mx - mn) AS u FROM "
+            "(SELECT doc_id, n, kind, gid, min(s) AS mn, max(e) AS mx FROM isl2 "
+            "GROUP BY doc_id, n, kind, gid) GROUP BY doc_id, n, kind), "
+            "piv AS (SELECT doc_id, max(CASE WHEN kind = 'top' AND n = 2 THEN u END) AS t2, "
+            "max(CASE WHEN kind = 'dup' AND n = 5 THEN u END) AS d5 FROM uni GROUP BY doc_id) "
+            "SELECT b.doc_id, b.dup_line_frac, b.dup_para_frac, "
+            "CASE WHEN b.chars > 0 AND t2 IS NOT NULL THEN least(1.0, CAST(t2 AS DOUBLE)/b.chars) ELSE 0.0 END AS top_2_gram_char_frac, "
+            "CASE WHEN b.chars > 0 AND d5 IS NOT NULL THEN least(1.0, CAST(d5 AS DOUBLE)/b.chars) ELSE 0.0 END AS dup_5_gram_char_frac "
+            "FROM base b LEFT JOIN piv USING (doc_id)"
         ),
         "language_id": lang,
         "binary_metadata": (

@@ -401,6 +401,7 @@ def gopher_repetition(
     column_name: str,
     top_ns: tuple = (2, 3, 4),
     dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    exact: bool = False,
 ) -> DataFrame:
     """The Gopher repetition-filter signal suite (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", table A1 — public
@@ -431,7 +432,25 @@ def gopher_repetition(
 
     Filter thresholds from the paper (e.g. drop when
     top_2_gram_char_frac > 0.20 or dup_5_gram_char_frac > 0.15) are
-    the caller's policy; this verb just computes the signals.
+    the caller's policy; this verb just computes the signals.  NB the
+    published thresholds were calibrated against SPAN-UNION fractions
+    (DataTrove/Dolma dedupe overlapping character positions), so
+    applying them to the default upper-bound columns OVER-FLAGS
+    documents whose repeated grams overlap — pass ``exact=True`` for
+    threshold-faithful span-union semantics.
+
+    ``exact=True`` computes the span-union fractions exactly: token
+    char offsets in the whitespace-normalized text via one running-sum
+    window per document, n-gram spans via ``lead`` columns in the same
+    window pass, per-(doc, n, gram) counts via a keyed window, and the
+    character-interval union per (doc, n) as a linear ``aggregate``
+    fold over the sorted span array.  Same output columns; numerators
+    are unions of character intervals in the normalized text over the
+    same original-length denominator, so ``exact`` ≤ clamped default
+    for every column.  Costs two extra keyed shuffles per document
+    stream vs the default's single explode-aggregate — the default
+    stays the cheap screening pass; ``exact`` is the
+    threshold-faithful one.
 
     Plan shape at 100 TB: the line/para fractions never shuffle; the
     n-gram fractions explode once into ``(id, n, gram)`` for ALL
@@ -470,6 +489,16 @@ def gopher_repetition(
         rep_frac(paras).alias("dup_para_frac"),
     )
 
+    # collapse+trim ALL whitespace before shingling: raw split would
+    # produce empty tokens around leading/trailing newlines/tabs
+    # (F.trim strips spaces only), and a whitespace-only document would
+    # otherwise mint separator "grams" scoring 1.0
+    gram_src = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if exact:
+        return _gopher_exact(
+            df, id_col, gram_src, base, tuple(top_ns), tuple(dup_ns), all_ns
+        )
+
     # ONE explode for every n: (id, n, gram); word_shingles(distinct=
     # False) keeps every occurrence so the count survives the explode.
     # NB the tag lambda must take exactly ONE parameter — PySpark
@@ -478,11 +507,6 @@ def gopher_repetition(
     def tag(n: int):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
-    # collapse+trim ALL whitespace before shingling: raw split would
-    # produce empty tokens around leading/trailing newlines/tabs
-    # (F.trim strips spaces only), and a whitespace-only document would
-    # otherwise mint separator "grams" scoring 1.0
-    gram_src = F.trim(F.regexp_replace(col, r"\s+", " "))
     grams = df.select(
         F.col(id_col),
         F.explode(
@@ -563,6 +587,175 @@ def gopher_repetition(
             .otherwise(F.lit(0.0))
             .alias(f"dup_{n}_gram_char_frac")
         )
+    return out.select(*proj)
+
+
+def _gopher_exact(
+    df: DataFrame,
+    id_col: str,
+    gram_src: Column,
+    base: DataFrame,
+    top_ns: tuple,
+    dup_ns: tuple,
+    all_ns: list,
+) -> DataFrame:
+    """Span-union branch of :func:`gopher_repetition` (``exact=True``).
+
+    Character offsets come from ONE running-sum window per document
+    over the positional token explode (the
+    ``remove_duplicated_spans`` machinery, ``dedup.py``, applied at
+    char granularity); every requested n shares that window pass via
+    ``lead`` columns, so the token stream is shuffled once on the doc
+    id.  Interval union is a linear ``aggregate`` fold over the
+    sorted span array — NOT per-step array concatenation, which is
+    quadratic in tokens and would break the 100k-token fat-row
+    contract (tests/test_fat_rows.py)."""
+    from pyspark.sql import Window
+
+    max_n = max(all_ns)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(gram_src)).alias("__i", "__t"),
+    ).filter(F.col("__t") != "")  # empty doc -> [""] single token
+    wtok = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy(id_col).orderBy("__i")
+    # start of token i in the normalized text = Σ_{j<i}(len_j + 1)
+    run_end = F.sum(F.length("__t") + 1).over(wtok).cast("long")
+    toks = toks.withColumn("__start", run_end - F.length("__t") - 1)
+    # materialize the leads as plain columns — window expressions are
+    # not allowed inside the explode generator below, and naming them
+    # lets every n reuse one window pass
+    for j in range(1, max_n):
+        toks = toks.withColumn(
+            f"__t{j}", F.lead("__t", j).over(wlead)
+        ).withColumn(f"__s{j}", F.lead("__start", j).over(wlead))
+    lead_t = {0: F.col("__t")}
+    lead_s = {0: F.col("__start")}
+    for j in range(1, max_n):
+        lead_t[j] = F.col(f"__t{j}")
+        lead_s[j] = F.col(f"__s{j}")
+
+    def gram_struct(n: int) -> Column:
+        # null when the gram would run past the document end; nulls are
+        # filtered before the explode
+        return F.when(
+            lead_t[n - 1].isNotNull(),
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[lead_t[j] for j in range(n)]).alias(
+                    "gram"
+                ),
+                F.col("__start").alias("s"),
+                (lead_s[n - 1] + F.length(lead_t[n - 1])).cast("long").alias(
+                    "e"
+                ),
+            ),
+        )
+
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.array(*[gram_struct(n) for n in all_ns]),
+                lambda g: g.isNotNull(),
+            )
+        ).alias("__g"),
+    ).select(
+        id_col,
+        F.col("__g.n").alias("__n"),
+        F.col("__g.gram").alias("__gram"),
+        F.col("__g.s").alias("__s"),
+        F.col("__g.e").alias("__e"),
+    )
+    # occurrence count per (doc, n, gram) and the per-(doc, n) top gram
+    # — two window passes on compatible keys (the second re-sorts within
+    # the same (doc, n) shuffle partitioning)
+    wg = Window.partitionBy(id_col, "__n", "__gram")
+    wn = Window.partitionBy(id_col, "__n")
+    flagged = grams.withColumn("__c", F.count(F.lit(1)).over(wg)).withColumn(
+        "__top",
+        F.max(
+            F.struct(
+                F.col("__c"), F.length("__gram").alias("__l"), F.col("__gram")
+            )
+        ).over(wn),
+    )
+    is_top = (
+        F.struct(
+            F.col("__c"), F.length("__gram").alias("__l"), F.col("__gram")
+        )
+        == F.col("__top")
+    )
+
+    def union_len(spans: Column) -> Column:
+        # classic interval merge as a fold: spans sorted by (s, e);
+        # add = max(0, e - max(s, cur_end)), cur_end = max(cur_end, e)
+        return F.aggregate(
+            F.array_sort(spans),
+            F.struct(
+                F.lit(0).cast("long").alias("tot"),
+                F.lit(-1).cast("long").alias("ce"),
+            ),
+            lambda acc, sp: F.struct(
+                (
+                    acc["tot"]
+                    + F.greatest(
+                        F.lit(0).cast("long"),
+                        sp["e"] - F.greatest(sp["s"], acc["ce"]),
+                    )
+                ).alias("tot"),
+                F.greatest(acc["ce"], sp["e"]).alias("ce"),
+            ),
+            lambda acc: acc["tot"],
+        )
+
+    span = F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))
+    per_n = flagged.groupBy(id_col, "__n").agg(
+        # collect_list drops the when()-nulls, so each list holds only
+        # its filter's spans
+        union_len(
+            F.collect_list(F.when(F.col("__c") >= 2, span))
+        ).alias("__dupu"),
+        union_len(F.collect_list(F.when(is_top, span))).alias("__topu"),
+    )
+    agg_cols = []
+    for n in top_ns:
+        agg_cols.append(
+            F.max(F.when(F.col("__n") == n, F.col("__topu"))).alias(
+                f"__topchars_{n}"
+            )
+        )
+    for n in dup_ns:
+        agg_cols.append(
+            F.max(F.when(F.col("__n") == n, F.col("__dupu"))).alias(
+                f"__dupchars_{n}"
+            )
+        )
+    pivoted = per_n.groupBy(id_col).agg(*agg_cols)
+    out = base.join(pivoted, id_col, "left")
+    proj = [
+        F.col(id_col),
+        F.col("dup_line_frac"),
+        F.col("dup_para_frac"),
+    ]
+    chars = F.col("__chars")
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            src = F.col(f"__{kind}chars_{n}")
+            proj.append(
+                F.when(
+                    (chars > 0) & src.isNotNull(),
+                    # union ≤ normalized ≤ original length, so the
+                    # clamp is belt-and-braces only
+                    F.least(F.lit(1.0), src.cast("double") / chars),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"{kind}_{n}_gram_char_frac")
+            )
     return out.select(*proj)
 
 

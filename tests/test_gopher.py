@@ -133,3 +133,105 @@ def test_validates(spark):
     df = spark.createDataFrame([(1, "a")], "id long, text string")
     with pytest.raises(ValueError):
         pj.gopher_repetition(df, "id", "text", top_ns=(0,), dup_ns=())
+
+
+def _brute_exact(text: str, top_ns=(2, 3), dup_ns=(2, 5)):
+    """Span-union re-derivation: char offsets in the whitespace-
+    normalized text, interval union over repeated-gram occurrences."""
+    import re
+
+    def rep_frac(items):
+        items = [s.strip() for s in items]
+        items = [s for s in items if s]
+        return 1.0 - len(set(items)) / len(items) if items else 0.0
+
+    norm = re.sub(r"\s+", " ", text).strip()
+    toks = norm.split(" ") if norm else []
+    chars = len(text)
+    starts, p = [], 0
+    for t in toks:
+        starts.append(p)
+        p += len(t) + 1
+    out = {
+        "dup_line_frac": rep_frac(text.split("\n")),
+        "dup_para_frac": rep_frac(re.split(r"\n{2,}", text)),
+    }
+
+    def union(spans):
+        tot, ce = 0, -1
+        for s, e in sorted(spans):
+            tot += max(0, e - max(s, ce))
+            ce = max(ce, e)
+        return tot
+
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            occ: dict = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                occ.setdefault(g, []).append(
+                    (starts[i], starts[i + n - 1] + len(toks[i + n - 1]))
+                )
+            if kind == "dup":
+                spans = [sp for v in occ.values() if len(v) >= 2 for sp in v]
+            else:
+                spans = (
+                    occ[
+                        max(
+                            occ,
+                            key=lambda g: (len(occ[g]), len(g), g),
+                        )
+                    ]
+                    if occ
+                    else []
+                )
+            out[f"{kind}_{n}_gram_char_frac"] = (
+                min(1.0, union(spans) / chars) if chars > 0 and spans else 0.0
+            )
+    return out
+
+
+def test_exact_hand_checked(spark):
+    # 'a a a a': three overlapping 'a a' bigrams cover the whole 7-char
+    # normalized text -> span-union 1.0; the upper bound would be
+    # min(1, 3*3/7) = 1.0 too, but 'x y x y z' separates them
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "x y x y z"), (3, ""), (4, "q w e r t")],
+        "id long, text string",
+    )
+    got = {
+        r.id: r.asDict()
+        for r in pj.gopher_repetition(
+            df, "id", "text", top_ns=(2,), dup_ns=(2,), exact=True
+        ).collect()
+    }
+    assert got[1]["top_2_gram_char_frac"] == pytest.approx(1.0)
+    # 'x y' occurs at chars [0,3) and [4,7): union 6 of 9 chars
+    assert got[2]["top_2_gram_char_frac"] == pytest.approx(6 / 9)
+    assert got[2]["dup_2_gram_char_frac"] == pytest.approx(6 / 9)
+    assert got[3]["top_2_gram_char_frac"] == 0.0
+    assert got[4]["dup_2_gram_char_frac"] == 0.0
+
+
+@WAVE
+@given(rows=docs())
+def test_gopher_exact_vs_brute_fuzz(spark, rows):
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.asDict()
+        for r in pj.gopher_repetition(
+            df, "id", "text", top_ns=(2, 3), dup_ns=(2, 5), exact=True
+        ).collect()
+    }
+    ub = {
+        r.id: r.asDict()
+        for r in pj.gopher_repetition(
+            df, "id", "text", top_ns=(2, 3), dup_ns=(2, 5)
+        ).collect()
+    }
+    for i, t in rows:
+        want = _brute_exact(t)
+        for k, v in want.items():
+            assert got[i][k] == pytest.approx(v, abs=1e-12), (i, k, t)
+            # exact is a tightening of the clamped upper bound
+            assert got[i][k] <= ub[i][k] + 1e-12, (i, k, t)
