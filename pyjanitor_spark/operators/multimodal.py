@@ -99,24 +99,33 @@ def _decode_wav(data: bytes) -> dict | None:
 
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
-            n_frames = w.getnframes()
             n_channels = w.getnchannels()
             sampwidth = w.getsampwidth()
-            frames = w.readframes(n_frames)
+            frames = w.readframes(w.getnframes())
+        if n_channels < 1:
+            return None
+        # A truncated body can yield a buffer that is not a multiple of
+        # the sample width (fuzz wave 15) — trim the ragged tail rather
+        # than letting frombuffer raise.
+        frames = frames[: len(frames) - len(frames) % (sampwidth * n_channels)]
+        if sampwidth == 1:
+            samples = (
+                np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+            )
+            scale = 128.0
+        elif sampwidth == 2:
+            samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+            scale = 32768.0
+        else:  # 24/32-bit: rare in fixtures; treat as undecodable here
+            return None
     except Exception:
-        return None
-    if sampwidth == 1:
-        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
-        scale = 128.0
-    elif sampwidth == 2:
-        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-        scale = 32768.0
-    else:  # 24/32-bit: rare in fixtures; treat as undecodable here
         return None
     mean = float(np.abs(samples).mean() / scale) if samples.size else 0.0
     return {
         "kind": "wav",
-        "width": n_frames,
+        # report frames actually decoded, not the header's claim — a
+        # corrupt header can declare more frames than the body holds
+        "width": len(samples) // n_channels,
         "height": 1,
         "channels": n_channels,
         "feat_mean": mean,

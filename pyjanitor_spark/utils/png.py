@@ -27,6 +27,11 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# Allocation ceiling for the filtered scanline buffer (≈ 256 MiB, i.e.
+# a 64-megapixel RGBA image).  Untrusted headers above this raise
+# ValueError instead of attempting the allocation.
+_MAX_RAW_BYTES = 1 << 28
+
 
 def decode_png(data: bytes) -> dict:
     """Decode a PNG byte string.
@@ -67,10 +72,29 @@ def decode_png(data: bytes) -> dict:
         raise ValueError(f"unsupported color type {color_type}")
     if interlace != 0:
         raise ValueError("interlaced PNG not supported")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    # Untrusted-bytes hardening (fuzz wave 15): a bit-flipped IHDR can
+    # claim absurd dimensions; bound every allocation by the header-
+    # derived expected size and cap that size itself, and never let
+    # zlib inflate past it (decompression-bomb guard).
+    expected = height * (stride + 1)
+    if expected > _MAX_RAW_BYTES:
+        raise ValueError(
+            f"image too large ({width}x{height}x{channels}; "
+            f"cap {_MAX_RAW_BYTES} filtered bytes)"
+        )
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        if dec.unconsumed_tail:
+            raise ValueError("IDAT inflates past header-declared size")
+        raw += dec.flush()
+    except zlib.error as exc:  # truncated/garbage deflate stream
+        raise ValueError(f"bad IDAT stream: {exc}") from None
+    if len(raw) != expected:
         raise ValueError("decompressed size mismatch")
     out = bytearray(height * stride)
     prev_off = -1  # offset of previous row in out, -1 = none
