@@ -120,7 +120,15 @@ def write_csv(
     newlines are quoted per RFC 4180 — readable ONLY with
     ``multiLine`` (which :func:`read_csv` sets; a default
     ``spark.read.csv`` splits such rows mid-record).  Every default
-    is overridable through ``**options``."""
+    is overridable through ``**options``.
+
+    SCALE NOTE: multiLine CSV is NOT splittable — the paired
+    :func:`read_csv` gets one task per FILE, so read parallelism is
+    bounded by the writer's file count, not by block size.  CSV here
+    is the interchange path; for data that will be re-read at scale,
+    prefer :func:`write_parquet` / :func:`write_bucketed_table` (splittable,
+    typed, predicate-pushdown).  See SCALE.md "CSV roundtrip vs
+    splittability"."""
     out = (
         _prepare(df, partition_by, None)
         .write.mode(mode)
@@ -141,20 +149,35 @@ def read_csv(
     path: str,
     schema: str | None = None,
     header: bool = True,
+    null_sentinel: str = "\u0000",
     **options: str,
 ):
     """The reader paired with :func:`write_csv` — reads back exactly
     what was written: ``multiLine`` for quoted embedded newlines,
     quoted-empty ``""`` stays the empty string (``emptyValue=''``)
-    while unquoted-empty cells stay null (``nullValue`` is set to an
-    unmatchable NUL token so no real text ever aliases to null).
+    while unquoted-empty cells stay null (``nullValue`` is an
+    unmatchable token so real text does not alias to null).
     Pass ``schema`` (DDL string) to skip inference — on 100 TB,
-    inference is a full extra pass."""
+    inference is a full extra pass.
+
+    ``null_sentinel`` is the ``nullValue`` token.  The default lone
+    NUL is unmatchable for any corpus that does not contain a cell
+    that IS exactly one NUL byte; a corrupt corpus can legitimately
+    hold one, and that cell would silently read back as null — pass
+    a sentinel known to be absent (e.g. a random UUID) if that
+    matters.
+
+    SCALE NOTE: ``multiLine=true`` (required for the quoted embedded
+    newlines :func:`write_csv` emits) makes every CSV file
+    UNSPLITTABLE — one read task per file, regardless of size.
+    Parallelism = file count; a single 1 TB CSV reads on one core.
+    For scale-path data use parquet (SCALE.md "CSV roundtrip vs
+    splittability")."""
     r = (
         spark.read.option("header", str(header).lower())
         .option("multiLine", "true")
         .option("emptyValue", "")
-        .option("nullValue", "\u0000")
+        .option("nullValue", null_sentinel)
     )
     for k, v in options.items():
         r = r.option(k, str(v))
