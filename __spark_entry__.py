@@ -549,8 +549,16 @@ def q_minhash_lsh(spark, sf):
 
 def q_ngram_jaccard(spark, sf):
     # default max_doc_freq=10_000 never bites at sf0.01 (max shingle
-    # doc-freq there is 7) -> still exact vs the all-shingle oracle
-    d = _docs(spark, sf)
+    # doc-freq there is 7) -> still exact vs the all-shingle oracle.
+    # GATE-INPUT cap (multiblock precedent, r11): doc_id < 5000 is a
+    # no-op at sf0.01/sf0.1 (max doc_id 499/4999) so the correctness
+    # compare is untouched; at the sweep's make_sf1 it bounds an input
+    # whose true-pair OUTPUT is quadratic by construction (10x body
+    # replication -> ~100x qualifying pairs), which is a property of
+    # the synthetic replication, not of the plan.  Exact mode's real
+    # scale adjudication lives in SCALE.md; the full-input sf1 sweep
+    # entry for this family is ngram_jaccard_sampled.
+    d = _docs(spark, sf).filter(F.col("doc_id") < 5000)
     return pj.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
@@ -562,6 +570,18 @@ def q_ngram_jaccard_capped(spark, sf):
     d = _docs(spark, sf)
     return pj.ngram_jaccard_pairs(
         d, "doc_id", "text", shingle_n=3, threshold=0.5, max_doc_freq=3
+    )
+
+
+def q_ngram_jaccard_sampled(spark, sf):
+    # shingle_sample=0.3: deterministic md5 shingle-space sampling
+    # (mod-hash sketch) — the sampled space is bit-reproducible in
+    # DuckDB (same first-8-nibble md5 cut), so the gate is an EXACT
+    # hash compare of the estimator's output, statistical noise and
+    # all; threshold lowered to 0.3 so sampled estimates ≠ 1.0 pass
+    d = _docs(spark, sf)
+    return pj.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.3, shingle_sample=0.3
     )
 
 
@@ -1873,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "ngram_jaccard_sampled": q_ngram_jaccard_sampled,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_multiblock": q_near_dup_multiblock,
         "semdedup_split": q_semdedup_split,
@@ -3205,7 +3226,8 @@ def _pipeline_oracles() -> dict[str, str]:
         f"{cascade} END AS lang_pred FROM s"
     )
     jaccard = (
-        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        "WITH toks AS (SELECT doc_id, "
+        f"{_TOKS} AS t FROM documents WHERE doc_id < 5000), "
         f"sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks), "
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i "
@@ -3229,6 +3251,24 @@ def _pipeline_oracles() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON sa.doc_id = id_1 "
         "JOIN sizes sb ON sb.doc_id = id_2 "
         "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"
+    )
+    # mod-hash shingle sampling (shingle_sample=0.3): keep a shingle
+    # iff its first-8-nibble md5 integer < round(0.3 * 2^32) — the
+    # identical cut dedup.py applies, so Spark and DuckDB compute the
+    # same sampled space and the estimator compares bit-for-bit
+    _sample_cut = 1288490189  # int(round(0.3 * 4294967296))
+    jaccard_sampled = (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM toks), "
+        "sh AS (SELECT doc_id, s FROM sh0 "
+        f"WHERE {_hex8_int('md5(s)')} < {_sample_cut}), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT id_1, id_2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_1 "
+        "JOIN sizes sb ON sb.doc_id = id_2 "
+        "WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3"
     )
     near_dup = (
         "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v "
@@ -3448,6 +3488,7 @@ def _pipeline_oracles() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_band_sql(8, 4),
         "ngram_jaccard_pairs": jaccard,
         "ngram_jaccard_capped": jaccard_capped,
+        "ngram_jaccard_sampled": jaccard_sampled,
         "embedding_near_dup": near_dup,
         "near_dup_multiblock": near_dup_multiblock,
         # split=2 gates: identical expected output, same oracles

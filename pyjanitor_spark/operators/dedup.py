@@ -386,6 +386,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = 10_000,
+    shingle_sample: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_1 < id_2, jaccard ≥
     threshold).
@@ -414,16 +415,53 @@ def ngram_jaccard_pairs(
     (``10_000``: worst single-bucket pair stream C(10k, 2) ≈ 5e7 rows,
     bounded regardless of corpus size); pass ``None`` to opt out into
     fully exact all-shingle semantics when the corpus is known to have
-    no stop shingles — the scale hazard is then yours."""
+    no stop shingles — the scale hazard is then yours.
+
+    ``shingle_sample=p`` (opt-in ESTIMATOR, exact mode stays default)
+    keeps a shingle iff ``md5(shingle) < p`` on the hash's [0, 1)
+    range — deterministic mod-hash sampling of the SHINGLE SPACE
+    (Broder's sketch family), NOT per-row coin flips: a kept shingle
+    is kept in every document, so sampled sets stay intersection-
+    consistent and ``jaccard`` is computed self-consistently over the
+    sampled space (sizes and intersections both).  Conditional on the
+    sampled union size, each kept union shingle lands in the
+    intersection i.i.d. with probability J, so the estimate is
+    unbiased with Chernoff concentration: for a pair with true
+    Jaccard J and union size u,
+
+        P(|Ĵ − J| > δ) ≤ 2·exp(−2·δ²·p·u)
+
+    i.e. recall of pairs with J ≥ threshold + δ is at least
+    1 − exp(−2·δ²·p·u) — at p=0.1, δ=0.1, a 500-shingle union misses
+    with probability < e⁻¹ = 0.37; 5000-shingle unions < e⁻¹⁰.  Lower
+    ``threshold`` by your δ to trade precision for recall.  COST is
+    the point at scale: every downstream volume — the exploded
+    shingle table, the buckets, and the quadratic per-bucket pair
+    stream the exact mode's sf1 sweep flag tracks — shrinks by ×p,
+    while output PAIRS (the true positives) are unaffected.
+    Layout-stable (hash-keyed, no RNG) and oracle-reproducible.
+    Composes with ``max_doc_freq`` (cap applies to sampled buckets)
+    and ``candidates``."""
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1] (Jaccard range)")
     if max_doc_freq is not None and max_doc_freq < 2:
         raise ValueError("max_doc_freq must be >= 2 (pairs need 2 docs)")
+    if shingle_sample is not None and not 0.0 < shingle_sample <= 1.0:
+        raise ValueError("shingle_sample must be in (0, 1]")
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(column_name), shingle_n)).alias("s")
     )
+    if shingle_sample is not None and shingle_sample < 1.0:
+        # first 8 md5 nibbles as a uniform 32-bit integer — the same
+        # expression DuckDB can evaluate, so the sampled space is
+        # oracle-reproducible bit-for-bit
+        cut = int(round(shingle_sample * 4294967296))
+        sh = sh.filter(
+            F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+            < F.lit(cut)
+        )
     if max_doc_freq is not None:
         # one shuffle into buckets, capped BEFORE pair emission; sizes
         # re-derived from the kept buckets (2nd shuffle — same count as

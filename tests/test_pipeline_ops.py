@@ -105,6 +105,77 @@ def test_ngram_jaccard_capped_by_default(spark):
     assert got_exact == 6
 
 
+def test_ngram_jaccard_shingle_sample(spark, docs):
+    # p=1.0 is a no-op: identical to exact mode
+    exact = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.1
+        ).collect()
+    }
+    full = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.1,
+            shingle_sample=1.0,
+        ).collect()
+    }
+    assert full == exact
+    # p<1: differential vs a Python re-derivation of the SAME md5 cut
+    # (deterministic mod-hash sampling of the shingle space)
+    import hashlib
+
+    p = 0.4
+    cut = int(round(p * 4294967296))
+
+    def kept_shingles(text):
+        toks = text.split()
+        grams = {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        }
+        return {
+            g for g in grams
+            if int(hashlib.md5(g.encode()).hexdigest()[:8], 16) < cut
+        }
+
+    sets = {r["doc_id"]: kept_shingles(r["text"]) for r in docs.collect()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter and union and inter / union >= 0.1:
+                want[(a, b)] = inter / union
+    got = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=0.1,
+            shingle_sample=p,
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    # layout stability: hash-keyed sampling, no RNG
+    got7 = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in pj.ngram_jaccard_pairs(
+            docs.repartition(7), "doc_id", "text", shingle_n=2,
+            threshold=0.1, shingle_sample=p,
+        ).collect()
+    }
+    assert got7 == got
+    with pytest.raises(ValueError):
+        pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_sample=0.0
+        )
+    with pytest.raises(ValueError):
+        pj.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_sample=1.5
+        )
+
+
 def test_simhash_near_dups_close(docs):
     out = pj.simhash(docs, "text", bits=32, dest="sh")
     got = {r["doc_id"]: int(r["sh"]) for r in out.collect()}
