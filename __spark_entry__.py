@@ -2042,13 +2042,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates, then changed code, then oldest attestations first;
     # rotated-out entries stay replica-covered).
     _WINDOW = [
-        # (a) NEW r12 gates — never driver-attested (auto-split)
+        # (a) NEW r12 gates — never driver-attested (auto-split,
+        # gopher span-union exact mode, mod-hash Jaccard estimator)
         "semdedup_auto", "near_dup_autosplit",
+        "ngram_jaccard_sampled", "gopher_repetition_exact",
         # (b) entries whose CODE changed in round 12 (star-contraction
-        # connected components replacing the diameter-bound min-label
-        # propagation; split fanout repartition + flops sizing)
+        # connected components + split fanout; shingle_sample param +
+        # gate-input cap on the jaccard family; fuzz-15 decoder
+        # hardening; read_csv null_sentinel param)
         "semdedup_split", "near_dup_split", "dedupe_near",
         "dedupe_near_best", "near_dup_clusters",
+        "ngram_jaccard_pairs", "ngram_jaccard_capped",
+        "decode_features", "binary_metadata", "csv_roundtrip",
         # (c) ALL 34 r8-era attestations — after this window no entry's
         # last driver-green is older than r9 (VERDICT r11 task 3)
         "cartesian_product", "change_index_dtype", "change_type",
@@ -2061,11 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_holdout", "stratified_sample", "take_first",
         "top_ngrams", "toset", "transform_column", "unionize_categories",
         "update_where",
-        # (d) the 9 alphabetically-first r9-era rows fill the window
-        "case_when", "complete", "convert_excel_date",
-        "convert_matlab_date", "convert_unix_date",
-        "currency_column_to_numeric", "data_description",
-        "dup_span_fraction", "factorize_columns",
+        # (d) the 2 alphabetically-first r9-era rows fill the window
+        "case_when", "complete",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
