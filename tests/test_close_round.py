@@ -146,8 +146,15 @@ def test_window_check_diffs():
 def test_live_window_matches_rule():
     """The committed r12 window satisfies the composition rule."""
     changed = {
+        # star-contraction components + split fanout
         "semdedup_split", "near_dup_split", "dedupe_near",
         "dedupe_near_best", "near_dup_clusters",
+        # shingle_sample param + gate-input cap (jaccard family)
+        "ngram_jaccard_pairs", "ngram_jaccard_capped",
+        # fuzz-15 decoder hardening
+        "decode_features", "binary_metadata",
+        # read_csv null_sentinel param
+        "csv_roundtrip",
     }
     green = close_round.last_green_rounds(11)
     registry, window = close_round.registry_and_window()
