@@ -22,6 +22,26 @@ from xml.etree import ElementTree as ET
 _R_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 
+# Per-part decompressed-size ceiling (64 MiB) and range_values grid
+# cell ceiling: a corrupt or adversarial workbook must not force a
+# multi-GiB allocation on the driver.
+_MAX_PART_BYTES = 64 << 20
+_MAX_GRID_CELLS = 10_000_000
+
+
+def _read_part(zf: zipfile.ZipFile, member: str) -> bytes:
+    """Read a zip member with the declared uncompressed size checked
+    BEFORE inflating (zip-bomb guard; zipfile enforces the declared
+    size during read)."""
+    info = zf.getinfo(member)
+    if info.file_size > _MAX_PART_BYTES:
+        raise ValueError(
+            f"xlsx part {member!r} declares {info.file_size} bytes "
+            f"(cap {_MAX_PART_BYTES})"
+        )
+    return zf.read(member)
+
+
 __all__ = ["Workbook", "Cell", "col_to_num", "num_to_col", "build_demo_workbook"]
 
 
@@ -67,7 +87,7 @@ def _parse_rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
     if rels_name not in zf.namelist():
         return {}
     out = {}
-    for rel in ET.fromstring(zf.read(rels_name)).iter():
+    for rel in ET.fromstring(_read_part(zf, rels_name)).iter():
         if not rel.tag.endswith("}Relationship"):
             continue
         target = rel.get("Target", "")
@@ -163,20 +183,43 @@ def build_demo_workbook(path: str) -> str:
 
 class Workbook:
     """Parsed workbook: ``sheets`` (ordered name -> list[Cell]) and
-    ``tables`` (name -> (sheet, ref)) for declared Excel tables."""
+    ``tables`` (name -> (sheet, ref)) for declared Excel tables.
+
+    Untrusted-bytes contract (fuzz wave 16): ANY malformed workbook —
+    bad/truncated zip, missing required part, malformed XML, garbage
+    cell refs or row numbers, out-of-range shared-string indexes,
+    zip-bomb members — raises ``ValueError``; no ``BadZipFile`` /
+    ``KeyError`` / ``IndexError`` / ``AttributeError`` / ``ParseError``
+    leaks, and no allocation beyond :data:`_MAX_PART_BYTES` per part
+    (the declared uncompressed size is checked BEFORE inflating, so a
+    bomb is rejected, not survived).  Entity-expansion (billion-laughs)
+    amplification is rejected by the interpreter's expat (≥ 2.4
+    enables amplification limits), surfacing as a parse error here."""
 
     def __init__(self, path: str):
         self.sheets: dict[str, list[Cell]] = {}
         self.tables: dict[str, tuple[str, str]] = {}
+        try:
+            self._load(path)
+        except ValueError:
+            raise
+        except Exception as exc:
+            # a parser of untrusted bytes has exactly one failure mode
+            raise ValueError(
+                f"malformed xlsx {path!r}: "
+                f"{exc.__class__.__name__}: {exc}"
+            ) from exc
+
+    def _load(self, path: str) -> None:
         with zipfile.ZipFile(path) as zf:
             wb_rels = _parse_rels(zf, "xl/workbook.xml")
             shared = self._shared_strings(zf)
-            for sheet in ET.fromstring(zf.read("xl/workbook.xml")).iter():
+            for sheet in ET.fromstring(_read_part(zf, "xl/workbook.xml")).iter():
                 if not sheet.tag.endswith("}sheet"):
                     continue
                 name = sheet.get("name")
                 member = wb_rels.get(sheet.get(_R_ID))
-                if member is None or member not in zf.namelist():
+                if name is None or member is None or member not in zf.namelist():
                     continue
                 self.sheets[name] = self._parse_sheet(zf, member, shared)
                 self._parse_tables(zf, member, name)
@@ -185,14 +228,14 @@ class Workbook:
     def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
         if "xl/sharedStrings.xml" not in zf.namelist():
             return []
-        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        root = ET.fromstring(_read_part(zf, "xl/sharedStrings.xml"))
         return [_text(si) for si in root if si.tag.endswith("}si")]
 
     @staticmethod
     def _parse_sheet(zf, member: str, shared: list[str]) -> list[Cell]:
         cells: list[Cell] = []
         row_num = 0
-        for row in ET.fromstring(zf.read(member)).iter():
+        for row in ET.fromstring(_read_part(zf, member)).iter():
             if not row.tag.endswith("}row"):
                 continue
             row_num = int(row.get("r", row_num + 1))
@@ -203,6 +246,8 @@ class Workbook:
                 ref = c.get("r")
                 if ref:
                     m = _CELL_REF.match(ref)
+                    if m is None:
+                        raise ValueError(f"bad cell ref {ref!r} in {member!r}")
                     col_num = col_to_num(m.group(1))
                     row_num = int(m.group(2))
                 else:
@@ -218,7 +263,13 @@ class Workbook:
                     elif child.tag.endswith("}is"):
                         raw = _text(child)
                 if t in ("s",) and raw is not None:
-                    value = shared[int(raw)]
+                    idx = int(raw)
+                    if not 0 <= idx < len(shared):
+                        raise ValueError(
+                            f"shared-string index {idx} out of range "
+                            f"({len(shared)} entries) in {member!r}"
+                        )
+                    value = shared[idx]
                     dt = "s"
                 elif t in ("str", "inlineStr"):
                     value, dt = raw, "s"
@@ -234,7 +285,7 @@ class Workbook:
         for target in _parse_rels(zf, member).values():
             if "/tables/" not in target or target not in zf.namelist():
                 continue
-            tbl = ET.fromstring(zf.read(target))
+            tbl = ET.fromstring(_read_part(zf, target))
             name = tbl.get("displayName") or tbl.get("name")
             ref = tbl.get("ref")
             if name and ref:
@@ -244,8 +295,17 @@ class Workbook:
         """Dense 2-D grid of cached values for a 'A1:C4'-style range."""
         start, _, end = ref.partition(":")
         m1, m2 = _CELL_REF.match(start), _CELL_REF.match(end or start)
+        if m1 is None or m2 is None:
+            raise ValueError(f"bad range ref {ref!r}")
         c1, r1 = col_to_num(m1.group(1)), int(m1.group(2))
         c2, r2 = col_to_num(m2.group(1)), int(m2.group(2))
+        if c2 < c1 or r2 < r1:
+            raise ValueError(f"inverted range ref {ref!r}")
+        if (c2 - c1 + 1) * (r2 - r1 + 1) > _MAX_GRID_CELLS:
+            raise ValueError(
+                f"range {ref!r} spans {(c2 - c1 + 1) * (r2 - r1 + 1)} "
+                f"cells (cap {_MAX_GRID_CELLS})"
+            )
         grid = [[None] * (c2 - c1 + 1) for _ in range(r2 - r1 + 1)]
         for cell in self.sheets.get(sheet, ()):
             if r1 <= cell.row <= r2 and c1 <= cell.column <= c2:
