@@ -306,8 +306,11 @@ def test_registry_generate_broadcast_lint(spark):
     sf = "/root/testdata/sf0.001"
     REVIEWED = {
         # pair family: remaining broadcasts are per-doc sizes tables /
-        # id lists (linear; the quadratic inter side is merge-hinted)
-        "ngram_jaccard_pairs", "ngram_jaccard_capped", "dedupe_against",
+        # id lists (linear; the quadratic inter side is merge-hinted).
+        # sampled variant shares the identical sizes-broadcast shape
+        # (reviewed r12: BuildRight side is one row per doc_id)
+        "ngram_jaccard_pairs", "ngram_jaccard_capped",
+        "ngram_jaccard_sampled", "dedupe_against",
         "remove_duplicated_spans", "simhash_pairs", "semdedup",
         # split mode shares semdedup's k-row centroid attach; its
         # broadcast subtree contains the centroid posexplode, and the
@@ -324,8 +327,11 @@ def test_registry_generate_broadcast_lint(spark):
         "nb_classify", "expand_grid",
         # per-doc n-gram fraction table: one row per doc_id (LINEAR in
         # the scan; the estimate tracks the input, so at real scale the
-        # planner switches to sort-merge on its own)
-        "gopher_repetition",
+        # planner switches to sort-merge on its own).  exact mode joins
+        # back the span-union fraction table — one row per (doc, n),
+        # same linear class (reviewed r12: LeftOuter BuildRight on
+        # doc_id)
+        "gopher_repetition", "gopher_repetition_exact",
     }
     bad = {}
     for name, q in e.queries().items():
