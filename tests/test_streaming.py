@@ -359,6 +359,103 @@ def _drain(stream_df, sink, ckpt, mode="append"):
     q.awaitTermination(120)
 
 
+def test_streaming_dedupe_state_recovers_across_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state across a query RESTART: run 2
+    is a brand-new query resuming from run 1's checkpoint, and a
+    normalized duplicate of run 1's survivor (still inside the
+    watermark horizon) must be dropped by the RECOVERED state store —
+    completing the restart matrix for the built-in stateful class
+    (file-store near-dedup and watermark windows are covered above)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, ts string, text string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+
+    def dedup():
+        stream = spark.readStream.schema(
+            mk([(0, "2024-01-01 00:00:00", "x")]).schema
+        ).parquet(src)
+        return streaming_dedupe(
+            stream, "text", watermark="10 minutes", ts_column="ts"
+        )
+
+    mk([
+        (1, "2024-01-01 10:00:00", "same text"),
+        (2, "2024-01-01 10:00:30", "other text"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(dedup(), sink, ckpt)
+
+    # new query instance, same checkpoint: 3 normalize-dups row 1
+    # (state recovered), 4 is genuinely new
+    mk([
+        (3, "2024-01-01 10:01:00", "same  TEXT"),
+        (4, "2024-01-01 10:02:00", "brand new"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    _drain(dedup(), sink, ckpt)
+
+    kept = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert kept == {1, 2, 4}, kept
+
+
+def test_running_counter_state_recovers_across_restart(spark, tmp_path):
+    """applyInPandasWithState state across a query RESTART: the per-key
+    counter in run 2 (new query, same checkpoint) must CONTINUE from
+    run 1's persisted count, not restart at zero — the custom-state
+    class recovered from the state store."""
+    from pyjanitor_spark.streaming import running_counter
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+
+    def counter():
+        stream = spark.readStream.schema(
+            mk([("u0", "2024-01-01 00:00:00")]).schema
+        ).parquet(src)
+        return running_counter(stream, ["user"], "ts")
+
+    def drain_update(out):
+        # update-mode rows -> per-batch parquet append via foreachBatch
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mk([
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:01:00"),
+        ("u2", "2024-01-01 10:00:30"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    drain_update(counter())
+
+    mk([
+        ("u1", "2024-01-01 10:05:00"),
+        ("u3", "2024-01-01 10:05:30"),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    drain_update(counter())
+
+    got = {
+        r["user"]: r["n"]
+        for r in spark.read.parquet(sink)
+        .groupBy("user").agg(F.max("n_events").alias("n")).collect()
+    }
+    # u1's count CONTINUED across the restart (2 then 3, never reset)
+    assert got == {"u1": 3, "u2": 1, "u3": 1}, got
+
+
 def test_windowed_agg_drops_late_row_across_batches(spark, tmp_path):
     """Real watermark semantics across micro-batch runs: a row arriving
     in run 2 whose event time is older than the watermark established in
