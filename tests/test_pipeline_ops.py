@@ -176,6 +176,38 @@ def test_ngram_jaccard_shingle_sample(spark, docs):
         )
 
 
+def test_ngram_jaccard_sampled_recall_on_large_unions(spark):
+    """Practical recall of the p=0.2 estimator on the shape it is for:
+    50 near-dup pairs with ~650-shingle unions and true J≈0.82 (each
+    substituted token corrupts the 3 shingles covering it: 20 subs →
+    ~60 corrupted, shared ≈ 538 / union ≈ 658).  The Chernoff bound
+    puts per-pair miss probability under exp(-2·δ²·p·u) ≈ exp(-23) at
+    δ=0.32; with md5 sampling the outcome is DETERMINISTIC for this
+    fixed corpus, so the assertion is exact, not statistical — the
+    test pins that big-union near-dups survive sampling."""
+    rows = []
+    for k in range(50):
+        base = [f"w{k}_{i}" for i in range(600)]
+        variant = list(base)
+        for i in range(0, 600, 30):  # 20 substitutions -> J ≈ 0.82
+            variant[i] = f"v{k}_{i}"
+        rows.append((2 * k, " ".join(base)))
+        rows.append((2 * k + 1, " ".join(variant)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_1"], r["id_2"])
+        for r in pj.ngram_jaccard_pairs(
+            d, "doc_id", "text", shingle_n=3, threshold=0.5,
+            shingle_sample=0.2,
+        ).collect()
+    }
+    want = {(2 * k, 2 * k + 1) for k in range(50)}
+    missed = want - got
+    spurious = got - want
+    assert not missed, f"estimator missed {len(missed)} true pairs: {sorted(missed)[:5]}"
+    assert not spurious, f"spurious cross-pairs: {sorted(spurious)[:5]}"
+
+
 def test_simhash_near_dups_close(docs):
     out = pj.simhash(docs, "text", bits=32, dest="sh")
     got = {r["doc_id"]: int(r["sh"]) for r in out.collect()}
