@@ -217,3 +217,46 @@ def test_bench_block_reproduces_r11_judge_numbers():
     assert b["total_sf01"] == 25.5995
     assert b["total_sf1"] == 48.1185
     assert abs(b["scale_ratio_sf01_to_sf1"] - 1.88) < 0.01
+
+
+def test_render_md_from_committed_r12_ledger():
+    """--render-only path: the paste is derivable from CLOSING_r{N}.json
+    alone (a close that dies between ledger write and the COVERAGE.md
+    paste is recoverable without re-running pytest/replica)."""
+    with open(os.path.join(close_round.REPO, "CLOSING_r12.json")) as f:
+        out = json.load(f)
+    md = close_round.render_md(out)
+    lines = md.splitlines()
+    assert lines[0].startswith(
+        "### Round 12 closing (script-generated at HEAD "
+    )
+    assert out["head"][:9] in lines[0]
+    assert f"registry {out['registry_size']}" in md
+    assert out["pytest"]["summary"] in md
+    assert out["replica"]["summary"] in md
+    assert f"**{out['bench']['total_sf01']}s**" in md
+    # every window entry appears with its provenance
+    for row in out["window"]:
+        assert f"`{row['entry']}` — {row['provenance']}" in md
+
+
+def test_render_md_flags_dirty_tree_and_rule_mismatch():
+    out = {
+        "round": 99,
+        "head": "a" * 40,
+        "dirty": True,
+        "registry_size": 2,
+        "window": [{"entry": "x", "provenance": "NEW (never driver-attested)"}],
+        "window_check": {
+            "matches_rule": False,
+            "missing_from_window": ["y"],
+            "unexpected_in_window": ["x"],
+        },
+        "oldest_after_round": [{"entry": "y", "last_green": 3}],
+        "fingerprint_diff": {},
+        "bench": {"error": "sf0.1 artifact not committed"},
+    }
+    md = close_round.render_md(out)
+    assert "DIRTY TREE" in md
+    assert "window RULE MISMATCH" in md
+    assert "* bench: sf0.1 artifact not committed" in md

@@ -334,6 +334,77 @@ def bench_block(round_no: int) -> dict:
     return out
 
 
+def render_md(out: dict) -> str:
+    """Ready-to-paste markdown, derived ONLY from the ledger dict.
+
+    Factored out of ``main`` so ``--render-only`` can re-print the
+    paste for an already-written ``CLOSING_r{N}.json`` without
+    re-running pytest/replica — a round close that dies between ledger
+    generation and the COVERAGE.md paste is recoverable losslessly.
+    """
+    n = out["round"]
+    head = out["head"]
+    dirty = out.get("dirty", False)
+    md = [f"### Round {n} closing (script-generated at HEAD {head[:9]}"
+          f"{', DIRTY TREE' if dirty else ''})", ""]
+    if "pytest" in out:
+        md.append(f"* pytest: **{out['pytest']['summary']}**")
+    if "replica" in out:
+        md.append(f"* full replica: **{out['replica']['summary']}** "
+                  f"(registry {out['registry_size']})")
+    fd = out["fingerprint_diff"]
+    if "movers" in fd:
+        cmp_note = ("" if fd["drift"]["comparable"]
+                    else " — NORMALIZER CHANGED since baseline; diff vs "
+                         "un-rebased file is NOT meaningful")
+        md.append(
+            f"* plan fingerprints vs {fd['baseline_file']}: "
+            f"{fd['unchanged']} unchanged, movers: "
+            f"{', '.join(fd['movers']) or 'none'}"
+            f"{'; new: ' + ', '.join(fd['added']) if fd['added'] else ''}"
+            f"{cmp_note}"
+        )
+    wc = out["window_check"]
+    if wc["matches_rule"]:
+        md.append("* window composition MATCHES the r7 rule "
+                  "(new → changed → oldest-first), verified by set-diff")
+    else:
+        md.append(
+            f"* window RULE MISMATCH — missing: "
+            f"{wc['missing_from_window']}; unexpected: "
+            f"{wc['unexpected_in_window']}"
+        )
+    md.append("* window composition (entry — provenance):")
+    for row in out["window"]:
+        md.append(f"  * `{row['entry']}` — {row['provenance']}")
+    md.append("* oldest attestations remaining after this round: "
+              + ", ".join(f"`{t['entry']}` r{t['last_green']}"
+                          for t in out["oldest_after_round"][:6]))
+    b = out["bench"]
+    if "error" in b:
+        md.append(f"* bench: {b['error']}")
+    else:
+        line = (f"* bench (computed from {b['sources']}): "
+                f"sf0.1 total **{b['total_sf01']}s**")
+        if "rr_ratio_sf01" in b:
+            line += (f", r/r **{b['rr_ratio_sf01']}×** over "
+                     f"{b['rr_shared_queries']} shared queries")
+        if "total_sf1" in b:
+            line += (f"; sf1 total **{b['total_sf1']}s**, scale ratio "
+                     f"sf0.1→sf1 **{b['scale_ratio_sf01_to_sf1']}×**")
+            if "rr_ratio_sf1" in b:
+                line += f" (sf1 r/r {b['rr_ratio_sf1']}×)"
+        md.append(line)
+        if "rr_best" in b:
+            md.append("  * biggest movers: best "
+                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
+                                  for t in b["rr_best"])
+                      + "; worst "
+                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
+                                  for t in b["rr_worst"]))
+    return "\n".join(md)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -345,8 +416,15 @@ def main() -> None:
     ap.add_argument("--rebase-prev", metavar="COMMIT",
                     help="regenerate r{N-1} fingerprint baseline from this "
                          "commit under the CURRENT normalizer")
+    ap.add_argument("--render-only", action="store_true",
+                    help="re-print the paste from the existing "
+                         "CLOSING_r{N}.json; no recomputation")
     args = ap.parse_args()
     n = args.round
+    if args.render_only:
+        with open(os.path.join(REPO, f"CLOSING_r{n:02d}.json")) as f:
+            print(render_md(json.load(f)))
+        return
     changed = {c for c in args.changed.split(",") if c}
 
     head = _git("rev-parse", "HEAD")
@@ -401,64 +479,7 @@ def main() -> None:
     with open(os.path.join(REPO, f"CLOSING_r{n:02d}.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
-    # ready-to-paste markdown
-    md = [f"### Round {n} closing (script-generated at HEAD {head[:9]}"
-          f"{', DIRTY TREE' if dirty else ''})", ""]
-    if "pytest" in out:
-        md.append(f"* pytest: **{out['pytest']['summary']}**")
-    if "replica" in out:
-        md.append(f"* full replica: **{out['replica']['summary']}** "
-                  f"(registry {len(registry)})")
-    fd = out["fingerprint_diff"]
-    if "movers" in fd:
-        cmp_note = ("" if fd["drift"]["comparable"]
-                    else " — NORMALIZER CHANGED since baseline; diff vs "
-                         "un-rebased file is NOT meaningful")
-        md.append(
-            f"* plan fingerprints vs {fd['baseline_file']}: "
-            f"{fd['unchanged']} unchanged, movers: "
-            f"{', '.join(fd['movers']) or 'none'}"
-            f"{'; new: ' + ', '.join(fd['added']) if fd['added'] else ''}"
-            f"{cmp_note}"
-        )
-    wc = out["window_check"]
-    if wc["matches_rule"]:
-        md.append("* window composition MATCHES the r7 rule "
-                  "(new → changed → oldest-first), verified by set-diff")
-    else:
-        md.append(
-            f"* window RULE MISMATCH — missing: "
-            f"{wc['missing_from_window']}; unexpected: "
-            f"{wc['unexpected_in_window']}"
-        )
-    md.append("* window composition (entry — provenance):")
-    for row in window_rows:
-        md.append(f"  * `{row['entry']}` — {row['provenance']}")
-    md.append("* oldest attestations remaining after this round: "
-              + ", ".join(f"`{t['entry']}` r{t['last_green']}"
-                          for t in out["oldest_after_round"][:6]))
-    b = out["bench"]
-    if "error" in b:
-        md.append(f"* bench: {b['error']}")
-    else:
-        line = f"* bench (computed from {b['sources']}): sf0.1 total **{b['total_sf01']}s**"
-        if "rr_ratio_sf01" in b:
-            line += (f", r/r **{b['rr_ratio_sf01']}×** over "
-                     f"{b['rr_shared_queries']} shared queries")
-        if "total_sf1" in b:
-            line += (f"; sf1 total **{b['total_sf1']}s**, scale ratio "
-                     f"sf0.1→sf1 **{b['scale_ratio_sf01_to_sf1']}×**")
-            if "rr_ratio_sf1" in b:
-                line += f" (sf1 r/r {b['rr_ratio_sf1']}×)"
-        md.append(line)
-        if "rr_best" in b:
-            md.append("  * biggest movers: best "
-                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
-                                  for t in b["rr_best"])
-                      + "; worst "
-                      + ", ".join(f"`{t['query']}` {t['ratio']}×"
-                                  for t in b["rr_worst"]))
-    print("\n".join(md))
+    print(render_md(out))
 
 
 if __name__ == "__main__":
