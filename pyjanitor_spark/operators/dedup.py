@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pyjanitor_spark.operators.text_analysis import word_shingles
 from pyjanitor_spark.utils.expr import let
@@ -985,10 +986,26 @@ def near_dup_clusters(
     dest: str = "cluster_id",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup ``pairs`` (columns id_1,
     id_2): every id gets ``dest`` = the MIN id reachable through the
     pair graph — the canonical representative of its duplicate cluster.
+
+    Adaptive execution, the same idea as Spark's own broadcast-join
+    threshold: the normalized distinct edge set is counted once (the
+    action that materializes its checkpoint anyway); at or below
+    ``small_graph_edges`` (default 1M edges ≈ tens of MB of id pairs —
+    a BOUNDED collect, gated by the count) the components are solved
+    with path-compressed union-find on the driver in one collect
+    instead of 3-6 iterative contraction rounds of multi-stage shuffle
+    jobs whose per-job scheduling overhead dwarfs the data at this
+    size.  Above the cap — the 100 TB regime, where LSH over a
+    replicated corpus can emit billions of candidate edges — the
+    distributed alternating star contraction below engages; tests pin
+    ``small_graph_edges=0`` to exercise it at any size.  Both paths
+    produce the identical min-reachable-id labeling (driver union-find
+    hangs the larger root under the smaller).
 
     Alternating star contraction (the two-phase algorithm of Kiveris
     et al. 2014, "Connected Components in MapReduce and Beyond" —
@@ -1008,13 +1025,27 @@ def near_dup_clusters(
     round count grows with graph DIAMETER (a 600-node proximity chain
     needs 20+ propagation rounds; this implementation previously
     capped at ``max_iter`` and could return a non-converged labeling
-    silently — r12 fuzz finding).  One bounded driver action per round
-    (count + order-independent edge checksum) detects the fixed point;
-    exhausting ``max_iter`` (default 20 ≈ graphs beyond any physical
-    corpus) now RAISES rather than returning wrong labels.
+    silently — r12 fuzz finding).  The fixed point is detected by an
+    EXACT structural test run BEFORE each contraction: the edge set is
+    final iff it is a union of proper stars — every child has exactly
+    one parent and no parent reappears as a child (proper stars are
+    fixed by inspection; a multi-parent child or a parent-as-child is
+    re-pointed by the next large/small step, so no other fixed point
+    exists).  That test is one groupBy over skinny id rows — it
+    replaces the r12 edge-checksum comparison, which both needed a
+    trailing no-op contraction round to observe the fixed point
+    (~⅓ of total cost on the common 2-3-round graphs) and carried a
+    2⁻⁶⁴ silent-collision window; the structural test has neither.
+    It also runs before round 1, so already-star-shaped inputs (LSH
+    star-mode pairs on non-overlapping buckets) do ZERO contraction
+    rounds.  Exhausting ``max_iter`` (default 20 ≈ graphs beyond any
+    physical corpus) RAISES rather than returning wrong labels.
 
     ``nodes`` (a frame with ``id_col``) adds unpaired ids as singleton
-    clusters (``dest`` = own id).
+    clusters (``dest`` = own id).  Degenerate self-pairs (id_1 ==
+    id_2) likewise label their id as a singleton root even without
+    ``nodes`` (they carry no connectivity, but the id was present in
+    ``pairs`` and must not vanish from the labeling — ADVICE r12).
 
     ``checkpoint_dir``: on a real cluster pass a durable (HDFS/S3) path —
     iterations then use reliable ``checkpoint()`` so a lost executor
@@ -1035,17 +1066,101 @@ def near_dup_clusters(
             else d.localCheckpoint(eager=False)
         )
 
-    # edges normalized child > parent, no self loops, distinct
-    edges = _ckpt(
+    # normalize child > parent and checkpoint BEFORE the self-loop
+    # filter: ids appearing ONLY in degenerate self-pairs must still be
+    # labeled (singleton roots), and splitting selfs/edges off the one
+    # materialized frame keeps the (possibly expensive) upstream pair
+    # pipeline from being computed twice in the final plan
+    norm = _ckpt(
         pairs.select(
             F.greatest("id_1", "id_2").alias("c"),
             F.least("id_1", "id_2").alias("p"),
-        )
-        .filter(F.col("c") != F.col("p"))
-        .distinct()
+        ).distinct()
     )
-    sig_prev = None
-    for rnd in range(max_iter):
+    selfs = norm.filter(F.col("c") == F.col("p")).select(
+        F.col("c").alias(id_col)
+    )
+    edges = norm.filter(F.col("c") != F.col("p"))
+
+    # ---- small-graph fast path: count-gated BOUNDED collect --------
+    n_edges = norm.count()  # also materializes the checkpoint
+    if n_edges <= small_graph_edges:
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in norm.collect():  # bounded: n_edges <= small_graph_edges
+            c, p = r["c"], r["p"]
+            if c == p:
+                _find(c)  # self-pair: ensure the id gets a label
+                continue
+            rc, rp = _find(c), _find(p)
+            if rc != rp:
+                # larger root under smaller -> root IS the component min
+                parent[max(rc, rp)] = min(rc, rp)
+        spark = pairs.sparkSession
+        id_type = norm.schema["c"].dataType
+        labels_schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField(dest, id_type),
+            ]
+        )
+        out = spark.createDataFrame(
+            [(x, _find(x)) for x in parent], labels_schema
+        )
+        if nodes is not None:
+            all_ids = nodes.select(F.col(id_col)).distinct()
+            out = all_ids.join(F.broadcast(out), id_col, "left").select(
+                F.col(id_col),
+                F.coalesce(F.col(dest), F.col(id_col)).alias(dest),
+            )
+        return out
+    # ---- distributed path: alternating star contraction ------------
+
+    def _is_proper_stars(e: DataFrame) -> bool:
+        # exact structural fixed-point test (see docstring): no child
+        # with >1 parent, no id that is both a child and a parent.
+        # One groupBy over 2|E| skinny (id, flag) rows — also the
+        # action that materializes this round's lazy checkpoint.
+        roles = e.select(
+            F.col("c").alias("v"),
+            F.lit(1).alias("nc"),
+            F.lit(0).alias("np"),
+        ).union(
+            e.select(
+                F.col("p").alias("v"),
+                F.lit(0).alias("nc"),
+                F.lit(1).alias("np"),
+            )
+        )
+        return (
+            roles.groupBy("v")
+            .agg(F.sum("nc").alias("nc"), F.max("np").alias("np"))
+            .filter(
+                (F.col("nc") > 1)
+                | ((F.col("nc") > 0) & (F.col("np") > 0))
+            )
+            .isEmpty()
+        )
+
+    for rnd in range(max_iter + 1):
+        if _is_proper_stars(edges):
+            break
+        if rnd == max_iter:
+            raise RuntimeError(
+                f"near_dup_clusters: star contraction did not converge "
+                f"in max_iter={max_iter} rounds — raise max_iter (the "
+                f"two-phase algorithm needs O(log^2 n) rounds; 20 "
+                f"covers any physical graph, so this likely indicates "
+                f"pathological input such as ids mutating between "
+                f"actions)"
+            )
         # ---- large-star: strictly larger neighbors -> neighborhood min
         sym = edges.union(
             edges.select(F.col("p").alias("c"), F.col("c").alias("p"))
@@ -1070,44 +1185,17 @@ def near_dup_clusters(
             .select(F.col("x").alias("c"), F.col("m").alias("p"))
             .distinct()
         )
-        # one bounded action: row count + order-independent checksum —
-        # the star fixed point reproduces the identical edge set
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: exact and overflow-free under ANSI mode
-            F.sum(F.xxhash64("c", "p").cast("decimal(38,0)")).alias("h"),
-        ).head()
-        sig = (row["n"], row["h"])
-        if sig == sig_prev:
-            break
-        sig_prev = sig
-    else:
-        raise RuntimeError(
-            f"near_dup_clusters: star contraction did not converge in "
-            f"max_iter={max_iter} rounds — raise max_iter (the two-phase "
-            f"algorithm needs O(log^2 n) rounds; 20 covers any physical "
-            f"graph, so this likely indicates pathological input such as "
-            f"ids mutating between actions)"
-        )
-    # the signature detects a fixed point of the COMPOSED round; assert
-    # the fixed point is the star shape the labeling below assumes
-    # (parents never reappear as children) — one bounded action, never
-    # expected to fire, cheap insurance against a silent mislabel
-    non_star = (
-        edges.alias("a")
-        .join(edges.alias("b"), F.col("a.p") == F.col("b.c"))
-        .limit(1)
-        .count()
-    )
-    if non_star:
-        raise RuntimeError(
-            "near_dup_clusters: converged edge set is not a union of "
-            "stars — please report; raising instead of mislabeling"
-        )
-    # converged edges form stars (child -> component min); roots label
-    # themselves
+    # the break condition IS the union-of-proper-stars assertion the
+    # labeling below assumes — no separate post-hoc check needed
     out = edges.select(F.col("c").alias(id_col), F.col("p").alias(dest)).union(
         edges.select(F.col("p").alias(id_col), F.col("p").alias(dest)).distinct()
+    )
+    # self-pair-only ids become singleton roots (anti-join keeps the
+    # branch empty whenever every self-paired id also has real edges)
+    out = out.union(
+        selfs.join(out.select(id_col), id_col, "left_anti").select(
+            F.col(id_col), F.col(id_col).alias(dest)
+        )
     )
     if nodes is not None:
         all_ids = nodes.select(F.col(id_col)).distinct()

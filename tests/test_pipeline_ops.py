@@ -441,7 +441,7 @@ def test_near_dup_clusters_components(spark):
 def test_near_dup_clusters_long_chain(spark):
     # star contraction must collapse a diameter-9 path well inside max_iter
     chain = spark.createDataFrame([(i, i + 1) for i in range(10, 19)], ["id_1", "id_2"])
-    out = pj.near_dup_clusters(chain, max_iter=8)
+    out = pj.near_dup_clusters(chain, max_iter=8, small_graph_edges=0)
     assert {r[0] for r in out.select("cluster_id").collect()} == {10}
 
 
@@ -456,10 +456,49 @@ def test_near_dup_clusters_very_long_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1500)], ["id_1", "id_2"]
     )
-    out = pj.near_dup_clusters(chain)
+    out = pj.near_dup_clusters(chain, small_graph_edges=0)
     got = {r[0] for r in out.select("cluster_id").collect()}
     assert got == {0}
     assert out.count() == 1501
+
+
+def test_near_dup_clusters_self_pair_singleton(spark):
+    """ADVICE r12: an id appearing ONLY in degenerate self-pairs
+    (id_1 == id_2) must still be labeled — as a singleton root — even
+    without nodes=.  An id with both a self-pair and a real edge must
+    not be double-labeled."""
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], ["id_1", "id_2"]
+    )
+    for sge in (1_000_000, 0):  # driver union-find AND star contraction
+        got = sorted(
+            tuple(r)
+            for r in pj.near_dup_clusters(
+                pairs, id_col="id", small_graph_edges=sge
+            ).collect()
+        )
+        assert got == [(1, 1), (2, 1), (7, 7)]
+
+
+def test_near_dup_clusters_star_input_zero_rounds(spark):
+    """An already-star-shaped input (the LSH star-mode common case) is
+    detected as final BEFORE any contraction round: max_iter=0 must
+    succeed on proper stars and raise on anything else."""
+    stars = spark.createDataFrame(
+        [(1, 3), (1, 4), (5, 6)], ["id_1", "id_2"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in pj.near_dup_clusters(
+            stars, id_col="id", max_iter=0, small_graph_edges=0
+        ).collect()
+    )
+    assert got == [(1, 1), (3, 1), (4, 1), (5, 5), (6, 5)]
+    import pytest as _pt
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], ["id_1", "id_2"])
+    with _pt.raises(RuntimeError, match="converge"):
+        pj.near_dup_clusters(chain, id_col="id", max_iter=0, small_graph_edges=0).collect()
 
 
 def test_near_dup_clusters_exhaustion_raises(spark):
@@ -470,7 +509,7 @@ def test_near_dup_clusters_exhaustion_raises(spark):
         [(i, i + 1) for i in range(200)], ["id_1", "id_2"]
     )
     with _pt.raises(RuntimeError, match="converge"):
-        pj.near_dup_clusters(chain, max_iter=1).collect()
+        pj.near_dup_clusters(chain, max_iter=1, small_graph_edges=0).collect()
 
 
 def test_dedupe_near_end_to_end(docs):
@@ -519,7 +558,12 @@ def test_near_dup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], ["id_1", "id_2"]
     )
-    got = {r[0]: r[1] for r in pj.near_dup_clusters(pairs, id_col="id").collect()}
+    got = {
+        r[0]: r[1]
+        for r in pj.near_dup_clusters(
+            pairs, id_col="id", small_graph_edges=0
+        ).collect()
+    }
     assert got == expect
 
 
