@@ -439,18 +439,22 @@ def gopher_repetition(
     documents whose repeated grams overlap — pass ``exact=True`` for
     threshold-faithful span-union semantics.
 
-    ``exact=True`` computes the span-union fractions exactly: token
-    char offsets in the whitespace-normalized text via one running-sum
-    window per document, n-gram spans via ``lead`` columns in the same
-    window pass, per-(doc, n, gram) counts via a keyed window, and the
-    character-interval union per (doc, n) as a linear ``aggregate``
-    fold over the sorted span array.  Same output columns; numerators
-    are unions of character intervals in the normalized text over the
-    same original-length denominator, so ``exact`` ≤ clamped default
-    for every column.  Costs two extra keyed shuffles per document
-    stream vs the default's single explode-aggregate — the default
-    stays the cheap screening pass; ``exact`` is the
-    threshold-faithful one.
+    ``exact=True`` computes the span-union fractions exactly, entirely
+    in TOKEN space: the same (id, n, gram) explode as the default mode
+    additionally carries the start-token index, occurrence index lists
+    are grouped per (doc, n, gram) and then per doc, and the
+    char-interval union is a linear ``aggregate`` fold over sorted
+    token intervals — two n-gram occurrences overlap in char space iff
+    they overlap in token space, and a merged token interval [a, b]
+    covers exactly ``sum(len[a..b]) + (b - a)`` characters of the
+    whitespace-normalized text (all interior separators are covered,
+    provable by induction over the overlap chain).  Same output
+    columns; numerators are unions of character intervals in the
+    normalized text over the same original-length denominator, so
+    ``exact`` ≤ clamped default for every column.  Costs one extra
+    groupBy over the default's explode-aggregate (no window sorts, no
+    per-token shuffle) — the default stays the cheap screening pass;
+    ``exact`` is the threshold-faithful one.
 
     Plan shape at 100 TB: the line/para fractions never shuffle; the
     n-gram fractions explode once into ``(id, n, gram)`` for ALL
@@ -495,8 +499,20 @@ def gopher_repetition(
     # otherwise mint separator "grams" scoring 1.0
     gram_src = F.trim(F.regexp_replace(col, r"\s+", " "))
     if exact:
+        # exact mode needs the per-doc token-length array for the
+        # token-space interval folds — carry it on the base projection
+        # so the doc table is scanned once
+        base_x = df.select(
+            F.col(id_col),
+            F.length(col).alias("__chars"),
+            rep_frac(lines).alias("dup_line_frac"),
+            rep_frac(paras).alias("dup_para_frac"),
+            F.transform(tokens(gram_src), lambda t: F.length(t)).alias(
+                "__lens"
+            ),
+        )
         return _gopher_exact(
-            df, id_col, gram_src, base, tuple(top_ns), tuple(dup_ns), all_ns
+            df, id_col, gram_src, base_x, tuple(top_ns), tuple(dup_ns), all_ns
         )
 
     # ONE explode for every n: (id, n, gram); word_shingles(distinct=
@@ -601,161 +617,193 @@ def _gopher_exact(
 ) -> DataFrame:
     """Span-union branch of :func:`gopher_repetition` (``exact=True``).
 
-    Character offsets come from ONE running-sum window per document
-    over the positional token explode (the
-    ``remove_duplicated_spans`` machinery, ``dedup.py``, applied at
-    char granularity); every requested n shares that window pass via
-    ``lead`` columns, so the token stream is shuffled once on the doc
-    id.  Interval union is a linear ``aggregate`` fold over the
-    sorted span array — NOT per-step array concatenation, which is
-    quadratic in tokens and would break the 100k-token fat-row
-    contract (tests/test_fat_rows.py)."""
-    from pyspark.sql import Window
+    Entirely token-space — no windows.  One narrow explode produces
+    (id, n, gram, start-token-index); one groupBy per (doc, n, gram)
+    collects sorted occurrence-start lists with counts; one groupBy
+    per doc collects the per-gram structs; everything after that is
+    per-row expressions over the joined frame.  The char-union
+    numerator uses the identity: two n-gram occurrences overlap in
+    char space iff they overlap in token space (occurrence k starts
+    before occurrence i ends iff k ≤ i+n-1), and a token interval
+    [a, b] merged from overlapping occurrences covers exactly
+    ``sum(len[a..b]) + (b - a)`` normalized chars — every interior
+    separator is covered because consecutive chained occurrences
+    leave no gap uncovered (induction over the chain).  The interval
+    merge is a linear ``aggregate`` fold over the sorted start list —
+    NOT per-step array concatenation, which is quadratic in tokens
+    and would break the 100k-token fat-row contract
+    (tests/test_fat_rows.py); the per-interval ``slice`` sums touch
+    each token index at most once, so the fold stays linear.
 
-    max_n = max(all_ns)
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(gram_src)).alias("__i", "__t"),
-    ).filter(F.col("__t") != "")  # empty doc -> [""] single token
-    wtok = (
-        Window.partitionBy(id_col)
-        .orderBy("__i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wlead = Window.partitionBy(id_col).orderBy("__i")
-    # start of token i in the normalized text = Σ_{j<i}(len_j + 1)
-    run_end = F.sum(F.length("__t") + 1).over(wtok).cast("long")
-    toks = toks.withColumn("__start", run_end - F.length("__t") - 1)
-    # materialize the leads as plain columns — window expressions are
-    # not allowed inside the explode generator below, and naming them
-    # lets every n reuse one window pass
-    for j in range(1, max_n):
-        toks = toks.withColumn(
-            f"__t{j}", F.lead("__t", j).over(wlead)
-        ).withColumn(f"__s{j}", F.lead("__start", j).over(wlead))
-    lead_t = {0: F.col("__t")}
-    lead_s = {0: F.col("__start")}
-    for j in range(1, max_n):
-        lead_t[j] = F.col(f"__t{j}")
-        lead_s[j] = F.col(f"__s{j}")
+    ``base`` must carry ``__chars`` and the ``__lens`` token-length
+    array (built by the caller on the same doc scan)."""
 
-    def gram_struct(n: int) -> Column:
-        # null when the gram would run past the document end; nulls are
-        # filtered before the explode
-        return F.when(
-            lead_t[n - 1].isNotNull(),
-            F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", *[lead_t[j] for j in range(n)]).alias(
-                    "gram"
-                ),
-                F.col("__start").alias("s"),
-                (lead_s[n - 1] + F.length(lead_t[n - 1])).cast("long").alias(
-                    "e"
-                ),
-            ),
+    # (id, n, gram, i): the default mode's explode, plus the start
+    # index the two-parameter transform lambda receives for free
+    def tag(n: int):
+        return lambda g, i: F.struct(
+            F.lit(n).alias("n"), g.alias("gram"), i.alias("i")
         )
 
-    grams = toks.select(
+    grams = df.select(
         F.col(id_col),
         F.explode(
-            F.filter(
-                F.array(*[gram_struct(n) for n in all_ns]),
-                lambda g: g.isNotNull(),
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            word_shingles(gram_src, n, distinct=False), tag(n)
+                        )
+                        for n in all_ns
+                    ]
+                )
             )
         ).alias("__g"),
     ).select(
         id_col,
         F.col("__g.n").alias("__n"),
         F.col("__g.gram").alias("__gram"),
-        F.col("__g.s").alias("__s"),
-        F.col("__g.e").alias("__e"),
+        F.col("__g.i").alias("__i"),
     )
-    # occurrence count per (doc, n, gram) and the per-(doc, n) top gram
-    # — two window passes on compatible keys (the second re-sorts within
-    # the same (doc, n) shuffle partitioning)
-    wg = Window.partitionBy(id_col, "__n", "__gram")
-    wn = Window.partitionBy(id_col, "__n")
-    flagged = grams.withColumn("__c", F.count(F.lit(1)).over(wg)).withColumn(
-        "__top",
-        F.max(
+    counted = grams.groupBy(id_col, "__n", "__gram").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sort_array(F.collect_list("__i")).alias("__occs"),
+    )
+    glist = counted.groupBy(id_col).agg(
+        F.collect_list(
             F.struct(
-                F.col("__c"), F.length("__gram").alias("__l"), F.col("__gram")
+                F.col("__n").alias("n"),
+                F.col("__c").alias("c"),
+                F.length("__gram").alias("l"),
+                F.col("__gram").alias("gram"),
+                F.col("__occs").alias("occs"),
             )
-        ).over(wn),
+        ).alias("__gl")
     )
-    is_top = (
-        F.struct(
-            F.col("__c"), F.length("__gram").alias("__l"), F.col("__gram")
-        )
-        == F.col("__top")
-    )
+    out = base.join(glist, id_col, "left")
 
-    def union_len(spans: Column) -> Column:
-        # classic interval merge as a fold: spans sorted by (s, e);
-        # add = max(0, e - max(s, cur_end)), cur_end = max(cur_end, e)
+    lit0 = F.lit(0).cast("long")
+    lens = F.col("__lens")
+
+    def union_chars(occs: Column, n: int) -> Column:
+        # linear interval merge over sorted start indices; each closed
+        # interval [a, b] contributes sum(len[a..b]) + (b - a) chars
+        def seg(a: Column, b: Column) -> Column:
+            return (
+                F.aggregate(
+                    F.slice(lens, a + 1, b - a + 1),
+                    lit0,
+                    lambda t, ln: t + ln,
+                )
+                + (b - a)
+            )
+
+        def close(acc: Column) -> Column:
+            return F.when(acc["a"] < 0, lit0).otherwise(
+                seg(acc["a"], acc["b"])
+            )
+
         return F.aggregate(
-            F.array_sort(spans),
+            occs,
             F.struct(
-                F.lit(0).cast("long").alias("tot"),
-                F.lit(-1).cast("long").alias("ce"),
+                lit0.alias("tot"),
+                F.lit(-1).cast("long").alias("a"),
+                F.lit(-2).cast("long").alias("b"),
             ),
-            lambda acc, sp: F.struct(
-                (
-                    acc["tot"]
-                    + F.greatest(
-                        F.lit(0).cast("long"),
-                        sp["e"] - F.greatest(sp["s"], acc["ce"]),
-                    )
-                ).alias("tot"),
-                F.greatest(acc["ce"], sp["e"]).alias("ce"),
+            lambda acc, i: F.when(
+                i.cast("long") <= acc["b"],  # shares a token: extend
+                F.struct(
+                    acc["tot"].alias("tot"),
+                    acc["a"].alias("a"),
+                    F.greatest(
+                        acc["b"], i.cast("long") + F.lit(n - 1)
+                    ).alias("b"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["tot"] + close(acc)).alias("tot"),
+                    i.cast("long").alias("a"),
+                    (i.cast("long") + F.lit(n - 1)).alias("b"),
+                )
             ),
-            lambda acc: acc["tot"],
+            lambda acc: acc["tot"] + close(acc),
         )
 
-    span = F.struct(F.col("__s").alias("s"), F.col("__e").alias("e"))
-    per_n = flagged.groupBy(id_col, "__n").agg(
-        # collect_list drops the when()-nulls, so each list holds only
-        # its filter's spans
-        union_len(
-            F.collect_list(F.when(F.col("__c") >= 2, span))
-        ).alias("__dupu"),
-        union_len(F.collect_list(F.when(is_top, span))).alias("__topu"),
-    )
-    agg_cols = []
-    for n in top_ns:
-        agg_cols.append(
-            F.max(F.when(F.col("__n") == n, F.col("__topu"))).alias(
-                f"__topchars_{n}"
+    chars = F.col("__chars")
+
+    def frac(numer: Column, name: str) -> Column:
+        return (
+            F.when(
+                (chars > 0) & numer.isNotNull(),
+                # union ≤ normalized ≤ original length, so the clamp
+                # is belt-and-braces only
+                F.least(F.lit(1.0), numer.cast("double") / chars),
             )
+            .otherwise(F.lit(0.0))
+            .alias(name)
         )
-    for n in dup_ns:
-        agg_cols.append(
-            F.max(F.when(F.col("__n") == n, F.col("__dupu"))).alias(
-                f"__dupchars_{n}"
-            )
-        )
-    pivoted = per_n.groupBy(id_col).agg(*agg_cols)
-    out = base.join(pivoted, id_col, "left")
+
+    gl = F.col("__gl")
     proj = [
         F.col(id_col),
         F.col("dup_line_frac"),
         F.col("dup_para_frac"),
     ]
-    chars = F.col("__chars")
-    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
-        for n in ns:
-            src = F.col(f"__{kind}chars_{n}")
-            proj.append(
-                F.when(
-                    (chars > 0) & src.isNotNull(),
-                    # union ≤ normalized ≤ original length, so the
-                    # clamp is belt-and-braces only
-                    F.least(F.lit(1.0), src.cast("double") / chars),
-                )
-                .otherwise(F.lit(0.0))
-                .alias(f"{kind}_{n}_gram_char_frac")
+    for n in top_ns:
+        # top gram by (count, char length, lexicographic) — unique
+        # within (doc, n) because grams are distinct after the count
+        # groupBy, so the F.get below hits exactly one element
+        def topu(n: int = n) -> Column:
+            return let(
+                F.filter(gl, lambda g: g["n"] == F.lit(n)),
+                lambda sub: let(
+                    F.array_max(
+                        F.transform(
+                            sub,
+                            lambda g: F.struct(
+                                g["c"].alias("c"),
+                                g["l"].alias("l"),
+                                g["gram"].alias("gram"),
+                            ),
+                        )
+                    ),
+                    lambda top: union_chars(
+                        F.get(
+                            F.filter(
+                                sub,
+                                lambda g: (g["c"] == top["c"])
+                                & (g["l"] == top["l"])
+                                & (g["gram"] == top["gram"]),
+                            ),
+                            0,
+                        )["occs"],
+                        n,
+                    ),
+                ),
             )
+
+        proj.append(frac(topu(), f"top_{n}_gram_char_frac"))
+    for n in dup_ns:
+        # union over ALL grams of this n occurring more than once —
+        # cross-gram overlaps merge, exactly the char-span semantics
+        def dupu(n: int = n) -> Column:
+            return let(
+                F.sort_array(
+                    F.flatten(
+                        F.transform(
+                            F.filter(
+                                gl,
+                                lambda g: (g["n"] == F.lit(n))
+                                & (g["c"] >= 2),
+                            ),
+                            lambda g: g["occs"],
+                        )
+                    )
+                ),
+                lambda occs: union_chars(occs, n),
+            )
+
+        proj.append(frac(dupu(), f"dup_{n}_gram_char_frac"))
     return out.select(*proj)
 
 

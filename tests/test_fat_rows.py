@@ -92,6 +92,26 @@ def test_gopher_repetition_fat(fat):
     assert out[2]["dup_5_gram_char_frac"] == 0.0
 
 
+def test_gopher_repetition_exact_fat(fat):
+    """The span-union (exact=True) branch on the 100k-token row: the
+    token-space interval folds must stay linear — per-interval slice
+    sums touch each token index at most once — or this blows the
+    budget by orders of magnitude."""
+    out = _timed(
+        lambda: {
+            r.doc_id: r.asDict()
+            for r in pj.gopher_repetition(
+                fat, "doc_id", "text", exact=True
+            ).collect()
+        },
+        240,
+    )
+    # span-union is bounded by the clamped upper-bound default, and
+    # the 9973-word cycle still repeats every 5-gram many times
+    assert out[1]["dup_5_gram_char_frac"] > 0.9
+    assert out[2]["dup_5_gram_char_frac"] == 0.0
+
+
 def test_dedupe_exact_fat(fat):
     rows = _timed(lambda: pj.dedupe_exact(fat, "text", "doc_id").count(), 60)
     assert rows == 2
