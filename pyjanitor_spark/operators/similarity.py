@@ -47,8 +47,15 @@ def _qvec(query: list[float]) -> Column:
 # sentinel distinguishing "caller passed max_cluster_size" from the
 # 100_000 default — split mode can't enforce the cluster-level row
 # gate, and an EXPLICIT cap being silently inactive deserves a warning
-# while the mere default does not
-_ROW_CAP_UNSET: object = object()
+# while the mere default does not.  A named class with a readable
+# __repr__ so help()/inspect.signature show DEFAULT(100_000) instead
+# of a bare object address (ADVICE r12)
+class _RowCapUnset:
+    def __repr__(self) -> str:  # pragma: no cover - cosmetic
+        return "DEFAULT(100_000)"
+
+
+_ROW_CAP_UNSET = _RowCapUnset()
 
 # a cluster counts as a straggler only when it holds at least this
 # share of the corpus' embedding cells: below it, other clusters keep
