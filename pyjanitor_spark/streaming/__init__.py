@@ -1,5 +1,6 @@
 from pyjanitor_spark.streaming.verbs import (  # noqa: F401
     STREAMING_SAFE_VERBS,
+    configure_state_store,
     foreach_batch_sink,
     running_counter,
     sessionize,

@@ -80,6 +80,80 @@ STREAMING_SAFE_VERBS = [
 ]
 
 
+_STATE_STORE_PROVIDERS = {
+    # bundled with Spark since 3.2; spills state to local disk with
+    # changelog files in the checkpoint, so per-partition state is
+    # disk-bound, not heap-bound
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # the default: every partition's full state lives in executor heap
+    # (plus HDFS-checkpointed snapshots) — fine for bounded keyspaces,
+    # an OOM class at 100 TB-stream key cardinality
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def configure_state_store(
+    spark,
+    provider: str = "rocksdb",
+    changelog_checkpointing: bool = True,
+    **rocksdb_conf,
+) -> dict[str, str]:
+    """Select the Structured Streaming state-store backend for queries
+    started AFTER this call (the provider is read from the session conf
+    at query start and then pinned into the query's checkpoint).
+
+    Why this exists: the stateful verbs in this module
+    (:func:`streaming_dedupe`'s dropDuplicates state,
+    :func:`running_counter`'s applyInPandasWithState counters,
+    :func:`sessionize`'s open sessions) all keep per-key state in the
+    store.  The default HDFS-backed provider holds every partition's
+    ENTIRE state map in executor heap — bounded keyspaces are fine, but
+    a 100 TB/day ingest dedup keyed on content fingerprints grows state
+    with the watermark horizon × key arrival rate and will OOM the
+    heap long before it troubles a disk.  RocksDB keeps state on local
+    SSD with a block-cache budget instead, and with
+    ``changelog_checkpointing`` uploads per-batch changelogs rather
+    than full snapshots.  State SIZE is still bounded only by the
+    verbs' watermarks/timeouts — eviction is watermark-driven either
+    way; the provider just changes where the live horizon resides.
+
+    ``rocksdb_conf`` passes through to
+    ``spark.sql.streaming.stateStore.rocksdb.<key>`` (e.g.
+    ``maxMemoryUsageMB=2048``, ``compactOnCommit='true'``).  Returns
+    the conf dict that was applied (useful for logging / asserting).
+    """
+    if provider not in _STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"provider must be one of {sorted(_STATE_STORE_PROVIDERS)}, "
+            f"got {provider!r}"
+        )
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            _STATE_STORE_PROVIDERS[provider]
+        )
+    }
+    if provider == "rocksdb":
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = str(changelog_checkpointing).lower()
+        for k, v in rocksdb_conf.items():
+            conf[f"spark.sql.streaming.stateStore.rocksdb.{k}"] = str(v)
+    elif rocksdb_conf:
+        raise ValueError(
+            "rocksdb_conf keys only apply to provider='rocksdb'"
+        )
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf
+
+
 def _with_watermark(df: DataFrame, ts_column: str, delay: str) -> DataFrame:
     """``withWatermark`` with an NTZ guard: Spark requires the event-time
     column to be TIMESTAMP (LTZ) and rejects TIMESTAMP_NTZ with
@@ -184,9 +258,21 @@ def running_counter(
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: a
     per-key running event counter that emits an updated (key, n_events,
-    last_ts) row on every micro-batch and expires idle keys after
-    ``timeout_ms`` (bounded state — the part a naive global
-    aggregation gets wrong on an unbounded stream).
+    last_ts) row on every micro-batch and expires keys once the
+    WATERMARK passes their last event + ``timeout_ms`` (bounded state —
+    the part a naive global aggregation gets wrong on an unbounded
+    stream).
+
+    Expiry is EVENT-time (``EventTimeTimeout``), not processing-time,
+    for two load-bearing reasons: (a) it is deterministic under replay
+    — re-running the same checkpointed stream expires the same keys at
+    the same batch, where a wall-clock timeout depends on when the job
+    happened to run; (b) processing-time timeouts schedule a new
+    micro-batch to fire every pending timer, so a
+    ``trigger(availableNow=True)`` drain NEVER terminates (measured:
+    30+ empty batches until ``awaitTermination`` gives up) — with
+    event-time timers the query stops when the data does, because the
+    watermark only moves with data.
 
     The shape to copy for any custom stateful verb: state is a tiny
     tuple per key, batches arrive as Arrow-backed pandas frames, and the
@@ -221,7 +307,13 @@ def running_counter(
             mx = pdf[ts_column].max()
             last = mx if last is None else max(last, mx)
         state.update((n,))
-        state.setTimeoutDuration(timeout_ms)
+        # expire when the watermark passes last event + timeout; the
+        # timer must sit strictly beyond the current watermark or Spark
+        # rejects it, so clamp for keys already deep in the past
+        expire_ms = int(last.timestamp() * 1000) + timeout_ms
+        state.setTimeoutTimestamp(
+            max(expire_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             [dict(zip([*by, "n_events", "last_ts"], [*key, n, last]))]
         )
@@ -234,7 +326,7 @@ def running_counter(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

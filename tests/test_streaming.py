@@ -701,3 +701,112 @@ def test_foreach_batch_sink_incremental_batches(spark, tmp_path):
         for r in got.groupBy("bid").agg(F.count("*").alias("n")).collect()
     }
     assert len(by_bid) == 2 and sum(by_bid.values()) == 3, by_bid
+
+
+def test_configure_state_store_passthrough_and_rocksdb_runs(spark, tmp_path):
+    """configure_state_store sets the session confs it claims, and a
+    stateful query started afterwards really executes on the RocksDB
+    provider (its custom metrics appear in the query progress)."""
+    from pyjanitor_spark.streaming import configure_state_store
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        applied = configure_state_store(
+            spark, provider="rocksdb", maxMemoryUsageMB=256
+        )
+        assert applied[key].endswith("RocksDBStateStoreProvider")
+        assert spark.conf.get(key) == applied[key]
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+            )
+            == "256"
+        )
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", "same text"),
+                (2, "2024-01-01 00:00:10", "same text"),
+                (3, "2024-01-01 00:01:00", "other text"),
+            ],
+            ["id", "ts", "text"],
+        ).withColumn("ts", F.to_timestamp("ts"))
+        path = str(tmp_path / "rocks_stream")
+        df.write.parquet(path)
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        out = streaming_dedupe(
+            stream, "text", watermark="10 minutes", ts_column="ts"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("rocksdedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rocks_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r["id"] for r in spark.sql("select id from rocksdedup").collect()}
+        assert len(kept) == 2 and 3 in kept
+
+        progress = q.recentProgress
+        assert progress, "no progress recorded"
+        metric_keys = set()
+        for p in progress:
+            for op in p["stateOperators"]:
+                metric_keys |= set(op.get("customMetrics", {}))
+        assert any("rocksdb" in k.lower() for k in metric_keys), metric_keys
+
+        # bad provider and misdirected conf raise, not misconfigure
+        with pytest.raises(ValueError):
+            configure_state_store(spark, provider="memory")
+        with pytest.raises(ValueError):
+            configure_state_store(spark, provider="hdfs", maxMemoryUsageMB=1)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_running_counter_drain_terminates(spark, tmp_path):
+    """Regression: with processing-time timeouts an availableNow drain
+    never terminated (every batch scheduled another to fire pending
+    timers); event-time timeouts stop when the data does.
+    awaitTermination must return True — a timeout-return False pass
+    would hide the non-termination again."""
+    from pyjanitor_spark.streaming import running_counter
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:01:00"),
+         ("b", "2024-01-01 00:00:30")],
+        "user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = running_counter(stream, ["user"], "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rc_term")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(90) is True, "drain did not terminate"
+    got = {
+        (r["user"]): r["n_events"]
+        for r in spark.sql(
+            "select user, max(n_events) n_events from rc_term group by user"
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 1}
