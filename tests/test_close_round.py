@@ -210,6 +210,72 @@ def test_bench_block_no_artifact(tmp_path, monkeypatch):
     assert "not committed" in close_round.bench_block(9)["error"]
 
 
+def test_bench_block_box_factor(tmp_path, monkeypatch):
+    """VERDICT r12 task 2: the frozen calibration query turns the
+    'uniform box factor' prose into ledger numbers — r/r ratios are
+    deflated by the probe's own cross-round ratio, and the scale ratio
+    is deflated by each suite's box factor.  Only trusted when the
+    probe's PLANS fingerprint is unchanged between the rounds."""
+    cal = close_round.CALIBRATION_QUERY
+    with open(tmp_path / "BENCH_LOCAL_r04.json", "w") as f:
+        json.dump(_bench(10.0, {cal: 0.2, "q2": 6.0}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r05.json", "w") as f:
+        # probe 0.2 -> 0.1: box ran 2x FASTER; raw r/r (0.1+3)/(0.2+6)=0.5
+        json.dump(_bench(8.0, {cal: 0.1, "q2": 3.0}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r04_sf1.json", "w") as f:
+        json.dump(_bench(20.0, {cal: 0.4, "q2": 12.0}, 1.0), f)
+    with open(tmp_path / "BENCH_LOCAL_r05_sf1.json", "w") as f:
+        # sf1 probe unchanged (box factor 1.0)
+        json.dump(_bench(16.0, {cal: 0.4, "q2": 12.4}, 1.0), f)
+    with open(tmp_path / "PLANS_r04.json", "w") as f:
+        json.dump({cal: "abc123", "q2": "fff"}, f)
+    with open(tmp_path / "PLANS_r05.json", "w") as f:
+        json.dump({cal: "abc123", "q2": "eee"}, f)
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+    b = close_round.bench_block(5)
+    assert b["calibration_query"] == cal
+    assert b["box_factor_sf01"] == 0.5
+    assert b["rr_ratio_sf01"] == 0.5
+    # box-normalized: the whole 'improvement' was the box
+    assert b["rr_ratio_sf01_boxnorm"] == 1.0
+    assert b["box_factor_sf1"] == 1.0
+    assert b["rr_ratio_sf1"] == round(12.8 / 12.4, 4)
+    assert b["rr_sf1_shared_queries"] == 2
+    # raw scale ratio (0.4+12.4)/(0.1+3.0); deflated by bf01/bf1 = 0.5
+    assert b["scale_ratio_boxnorm"] == round(
+        b["scale_ratio_sf01_to_sf1"] * 0.5, 4
+    )
+    # the render carries the probe lines
+    md = close_round.render_md(
+        {"round": 5, "head": "deadbeefcafe", "bench": b,
+         "fingerprint_diff": {}, "oldest_after_round": [],
+         "window_check": {"matches_rule": True}, "window": []}
+    )
+    assert "box factor" in md and cal in md
+
+
+def test_bench_block_box_factor_guard_on_plan_change(tmp_path, monkeypatch):
+    """A probe whose plan CHANGED between rounds measures code, not the
+    box — the factor must be withheld with a reason, never computed."""
+    cal = close_round.CALIBRATION_QUERY
+    with open(tmp_path / "BENCH_LOCAL_r04.json", "w") as f:
+        json.dump(_bench(10.0, {cal: 0.2}, 0.1), f)
+    with open(tmp_path / "BENCH_LOCAL_r05.json", "w") as f:
+        json.dump(_bench(8.0, {cal: 0.1}, 0.1), f)
+    with open(tmp_path / "PLANS_r04.json", "w") as f:
+        json.dump({cal: "abc123"}, f)
+    with open(tmp_path / "PLANS_r05.json", "w") as f:
+        json.dump({cal: "CHANGED"}, f)
+    monkeypatch.setattr(close_round, "REPO", str(tmp_path))
+    b = close_round.bench_block(5)
+    assert "box_factor_sf01" not in b
+    assert "plan changed" in b["box_factor_sf01_unavailable"]
+    # and with a missing PLANS file the reason is 'missing'
+    (tmp_path / "PLANS_r04.json").unlink()
+    b2 = close_round.bench_block(5)
+    assert "missing PLANS fingerprint" in b2["box_factor_sf01_unavailable"]
+
+
 def test_bench_block_reproduces_r11_judge_numbers():
     """Against the real committed artifacts: the judge computed 1.88×
     (the hand-typed COVERAGE.md number was 1.85×)."""

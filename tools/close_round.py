@@ -43,6 +43,12 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# frozen box-speed probe for bench_block's box factor: a cheap
+# expression-only headline query whose plan fingerprint has been
+# byte-identical for rounds — cross-round movement on it measures the
+# BOX, not the code (VERDICT r12 task 2)
+CALIBRATION_QUERY = "clean_names"
 sys.path.insert(0, REPO)
 
 
@@ -326,11 +332,80 @@ def bench_block(round_no: int) -> dict:
         )
         if prev1 is not None:
             out["sources"]["prev_sf1"] = f"BENCH_LOCAL_r{prev1_r:02d}_sf1.json"
-            out["rr_ratio_sf1"] = round(
-                float(cur1["value"]) / max(1e-9, float(prev1["value"])), 4
+            # shared-query intersection, matching rr_ratio_sf01 — a raw
+            # total ratio silently goes apples-to-oranges the day the
+            # sf1 suite composition changes (ADVICE r12)
+            shared_s1 = sorted(
+                set(cur1.get("queries", {})) & set(prev1.get("queries", {}))
             )
+            out["rr_ratio_sf1"] = round(
+                sum(cur1["queries"][q] for q in shared_s1)
+                / max(1e-9, sum(prev1["queries"][q] for q in shared_s1)),
+                4,
+            )
+            out["rr_sf1_shared_queries"] = len(shared_s1)
     else:
         out["sf1"] = f"BENCH_LOCAL_r{round_no:02d}_sf1.json not committed"
+
+    # ---- box-factor calibration (VERDICT r12 task 2) ----------------
+    # One frozen, cheap, expression-only query is the box-speed probe:
+    # its plan has been fingerprint-identical for rounds, so ANY
+    # cross-round movement on it is the box, not the code.  Dividing
+    # the r/r ratios by the probe's own ratio separates plan-level
+    # change from box-level drift — the "uniform box factor" prose
+    # argument becomes a number in the ledger.  Guard: the probe ratio
+    # is only trusted when the probe's PLANS fingerprint is unchanged
+    # between the two rounds being compared.
+    cal = CALIBRATION_QUERY
+
+    def _fp(rno: int):
+        d = _load(f"PLANS_r{rno:02d}.json")
+        return None if d is None else d.get(cal)
+
+    def _boxf(cur_d, prev_d, prev_rno):
+        if cur_d is None or prev_d is None:
+            return None, "missing artifact"
+        if cal not in cur_d.get("queries", {}) or cal not in prev_d.get(
+            "queries", {}
+        ):
+            return None, f"{cal} absent from a suite"
+        f_cur, f_prev = _fp(round_no), _fp(prev_rno)
+        if f_cur is None or f_prev is None:
+            return None, "missing PLANS fingerprint"
+        if f_cur != f_prev:
+            return None, f"{cal} plan changed ({f_prev} -> {f_cur})"
+        return (
+            round(cur_d["queries"][cal] / max(1e-9, prev_d["queries"][cal]), 4),
+            None,
+        )
+
+    out["calibration_query"] = cal
+    bf01, why01 = _boxf(cur, prev, prev_r)
+    if bf01 is not None:
+        out["box_factor_sf01"] = bf01
+        if "rr_ratio_sf01" in out:
+            out["rr_ratio_sf01_boxnorm"] = round(
+                out["rr_ratio_sf01"] / max(1e-9, bf01), 4
+            )
+    elif why01:
+        out["box_factor_sf01_unavailable"] = why01
+    bf1, why1 = _boxf(cur1, prev1, prev1_r)
+    if bf1 is not None:
+        out["box_factor_sf1"] = bf1
+        if "rr_ratio_sf1" in out:
+            out["rr_ratio_sf1_boxnorm"] = round(
+                out["rr_ratio_sf1"] / max(1e-9, bf1), 4
+            )
+    elif why1:
+        out["box_factor_sf1_unavailable"] = why1
+    # scale-ratio deflation: the r12 drift class was the box running
+    # the sf0.1 and sf1 suites at different speeds (different moments);
+    # deflating each suite total by ITS OWN box factor re-expresses
+    # both in prev-round box units before taking the ratio
+    if bf01 is not None and bf1 is not None and "scale_ratio_sf01_to_sf1" in out:
+        out["scale_ratio_boxnorm"] = round(
+            out["scale_ratio_sf01_to_sf1"] * bf01 / max(1e-9, bf1), 4
+        )
     return out
 
 
@@ -402,6 +477,26 @@ def render_md(out: dict) -> str:
                       + "; worst "
                       + ", ".join(f"`{t['query']}` {t['ratio']}×"
                                   for t in b["rr_worst"]))
+        cal_bits = []
+        if "box_factor_sf01" in b:
+            cal_bits.append(f"sf0.1 box **{b['box_factor_sf01']}×** → "
+                            f"r/r box-normalized "
+                            f"**{b.get('rr_ratio_sf01_boxnorm', 'n/a')}×**")
+        if "box_factor_sf1" in b:
+            cal_bits.append(f"sf1 box **{b['box_factor_sf1']}×** → "
+                            f"r/r box-normalized "
+                            f"**{b.get('rr_ratio_sf1_boxnorm', 'n/a')}×**")
+        if "scale_ratio_boxnorm" in b:
+            cal_bits.append(
+                f"scale ratio box-normalized **{b['scale_ratio_boxnorm']}×**"
+            )
+        if cal_bits:
+            md.append(f"  * box factor (probe `{b['calibration_query']}`, "
+                      f"fingerprint-frozen): " + "; ".join(cal_bits))
+        for k in ("box_factor_sf01_unavailable",
+                  "box_factor_sf1_unavailable"):
+            if k in b:
+                md.append(f"  * {k.replace('_', ' ')}: {b[k]}")
     return "\n".join(md)
 
 
