@@ -202,6 +202,17 @@ def main() -> None:
     run("embedding_near_dup_hot_cluster_auto", lambda: pj.embedding_near_dup(
         emb, "vec_id", "embedding", threshold=0.9,
         block_col="cluster", split="auto").count())
+    # r13 (VERDICT r12 task 5): the hot cluster is EXACTLY the shape
+    # the COMPUTE rule exists for — 20k rows × 64 dims = 1.28M cells,
+    # far under the 25M memory budget, but 1.3e10 pair-flops.  Disable
+    # the flops rule (absurd budget) and the memory-rule-only auto must
+    # degrade back toward unsplit, attesting the flops rule is the one
+    # doing the work on small-but-hot clusters
+    run("embedding_near_dup_hot_cluster_auto_memrule_only",
+        lambda: pj.embedding_near_dup(
+            emb, "vec_id", "embedding", threshold=0.9,
+            block_col="cluster", split="auto",
+            auto_split_flops=10**18).count())
     run("semdedup_hot_cluster", lambda: pj.semdedup(
         emb, "embedding", "vec_id", "cluster", eps=0.9).count())
     run("semdedup_hot_cluster_split4", lambda: pj.semdedup(
@@ -211,6 +222,11 @@ def main() -> None:
     run("semdedup_hot_cluster_auto", lambda: pj.semdedup(
         emb, "embedding", "vec_id", "cluster", eps=0.9,
         split="auto").count())
+    # r13: flops rule disabled — memory-rule-only routing on the
+    # small-cells/hot-flops cluster (see the near_dup variant above)
+    run("semdedup_hot_cluster_auto_memrule_only", lambda: pj.semdedup(
+        emb, "embedding", "vec_id", "cluster", eps=0.9,
+        split="auto", auto_split_flops=10**18).count())
 
     n_docs = docs.count()
     n_hot = docs.filter(F.col("text").startswith("the hot duplicated")).count()
@@ -224,7 +240,8 @@ def main() -> None:
     }
     line = json.dumps(out, sort_keys=True)
     print(line)
-    with open("/root/repo/SKEW_BENCH_r12.json", "w") as f:
+    dest = os.environ.get("SKEW_OUT", "/root/repo/SKEW_BENCH_r13.json")
+    with open(dest, "w") as f:
         f.write(line + "\n")
 
 
