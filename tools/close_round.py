@@ -58,11 +58,21 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
+def _artifact(name: str) -> str:
+    """Resolve a round artifact: repo root first, then ``archive/``
+    (historical rounds are moved there to keep the root navigable —
+    r13; the ledger must keep reproducing across the move)."""
+    p = os.path.join(REPO, name)
+    if os.path.exists(p):
+        return p
+    return os.path.join(REPO, "archive", name)
+
+
 def last_green_rounds(upto: int) -> dict[str, int]:
     """entry -> last round with a fully green driver row (hash match)."""
     green: dict[str, int] = {}
     for r in range(1, upto + 1):
-        p = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        p = _artifact(f"CORRECTNESS_r{r:02d}.json")
         if not os.path.exists(p):
             continue
         with open(p) as f:
@@ -276,7 +286,7 @@ def bench_block(round_no: int) -> dict:
     reported, never guessed."""
 
     def _load(name):
-        p = os.path.join(REPO, name)
+        p = _artifact(name)
         if not os.path.exists(p):
             return None
         with open(p) as f:
