@@ -1031,6 +1031,18 @@ def q_near_dup_clusters(spark, sf):
     return pj.near_dup_clusters(pairs, nodes=d, id_col="doc_id")
 
 
+def q_near_dup_clusters_contracted(spark, sf):
+    # r13: the DISTRIBUTED star-contraction path (small_graph_edges=0
+    # disables the count-gated driver union-find fast path) against the
+    # SAME closure oracle — attests path equivalence, the same-oracle
+    # split-gate pattern (semdedup_split / near_dup_split precedent)
+    d = _docs(spark, sf)
+    pairs = pj.minhash_lsh_pairs(d, "doc_id", "text", k=8, bands=4, shingle_n=3)
+    return pj.near_dup_clusters(
+        pairs, nodes=d, id_col="doc_id", small_graph_edges=0
+    )
+
+
 def q_dedupe_near(spark, sf):
     d = _docs(spark, sf)
     return pj.dedupe_near(d, "doc_id", "text").select("doc_id")
@@ -2004,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "top_collocations": q_top_collocations,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_contracted": q_near_dup_clusters_contracted,
         "dedupe_near": q_dedupe_near,
         "dedupe_against": q_dedupe_against,
         "repetition_score": q_repetition_score,
@@ -2037,37 +2050,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
     }
-    # Round-12 window, composition COMPUTED by tools/close_round.py
-    # from CORRECTNESS_r01..r11.json (rule unchanged from r7: new
+    # Round-13 window, composition COMPUTED by tools/close_round.py
+    # from CORRECTNESS_r01..r12.json (rule unchanged from r7: new
     # gates, then changed code, then oldest attestations first;
     # rotated-out entries stay replica-covered).
     _WINDOW = [
-        # (a) NEW r12 gates — never driver-attested (auto-split,
-        # gopher span-union exact mode, mod-hash Jaccard estimator)
-        "semdedup_auto", "near_dup_autosplit",
-        "ngram_jaccard_sampled", "gopher_repetition_exact",
-        # (b) entries whose CODE changed in round 12 (star-contraction
-        # connected components + split fanout; shingle_sample param +
-        # gate-input cap on the jaccard family; fuzz-15 decoder
-        # hardening; read_csv null_sentinel param)
-        "semdedup_split", "near_dup_split", "dedupe_near",
-        "dedupe_near_best", "near_dup_clusters",
-        "ngram_jaccard_pairs", "ngram_jaccard_capped",
-        "decode_features", "binary_metadata", "csv_roundtrip",
-        # (c) ALL 34 r8-era attestations — after this window no entry's
-        # last driver-green is older than r9 (VERDICT r11 task 3)
-        "cartesian_product", "change_index_dtype", "change_type",
-        "chunk_text", "collapse_levels", "contamination", "cosine_topk",
-        "dedupe_against", "dedupe_exact", "deterministic_sample", "exp",
-        "explode_index", "fill_empty", "flag_jumps", "get_columns",
-        "groupby_agg", "groupby_agg_nunique", "join_apply", "logit",
-        "move_reorder", "nb_classify", "pii_redact", "read_commandline",
-        "repetition_score", "row_to_names", "sort_column_value_order",
-        "split_train_holdout", "stratified_sample", "take_first",
-        "top_ngrams", "toset", "transform_column", "unionize_categories",
-        "update_where",
-        # (d) the 2 alphabetically-first r9-era rows fill the window
-        "case_when", "complete",
+        # (a) NEW r13 gate — the distributed star-contraction path
+        # against the same closure oracle as near_dup_clusters
+        "near_dup_clusters_contracted",
+        # (b) entries whose CODE changed in round 13 (adaptive
+        # connected components: driver union-find fast path + exact
+        # structural fixed point + self-pair singletons; token-space
+        # gopher span-union rewrite)
+        "near_dup_clusters", "dedupe_near", "dedupe_near_best",
+        "gopher_repetition", "gopher_repetition_exact",
+        # (c) ALL 37 r9-era attestations — after this window no entry's
+        # last driver-green is older than r10 (VERDICT r12 task 3)
+        "convert_excel_date", "convert_matlab_date", "convert_unix_date",
+        "currency_column_to_numeric", "data_description",
+        "dup_span_fraction", "factorize_columns",
+        "fill_missing_timestamps", "filter_date", "find_replace",
+        "fingerprint", "ivf_pq_topk", "ivf_topk", "kmeans_assign",
+        "language_id", "log", "lsh_bucket_topk", "ngram_lm_score",
+        "normal_cdf", "normalize_text", "pivot_wider", "pq_encode",
+        "pq_topk", "probit", "quality_score", "resize_payload",
+        "robust_scale", "running_counter", "sessionize", "sigmoid",
+        "simhash", "smiles_descriptors", "token_count",
+        "top_collocations", "top_domains", "weighted_sample",
+        "winsorize",
+        # (d) the 7 alphabetically-first r10-era rows fill the window
+        "add_column_values", "assign_packs", "bin_numeric",
+        "clean_names", "concatenate_columns", "conditional_join_equi",
+        "conditional_join_indicator",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}
@@ -3054,6 +3068,12 @@ def _cluster_oracles() -> dict[str, str]:
     )
     return {
         "near_dup_clusters": (
+            closure + "SELECT d.doc_id, COALESCE(cl.c, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN cl ON d.doc_id = cl.src"
+        ),
+        # same-oracle path gate: the distributed star-contraction path
+        # must reproduce the driver union-find labeling verbatim
+        "near_dup_clusters_contracted": (
             closure + "SELECT d.doc_id, COALESCE(cl.c, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN cl ON d.doc_id = cl.src"
         ),

@@ -144,19 +144,15 @@ def test_window_check_diffs():
 
 
 def test_live_window_matches_rule():
-    """The committed r12 window satisfies the composition rule."""
+    """The committed r13 window satisfies the composition rule."""
     changed = {
-        # star-contraction components + split fanout
-        "semdedup_split", "near_dup_split", "dedupe_near",
-        "dedupe_near_best", "near_dup_clusters",
-        # shingle_sample param + gate-input cap (jaccard family)
-        "ngram_jaccard_pairs", "ngram_jaccard_capped",
-        # fuzz-15 decoder hardening
-        "decode_features", "binary_metadata",
-        # read_csv null_sentinel param
-        "csv_roundtrip",
+        # adaptive connected components (driver union-find fast path,
+        # exact structural fixed point, self-pair singletons)
+        "near_dup_clusters", "dedupe_near", "dedupe_near_best",
+        # token-space gopher span-union rewrite
+        "gopher_repetition", "gopher_repetition_exact",
     }
-    green = close_round.last_green_rounds(11)
+    green = close_round.last_green_rounds(12)
     registry, window = close_round.registry_and_window()
     chk = close_round.window_check(registry, window, green, changed)
     assert chk["matches_rule"], chk
