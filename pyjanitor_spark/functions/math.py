@@ -200,8 +200,17 @@ def apply_math(df: DataFrame, column_name: str, fn, dest: str | None = None) -> 
         )
         df = df.withColumn(column_name, F.when(guard.isNull(), col))
 
-        total = df.agg(F.count(F.lit(1)).alias("__n"))
-        counts = df.groupBy(column_name).agg(F.count(F.lit(1)).alias("__cnt"))
+        # pin the distinct-value counts: totals derive from them (sum of
+        # per-value counts == non-null row count — nulls raise above),
+        # so the second full scan+aggregate the old `df.agg(count)` plan
+        # ran is gone, and the pinned LogicalRDD is provably replay-
+        # stable so partitioned_cumsum skips its own internal pin
+        counts = (
+            df.groupBy(column_name)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .localCheckpoint(eager=False)
+        )
+        total = counts.agg(F.sum("__cnt").alias("__n"))
         cum = partitioned_cumsum(counts, "__cnt", column_name, "__cle")
         tbl = (
             cum.crossJoin(F.broadcast(total))

@@ -255,20 +255,36 @@ def simhash(
     # for all bits at once (zip_with accumulator).  A per-bit aggregate()
     # would traverse the array `bits` times and blow the expression past
     # the codegen size limit (interpreted mode, ~30x slower).
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    #
+    # Bit extraction parses the digest in 12-hex-char chunks (48 bits, a
+    # long is safe up to 14) — ONE conv per chunk, each bit then a
+    # constant-shift `(chunk >> s) & 1` — instead of a conv(substring)
+    # per bit: identical bits (nibble b//4 at weight 2^(b%4), big-endian
+    # within the chunk), ~bits/12 of the string-parse work per token.
+    n_nib = (bits + 3) // 4
+    chunk_bounds = [(s, min(12, n_nib - s)) for s in range(0, n_nib, 12)]
 
     def tok_votes(d):
-        # bit b lives in hex nibble b//4 at weight 2^(b%4)
-        def one_bit(b):
-            nib = F.conv(F.substring(d, (b / 4).cast("int") + 1, 1), 16, 10).cast(
-                "int"
-            )
-            bit = F.floor(nib / F.pow(F.lit(2.0), (b % 4).cast("double"))).cast(
-                "int"
-            ) % 2
-            return (bit * 2 - 1).cast("long")
+        def with_chunks(vals):
+            def vote(b):
+                c = (b // 4) // 12
+                j = (b // 4) - 12 * c
+                width = chunk_bounds[c][1]
+                s = 4 * (width - 1 - j) + (b % 4)
+                bit = F.shiftright(F.element_at(vals, c + 1), s).bitwiseAND(
+                    F.lit(1)
+                )
+                return (bit * 2 - 1).cast("long")
 
-        return F.transform(bit_idx, one_bit)
+            return F.array(*[vote(b) for b in range(bits)])
+
+        chunks = F.array(
+            *[
+                F.conv(F.substring(d, start + 1, width), 16, 10).cast("long")
+                for start, width in chunk_bounds
+            ]
+        )
+        return let(chunks, with_chunks)
 
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
     votes = F.aggregate(
@@ -341,6 +357,14 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "__sh")
+    # pin the banded fingerprints: the self-join otherwise plans TWO
+    # independent subtrees (no exchange reuse once one side broadcasts),
+    # and the join's isnotnull(key) null-filter is pushed below the
+    # repartition exchange where it re-evaluates the whole fingerprint
+    # aggregate — 4 fingerprint computations per document in the
+    # executed plan.  The pin is (id, band, key, fp): bands x ~40 bytes
+    # per document, metadata-sized at any scale.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     xor = F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))
     ham = F.bit_count(xor)
@@ -1434,10 +1458,17 @@ def bloom_build(
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(shards))
 
     words = (
-        reference.select(
-            _shard(F.col(key_col)).alias("__shard"),
+        _with_bloom_halves(
+            reference.select(
+                _shard(F.col(key_col)).alias("__shard"), F.col(key_col)
+            ),
+            F.col(key_col),
+            m,
+        )
+        .select(
+            "__shard",
             F.explode(
-                F.array(*_bloom_positions(F.col(key_col), m, h))
+                F.array(*[_bloom_position(i, m) for i in range(h)])
             ).alias("__pos"),
         )
         .select(
@@ -1459,21 +1490,45 @@ def bloom_build(
     )
 
 
-def _bloom_positions(key: Column, m: int, h: int) -> list[Column]:
-    # 15 hex nibbles = 60 bits — fits a signed long exactly
-    return [
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(m),
+def _with_bloom_halves(df: DataFrame, key: Column, m: int) -> DataFrame:
+    """Attach ``__bf1``/``__bf2`` — the two double-hashing halves of the
+    key's SINGLE md5 (Kirsch–Mitzenmacher, public result: ``pos_i =
+    (h1 + i*h2) mod m`` preserves the Bloom fpp class).  For long keys
+    (document text) the md5 over the key IS the per-row cost, so one
+    digest instead of one per probe cuts the hash work h-fold on both
+    the build and probe sides.  The halves are the first/last 15 hex
+    nibbles (signed-long safe) reduced mod m, so ``h1m + i*h2m <= h*m``
+    never overflows for any broadcastable bitmap.  Laid out as CHAINED
+    PROJECTIONS (digest column, then half columns): md5/conv are
+    non-cheap, so CollapseProject keeps each evaluated once, and the
+    whole path stays in whole-stage codegen — a ``let``-bound
+    higher-order-function encoding of the same sharing was measured
+    SLOWER than h independent md5s because HOF lambdas evaluate
+    interpreted (CodegenFallback)."""
+    return (
+        df.withColumn(
+            "__bfd", F.md5(F.concat(F.lit("bf:"), key.cast("string")))
         )
-        for i in range(h)
-    ]
+        .withColumns(
+            {
+                "__bf1": F.pmod(
+                    F.conv(F.substring("__bfd", 1, 15), 16, 10).cast("long"),
+                    F.lit(m),
+                ),
+                "__bf2": F.pmod(
+                    F.conv(F.substring("__bfd", 17, 15), 16, 10).cast("long"),
+                    F.lit(m),
+                ),
+            }
+        )
+        .drop("__bfd")
+    )
+
+
+def _bloom_position(i: int, m: int) -> Column:
+    """Probe position i from the attached halves (attribute arithmetic —
+    cheap, duplicable by the optimizer at no cost)."""
+    return F.pmod(F.col("__bf1") + F.lit(i) * F.col("__bf2"), F.lit(m))
 
 
 def bloom_dedupe_against(
@@ -1549,23 +1604,22 @@ def bloom_dedupe_against(
     null_keys = df.filter(F.col(key_col).isNull())
     # NB: F.shiftleft requires a literal bit count on Spark 4.x; the SQL
     # form accepts an expression, so shifts go through F.expr
-    probed = (
+    probed = _with_bloom_halves(
         df.filter(F.col(key_col).isNotNull())
         .withColumn("__shard", _shard(F.col(key_col)))
-        .join(F.broadcast(bloom_df.select("__shard", "__bloom")), "__shard")
-        .withColumns(
-            {f"__bp{i}": p for i, p in enumerate(_bloom_positions(F.col(key_col), m, h))}
-        )
+        .join(F.broadcast(bloom_df.select("__shard", "__bloom")), "__shard"),
+        F.col(key_col),
+        m,
     )
     checks = [
         F.expr(
-            f"(element_at(__bloom, CAST(__bp{i} / 64 AS INT) + 1) & "
-            f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % 64 AS INT))) != 0"
+            f"(element_at(__bloom, CAST(pmod(__bf1 + {i} * __bf2, {m}) / 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__bf1 + {i} * __bf2, {m}) % 64 AS INT))) != 0"
         )
         for i in range(h)
     ]
     is_candidate = _reduce(lambda a, b: a & b, checks)
-    aux = ["__shard", "__bloom"] + [f"__bp{i}" for i in range(h)]
+    aux = ["__shard", "__bloom", "__bf1", "__bf2"]
     clean = probed.filter(~is_candidate).drop(*aux).unionByName(null_keys)
     if not exact:
         return clean
@@ -1739,6 +1793,11 @@ def remove_duplicated_spans(
             ).alias("__cpos"),
         )
         .distinct()
+        # feeds BOTH the rewritten-doc id list and the kept-token anti
+        # join — unpinned, the whole flagged+semi-join+explode+distinct
+        # chain (and the flag aggregate above it) plans twice; pinned,
+        # it is one pass and the second consumer reads (id, pos) pairs
+        .localCheckpoint(eager=False)
     )
     toks = df.select(
         F.col(id_col),

@@ -519,6 +519,11 @@ def semdedup(
     groups = centrality.join(
         grp.withColumnRenamed("__sid", id_col), id_col, "left"
     ).withColumn("__grp", F.coalesce(F.col("__grp"), F.col(id_col)))
+    # keeper = rank-1 row of the (order, id) window: row_number + rn=1
+    # plans as Window + WindowGroupLimit (per-partition top-1 pushdown)
+    # — measured FASTER than the equivalent min_by-over-struct
+    # aggregation, which falls to SortAggregate (struct ordering has no
+    # hash-agg buffer) and re-sorts twice
     order = F.col("__cent").asc() if keep == "far" else F.col("__cent").desc()
     w = Window.partitionBy("__grp").orderBy(order, F.col(id_col).asc())
     kept = (

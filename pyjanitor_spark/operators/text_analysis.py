@@ -102,6 +102,22 @@ def tokens(col: Column, mode: str = "whitespace") -> Column:
     raise ValueError(f"bad mode {mode!r}")
 
 
+def shingles_from_tokens(toks: Column, n: int = 3, sep: str = " ", distinct: bool = True) -> Column:
+    """``word_shingles`` over an ALREADY-TOKENIZED array column — the
+    shape to use when the token array is materialized once (e.g. a
+    lazily checkpointed ``(id, tokens)`` table) and several shingle
+    passes derive from it, so the regex split is not re-run per pass."""
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(sep, *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    # guard: sequence(1, 0) would DESCEND to [1, 0] and index toks[0]
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(col: Column, n: int = 3, sep: str = " ", distinct: bool = True) -> Column:
     """Word n-gram shingle array, the MinHash/Jaccard unit (``distinct``)
     or the frequency-count unit (``distinct=False``, every occurrence).
@@ -111,19 +127,7 @@ def word_shingles(col: Column, n: int = 3, sep: str = " ", distinct: bool = True
     attribute, not the captured ``split`` subtree (which HOF-interpreted
     evaluation would otherwise re-split per produced gram — measured 15x
     on the explode stage)."""
-
-    def build(toks: Column) -> Column:
-        count = F.size(toks) - F.lit(n - 1)
-        grams = F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(sep, *[F.element_at(toks, i + j) for j in range(n)]),
-        )
-        if distinct:
-            grams = F.array_distinct(grams)
-        # guard: sequence(1, 0) would DESCEND to [1, 0] and index toks[0]
-        return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
-
-    return let(tokens(col), build)
+    return let(tokens(col), lambda toks: shingles_from_tokens(toks, n, sep, distinct))
 
 
 def token_count(df: DataFrame, column_name: str, dest: str = "n_tokens", mode: str = "whitespace") -> DataFrame:
@@ -314,14 +318,16 @@ def language_id(
         return let(scores, pick)
 
     def tris_tree(norm: Column) -> Column:
+        # no array_distinct: array_intersect(union, tris) returns the
+        # distinct union-side elements present in tris, so duplicate doc
+        # trigrams cannot affect the matched set — the per-doc distinct
+        # pass was pure overhead
         tris = F.when(
             F.length(norm) < 3, F.array().cast("array<string>")
         ).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
-                    lambda i: norm.substr(i, F.lit(3)),
-                )
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
+                lambda i: norm.substr(i, F.lit(3)),
             )
         )
         return let(tris, score_tree)
@@ -337,8 +343,10 @@ def language_id(
     # CJK detection scans the SAME truncated text as the trigram pass —
     # max_chars must bound every per-row scan, and the decision should
     # come from one consistent prefix
+    # rlike short-circuits at the first CJK hit (regexp_count walks the
+    # whole text to count matches it only needed the existence of)
     pred = F.when(
-        F.regexp_count(text, F.lit(_CJK_RE)) > 0, F.lit("zh")
+        text.rlike(_CJK_RE), F.lit("zh")
     ).otherwise(let(norm_expr, tris_tree))
     return df.withColumn(dest, pred)
 
@@ -1211,15 +1219,21 @@ def ngram_lm_score(
         .withColumn("__w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
         .join(seen, "bg", "left")
         .join(backoff, "__w2", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "__id",
-            F.coalesce(
-                F.col("__ls"),
-                F.col("__lb"),
-                F.log(F.lit(alpha) * F.lit(0.5) / F.col("__T")),
-            ).alias("__s"),
+    )
+    if train_df is None:
+        # every probe w2 is a corpus token, so the backoff row always
+        # exists and the unknown-w2 half-count floor is unreachable —
+        # skip the totals cross join on the exploded probe stream
+        score = F.coalesce(F.col("__ls"), F.col("__lb"))
+    else:
+        scored = scored.crossJoin(F.broadcast(total))
+        score = F.coalesce(
+            F.col("__ls"),
+            F.col("__lb"),
+            F.log(F.lit(alpha) * F.lit(0.5) / F.col("__T")),
         )
+    scored = (
+        scored.select("__id", score.alias("__s"))
         .groupBy("__id")
         .agg(F.avg("__s").alias(dest))
     )

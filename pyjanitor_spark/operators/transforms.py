@@ -943,15 +943,21 @@ def quantile_bin(
     if labels is not None and len(labels) != q:
         raise ValueError("labels must have exactly q entries")
     col = F.col(from_column_name)
+    # pin the distinct-value counts: they feed both the prefix sum and
+    # the totals row — unpinned, the totals branch re-ran the scan +
+    # aggregate and re-joined the cumsum offsets; pinned, totals is one
+    # tiny aggregate over the O(distinct) table, and the stable
+    # LogicalRDD lets partitioned_cumsum skip its own internal pin
     counts = (
         df.filter(col.isNotNull())
         .groupBy(from_column_name)
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
+    totals = counts.agg(F.sum("__cnt").alias("__n"))
     counts = partitioned_cumsum(
         counts, "__cnt", from_column_name, "__cum", num_partitions=num_partitions
     )
-    totals = counts.agg(F.sum("__cnt").alias("__n"))
     binned = (
         counts.crossJoin(F.broadcast(totals))
         .withColumn(

@@ -84,6 +84,11 @@ def hashed_tfidf(
     tf = exploded.select(id_column, bucket).groupBy(id_column, "bucket").agg(
         F.count(F.lit(1)).alias("__tf")
     )
+    # tf feeds three consumers (weighted, dfreq, ndocs) — unpinned, the
+    # token explode + md5 bucketing + two-level aggregate would plan
+    # three times; pinned, the corpus is tokenized once and the
+    # (id, bucket, tf) table — at most docs x dim rows — is re-read
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("__df"))
     ndocs = tf.agg(F.count_distinct(F.col(id_column)).alias("__n"))
     weighted = (
