@@ -1316,15 +1316,23 @@ def contamination_score(
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
     bcol = benchmark_column or column_name
-    doc_sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
-    ).withColumn("__h", F.md5(F.col("__s"))).drop("__s")
+    # binary keys (16-byte unhex md5) and a pin on the corpus shingle
+    # stream: it feeds BOTH the per-doc totals and the semi-join match
+    # counts — unpinned, the corpus (the BIG side) is shingled twice
+    doc_sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(column_name), shingle_n)).alias("__s"),
+        )
+        .withColumn("__h", F.unhex(F.md5(F.col("__s"))))
+        .drop("__s")
+        .localCheckpoint(eager=False)
+    )
     bench_sh = (
         benchmark.select(
             F.explode(word_shingles(F.col(bcol), shingle_n)).alias("__s")
         )
-        .select(F.md5(F.col("__s")).alias("__h"))
+        .select(F.unhex(F.md5(F.col("__s"))).alias("__h"))
         .distinct()
     )
     totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
@@ -1698,7 +1706,9 @@ def dup_span_fraction(
                 word_shingles(F.col(column_name), k, distinct=False)
             ).alias("__s"),
         )
-        .withColumn("__h", F.md5(F.col("__s")))
+        # binary key — see remove_duplicated_spans: the hex form doubles
+        # the dominant stream's bytes for an internal-only key
+        .withColumn("__h", F.unhex(F.md5(F.col("__s"))))
         .drop("__s")
         # feeds the flag agg, the per-doc totals, and the dup counts —
         # pin so the corpus shingles once
@@ -1770,7 +1780,11 @@ def remove_duplicated_spans(
                 word_shingles(text, k, distinct=False)
             ).alias("__pos", "__s"),
         )
-        .withColumn("__h", F.md5(F.col("__s")))
+        # BINARY span key (unhex md5, 16 bytes): the span table is the
+        # dominant stream here — one row per token — and the key is most
+        # of the row; the 32-char hex form doubles the pin, both
+        # flag-aggregate exchanges, and the semi-join bytes for nothing
+        .withColumn("__h", F.unhex(F.md5(F.col("__s"))))
         .drop("__s")
         # feeds both the flag aggregate and the join-back — pin so the
         # corpus shingles once (deterministic input would replay
@@ -1799,7 +1813,13 @@ def remove_duplicated_spans(
         # it is one pass and the second consumer reads (id, pos) pairs
         .localCheckpoint(eager=False)
     )
-    toks = df.select(
+    # only documents that CONTAIN a flagged span are ever rewritten, so
+    # the token explode + anti join + reassembly groupBy run over just
+    # those docs (semi join on the pinned covered ids) instead of the
+    # whole corpus — at a typical few-% duplication rate that is a
+    # 10-100x cut in the reassembly shuffle
+    affected = covered.select(id_col).distinct()
+    toks = df.join(affected, id_col, "left_semi").select(
         F.col(id_col),
         F.posexplode(tokens(text)).alias("__tpos", "__tok"),
     )
@@ -1826,7 +1846,7 @@ def remove_duplicated_spans(
     # rewrite ONLY docs with at least one covered token; a doc whose
     # every token is covered is missing from `kept` -> empty string
     rewritten = (
-        covered.select(id_col).distinct()
+        affected
         .join(kept, id_col, "left")
         .select(
             F.col(id_col).alias("__rd_id"),

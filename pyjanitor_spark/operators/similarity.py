@@ -704,14 +704,20 @@ def kmeans_assign(
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
     v = F.col(vec_col).cast("array<double>")
+    # pin the (hash, vector) working set once: Lloyd re-reads it per
+    # round (seed scan + one scan per iteration), and each unpinned
+    # read re-runs the source scan and the array cast — the standard
+    # iterative-trainer input cache (Spark MLlib KMeans persists its
+    # input the same way).  The final assignment projects over the
+    # caller's full frame and is not served by the pin.
+    base = df.select(
+        v.alias("__v"),
+        F.md5(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    ).localCheckpoint(eager=False)
     seeds = (
-        df.select(
-            v.alias("__v"),
-            F.md5(
-                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-        )
-        .orderBy("__h")
+        base.orderBy("__h")
         .limit(k)  # bounded: k rows
         .collect()
     )
@@ -722,8 +728,8 @@ def kmeans_assign(
     k = min(k, len(seeds))
     cents = [list(r["__v"]) for r in seeds]
     for _ in range(iters):
-        assigned = _with_cluster(df, v, cents, "__c").select(
-            F.col("__c"), v.alias("__v")
+        assigned = _with_cluster(base, F.col("__v"), cents, "__c").select(
+            F.col("__c"), F.col("__v")
         )
         per_pos = (
             assigned.select(F.col("__c"), F.posexplode(F.col("__v")))
@@ -785,14 +791,16 @@ def _pq_train_cents(
     if m < 1 or k < 1 or iters < 0:
         raise ValueError("m >= 1, k >= 1 and iters >= 0 required")
     v = F.col(vec_col).cast("array<double>")
+    # iterative-trainer input cache (see kmeans_assign): the seed scan
+    # and every Lloyd round re-read the cast vectors
+    base = df.select(
+        v.alias("__v"),
+        F.md5(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ).alias("__h"),
+    ).localCheckpoint(eager=False)
     seeds = (
-        df.select(
-            v.alias("__v"),
-            F.md5(
-                F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
-            ).alias("__h"),
-        )
-        .orderBy("__h")
+        base.orderBy("__h")
         .limit(k)  # bounded: k rows
         .collect()
     )
@@ -817,7 +825,11 @@ def _pq_train_cents(
                 [(cents,)], "__cb array<array<array<double>>>"
             )
             assigned = (
-                df.select(F.posexplode(F.array(*_pq_slices(v, m, dsub))))
+                base.select(
+                    F.posexplode(
+                        F.array(*_pq_slices(F.col("__v"), m, dsub))
+                    )
+                )
                 .withColumnRenamed("pos", "__s")
                 .withColumnRenamed("col", "__sv")
                 .crossJoin(F.broadcast(cdf))

@@ -546,20 +546,29 @@ def gopher_repetition(
             )
         ).alias("__g"),
     ).select(id_col, F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram"))
-    counted = grams.groupBy(id_col, "__n", "__gram").agg(
+    # project the gram away BEFORE the count exchange (guide: shuffle
+    # keys, not payloads): every output only needs each distinct gram's
+    # COUNT and CHAR LENGTH, so the shuffle key is (len, 16-byte md5)
+    # instead of the gram string — for dup_ns up to 10 words the string
+    # is most of the exploded stream's bytes.  Counting by md5 identity
+    # is the package's exact-dedup convention (dedupe_exact); the old
+    # lexicographic member of the top-gram tiebreak cannot change any
+    # output: ties beyond (count, len) have equal count*len by
+    # construction.  The hash+length projection rides the same codegen
+    # stage as the explode — nothing interpreted, nothing shuffled twice.
+    counted = grams.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.length("__gram").alias("__l"),
+        F.unhex(F.md5("__gram")).alias("__gh"),
+    ).groupBy(id_col, "__n", "__l", "__gh").agg(
         F.count(F.lit(1)).alias("__c")
     )
     per_n = counted.groupBy(id_col, "__n").agg(
-        F.max(
-            F.struct(
-                F.col("__c"),
-                F.length("__gram").alias("__l"),
-                F.col("__gram"),
-            )
-        ).alias("__top"),
+        F.max(F.struct(F.col("__c"), F.col("__l"))).alias("__top"),
         F.sum(
             F.when(
-                F.col("__c") >= 2, F.col("__c") * F.length("__gram")
+                F.col("__c") >= 2, F.col("__c") * F.col("__l")
             ).otherwise(F.lit(0))
         ).alias("__dupchars"),
     )
@@ -1105,7 +1114,14 @@ def top_collocations(
     if k < 1 or min_count < 1:
         raise ValueError("k and min_count must be >= 1")
     toks = df.select(F.explode(tokens(F.col(column_name))).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # pinned: the unigram table feeds the w1 join, the w2 join, AND the
+    # token total — unpinned, the corpus tokenize+aggregate plans three
+    # times (one scan+explode+two-level agg per consumer)
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     bi_counts = (
         df.select(
             F.explode(word_shingles(F.col(column_name), 2, distinct=False)).alias("bg")

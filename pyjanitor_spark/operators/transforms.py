@@ -1459,18 +1459,22 @@ def quantiles(
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
     col = F.col(column_name)
+    # pin the distinct-value counts (same rationale as quantile_bin):
+    # the totals row otherwise re-runs the scan + aggregate + cumsum
+    # offsets branch, and the stable LogicalRDD lets partitioned_cumsum
+    # skip its own internal pin
     counts = (
         df.filter(col.isNotNull())
         .groupBy(column_name)
         .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
     )
+    totals = counts.agg(F.sum("__cnt").alias("__n"))
     counts = partitioned_cumsum(
         counts, "__cnt", column_name, "__cum", num_partitions=num_partitions
     )
     frac = F.col("__cum") / F.col("__n")
-    return counts.crossJoin(
-        F.broadcast(counts.agg(F.sum("__cnt").alias("__n")))
-    ).agg(
+    return counts.crossJoin(F.broadcast(totals)).agg(
         *[
             F.min(
                 F.when(frac >= F.lit(float(q)), F.col(column_name))
