@@ -491,16 +491,19 @@ def ngram_jaccard_pairs(
         # one shuffle into buckets, capped BEFORE pair emission; sizes
         # re-derived from the kept buckets (2nd shuffle — same count as
         # the uncapped path) so |A| and |A∩B| live in the same space.
-        # NO lazy checkpoint here: a non-materialized LogicalRDD reports
-        # bogus-small statistics, and every subtree above it inherits
-        # them — Catalyst then plans a BROADCAST of the (huge) pair
-        # aggregation and OOMs the driver (found by the r10 sf1 check).
-        # Recomputing the bucket agg on both branches costs one extra
-        # scan+shuffle, same as the uncapped path's double use of sh.
+        # PINNED so the shingle explode + collect_list aggregate runs
+        # once for both consumers.  This was unsafe in r10 — the
+        # LogicalRDD's bogus-small statistics made Catalyst BROADCAST
+        # the (huge) pair aggregation and OOM the driver — but two
+        # things changed since: lazy-checkpoint LogicalRDDs now carry
+        # the original subtree's size estimate through (verified
+        # empirically this round), and the r10-era `merge` hint below
+        # statically pins sort-merge for the pair-side joins anyway.
         buckets = (
             sh.groupBy("s")
             .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
             .filter(F.size("__ids") <= max_doc_freq)
+            .localCheckpoint(eager=False)
         )
         sizes = (
             buckets.select(F.explode("__ids").alias(id_col))
@@ -1316,9 +1319,12 @@ def contamination_score(
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
     bcol = benchmark_column or column_name
-    # binary keys (16-byte unhex md5) and a pin on the corpus shingle
-    # stream: it feeds BOTH the per-doc totals and the semi-join match
-    # counts — unpinned, the corpus (the BIG side) is shingled twice
+    # binary keys (16-byte unhex md5) — the shingle hash is internal, so
+    # the hex form just doubled the semi-join bytes.  The corpus stream
+    # feeds both the totals and the match counts and IS shingled twice;
+    # pinning it was measured a wash at best (the hash-stream serialize
+    # barrier costs what the second parallel explode costs), so the
+    # recompute deliberately stays
     doc_sh = (
         df.select(
             F.col(id_col),
@@ -1326,7 +1332,6 @@ def contamination_score(
         )
         .withColumn("__h", F.unhex(F.md5(F.col("__s"))))
         .drop("__s")
-        .localCheckpoint(eager=False)
     )
     bench_sh = (
         benchmark.select(

@@ -427,15 +427,29 @@ def semdedup(
             )
         ids = ids_arr.to_numpy(zero_copy_only=False)
         norms = np.sqrt((V * V).sum(axis=1))
-        parent = list(range(n_rows))
+        # vectorized union-find: labels are parent pointers kept fully
+        # shortcut (lab[lab] == lab); per edge batch, hook via
+        # scatter-min then pointer-jump to the fixpoint.  Once two rows
+        # share a root they share it forever (roots only merge), so
+        # per-block fixpoints compose into the global components.  The
+        # per-PAIR python loop this replaces was the task bottleneck on
+        # duplicate-dense clusters (every qualifying pair paid
+        # interpreter cost; replicated corpora qualify ~all pairs).
+        lab = np.arange(n_rows, dtype=np.int64)
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != x:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+        def union_edges(lab, u, v):
+            while True:
+                lu, lv = lab[u], lab[v]
+                if np.array_equal(lu, lv):
+                    return lab
+                m = np.minimum(lu, lv)
+                np.minimum.at(lab, lu, m)
+                np.minimum.at(lab, lv, m)
+                while True:
+                    nl = lab[lab]
+                    if np.array_equal(nl, lab):
+                        break
+                    lab = nl
 
         block = max(1, (1 << 22) // n_rows)
         for s in range(0, n_rows, block):
@@ -445,16 +459,14 @@ def semdedup(
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = np.where(denom > 0, S / denom, 0.0)
             bi, j = np.nonzero(C >= eps_f)
-            for x, y in zip(bi + s, j):
-                if x >= y:  # upper triangle only
-                    continue
-                rx, ry = find(x), find(y)
-                if rx != ry:
-                    parent[max(rx, ry)] = min(rx, ry)
+            u = bi + s
+            keep = u < j  # upper triangle only
+            if keep.any():
+                lab = union_edges(lab, u[keep], j[keep])
         # representative = min ID in the component (the previous
         # min-reachable-id rule, applied on values not indices)
         rep: dict = {}
-        roots = [find(i) for i in range(n_rows)]
+        roots = lab.tolist()
         for i, r in enumerate(roots):
             if r not in rep or ids[i] < ids[rep[r]]:
                 rep[r] = i
