@@ -92,7 +92,11 @@ def main() -> None:
             with open(os.path.join(plan_dir, f"{name}_{plans_suffix}.txt"), "w") as fh:
                 fh.write(plan)
 
-    out = {n: {"min": round(min(ts), 4), "all": [round(t, 4) for t in ts]} for n, ts in timings.items()}
+    out = {
+        n: {"min": round(min(ts), 4), "all": [round(t, 4) for t in ts]}
+        for n, ts in timings.items()
+        if ts
+    }
     print(json.dumps(out, indent=1))
     total = sum(v["min"] for v in out.values())
     print(f"TOTAL(min-sum): {total:.4f}", file=sys.stderr)
