@@ -268,70 +268,21 @@ def language_id(
     UDF; the normalized text and the trigram array are ``let``-bound so
     HOF lambdas reference attributes, not re-evaluated subtrees."""
 
-    # ONE scoring pass for all languages: intersect the document's
-    # distinct trigrams with the union profile (ArrayIntersect builds a
-    # hash set of the doc side once, vs. a linear literal-map scan per
-    # trigram per language), then fold the few matched trigrams through
-    # a merged trigram -> per-language weight-vector map.  Semantically
-    # identical to scoring each language separately (weight 0 where a
-    # language's profile lacks the trigram); measured ~5x at sf0.1.
-    all_tris = sorted({t for p in _TRIGRAM_PROFILES.values() for t in p})
-    n_langs = len(_LANG_ORDER)
-    merged = F.create_map(
-        *[
-            c
-            for t in all_tris
-            for c in (
-                F.lit(t),
-                F.array(
-                    *[F.lit(_TRIGRAM_PROFILES[l].get(t, 0)) for l in _LANG_ORDER]
-                ),
-            )
-        ]
-    )
-    union_lit = F.array(*[F.lit(t) for t in all_tris])
-    zero_vec = F.array_repeat(F.lit(0), n_langs)
-
-    def pick(scores: Column) -> Column:
-        # first index holding the max -> earliest language in
-        # _LANG_ORDER wins ties, exactly like the old `>`-cascade
-        def with_max(mx: Column) -> Column:
-            sel = F.lit(_LANG_ORDER[-1])
-            for i in range(n_langs - 2, -1, -1):
-                sel = F.when(
-                    F.element_at(scores, i + 1) == mx, F.lit(_LANG_ORDER[i])
-                ).otherwise(sel)
-            return F.when(mx > 0, sel).otherwise(F.lit("und"))
-
-        return let(F.array_max(scores), with_max)
-
-    def score_tree(tris: Column) -> Column:
-        matched = F.array_intersect(union_lit, tris)
-        scores = F.aggregate(
-            matched,
-            zero_vec,
-            # matched keys all exist in the merged map by construction
-            lambda acc, t: F.zip_with(
-                acc, F.element_at(merged, t), lambda a, b: a + b
-            ),
-        )
-        return let(scores, pick)
-
-    def tris_tree(norm: Column) -> Column:
-        # no array_distinct: array_intersect(union, tris) returns the
-        # distinct union-side elements present in tris, so duplicate doc
-        # trigrams cannot affect the matched set — the per-doc distinct
-        # pass was pure overhead
-        tris = F.when(
-            F.length(norm) < 3, F.array().cast("array<string>")
-        ).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.length(norm) - F.lit(2)),
-                lambda i: norm.substr(i, F.lit(3)),
-            )
-        )
-        return let(tris, score_tree)
-
+    # Trigram scoring is the dominant per-row cost, and a HOF
+    # `transform(sequence(...), substr)` evaluates INTERPRETED per
+    # document character (CodegenFallback — the r13 measurement).  The
+    # scorer is now an Arrow-batched pandas UDF (guide §4.2): the JVM
+    # computes the normalization (lower + whitespace collapse + space
+    # padding — Java regex/locale semantics unchanged) and ships ONLY
+    # that one string column per row; a vectorized numpy kernel looks
+    # every 3-byte ASCII window up in a 2^21 table, dedups (doc,
+    # trigram) hits with one int64 sort, scatter-adds the per-language
+    # weight rows, and resolves the argmax with the same
+    # earliest-language tie-break.  Presence of a profile trigram as a
+    # UTF-8 byte substring is EXACTLY presence as a 3-codepoint window
+    # (UTF-8 is self-synchronizing; ASCII windows are 3 consecutive
+    # ASCII bytes), so the matched set — and therefore every score —
+    # is identical to the old array_intersect fold.
     text = F.col(column_name)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
@@ -347,8 +298,96 @@ def language_id(
     # whole text to count matches it only needed the existence of)
     pred = F.when(
         text.rlike(_CJK_RE), F.lit("zh")
-    ).otherwise(let(norm_expr, tris_tree))
+    ).otherwise(_trigram_scorer_udf()(norm_expr))
     return df.withColumn(dest, pred)
+
+
+def _trigram_scorer_udf():
+    """Arrow-batched trigram LID scorer (see :func:`language_id`).
+
+    Built per call so the closure ships only the small profile tables;
+    the 2^21-entry lookup table is constructed once per task inside the
+    iterator (guide §4.5).  Marked non-deterministic so the optimizer
+    cannot duplicate the (expensive) evaluation below a pushed filter
+    (guide §4.4)."""
+    all_tris = sorted({t for p in _TRIGRAM_PROFILES.values() for t in p})
+    ascii_tris = [t for t in all_tris if max(t) < "\x80"]
+    other_tris = [t for t in all_tris if max(t) >= "\x80"]
+    lang_order = list(_LANG_ORDER)
+    n_langs = len(lang_order)
+    w_ascii = [
+        [_TRIGRAM_PROFILES[l].get(t, 0) for l in lang_order] for t in ascii_tris
+    ]
+    w_other = [
+        [_TRIGRAM_PROFILES[l].get(t, 0) for l in lang_order] for t in other_tris
+    ]
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _score(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lut = np.full(1 << 21, -1, np.int16)
+        for i, t in enumerate(ascii_tris):
+            lut[(ord(t[0]) << 14) | (ord(t[1]) << 7) | ord(t[2])] = i
+        wa = np.asarray(w_ascii, np.int64).reshape(len(ascii_tris), n_langs)
+        wo = np.asarray(w_other, np.int64).reshape(len(other_tris), n_langs)
+        langs = np.asarray(lang_order, dtype=object)
+
+        for s in batches:
+            arr = pa.Array.from_pandas(s, type=pa.string())
+            ndocs = len(arr)
+            offs = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset : arr.offset + ndocs + 1
+            ].astype(np.int64)
+            data = np.frombuffer(
+                arr.buffers()[2] or b"", np.uint8
+            )  # null slots span zero bytes
+            scores = np.zeros((ndocs, n_langs), np.int64)
+            lo, hi = int(offs[0]), int(offs[-1])
+            if hi - lo >= 3:
+                b = data[lo:hi]
+                doc_of = np.repeat(
+                    np.arange(ndocs, dtype=np.int64), np.diff(offs)
+                )
+                b0 = b[:-2].astype(np.int32)
+                b1 = b[1:-1].astype(np.int32)
+                b2 = b[2:]
+                # 3 consecutive ASCII bytes inside one document = one
+                # 3-codepoint window; look it up in the 7-bit/char table
+                mask = (
+                    ((b0 | b1) < 0x80)
+                    & (b2 < 0x80)
+                    & (doc_of[:-2] == doc_of[2:])
+                )
+                code = (b0 << 14) | (b1 << 7) | b2.astype(np.int32)
+                tid = lut[code[mask]]
+                hit = tid >= 0
+                if hit.any():
+                    key = (doc_of[:-2][mask][hit] << 16) | tid[hit]
+                    ukey = np.unique(key)  # DISTINCT (doc, trigram) hits
+                    np.add.at(scores, ukey >> 16, wa[ukey & 0xFFFF])
+            if other_tris:
+                for j, t in enumerate(other_tris):
+                    m = pc.fill_null(pc.match_substring(arr, t), False)
+                    mnp = m.to_numpy(zero_copy_only=False).astype(bool)
+                    scores[mnp] += wo[j]
+            mx = scores.max(axis=1)
+            am = scores.argmax(axis=1)  # first max = earliest language
+            out = np.where(mx > 0, langs[am], "und")
+            yield pd.Series(out)
+
+    # real typing objects (the module-wide `from __future__ import
+    # annotations` would stringify inline hints out of pyspark's reach)
+    _score.__annotations__ = {
+        "batches": Iterator[pd.Series],
+        "return": Iterator[pd.Series],
+    }
+    return F.pandas_udf(_score, "string").asNondeterministic()
 
 
 def fingerprint(
@@ -494,13 +533,6 @@ def gopher_repetition(
             n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
         ).otherwise(F.lit(0.0))
 
-    base = df.select(
-        F.col(id_col),
-        F.length(col).alias("__chars"),
-        rep_frac(lines).alias("dup_line_frac"),
-        rep_frac(paras).alias("dup_para_frac"),
-    )
-
     # collapse+trim ALL whitespace before shingling: raw split would
     # produce empty tokens around leading/trailing newlines/tabs
     # (F.trim strips spaces only), and a whitespace-only document would
@@ -523,104 +555,203 @@ def gopher_repetition(
             df, id_col, gram_src, base_x, tuple(top_ns), tuple(dup_ns), all_ns
         )
 
-    # ONE explode for every n: (id, n, gram); word_shingles(distinct=
-    # False) keeps every occurrence so the count survives the explode.
-    # NB the tag lambda must take exactly ONE parameter — PySpark
-    # passes the array index to any second parameter, even a defaulted
-    # closure capture (the minhash_signature lesson).
-    def tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    # Default mode: every one of the nine signals is PER-DOCUMENT, so
+    # no shuffle is fundamentally required (guide §1.1 first-principles,
+    # §2.4).  The old shape exploded (id, n, gram-hash) for all nine n
+    # values — a ~9x-corpus-token exchange — and joined the pivot back.
+    # Instead: one in-task Arrow pass (guide §4.2) — tokens cross the
+    # boundary once as a normalized string column, and an exact numpy
+    # kernel (dictionary codes + rolling pair-encoding, hash-table
+    # factorization, sorted run-length counts) computes every (doc, n)
+    # top/dup numerator inside the scan stage.  Zero Exchange between
+    # the parquet scan and the result; parallelism = input splits.
+    # Values are bit-identical to the old aggregate: same (count, len)
+    # top-gram tiebreak (ties beyond that have equal count*len), same
+    # int64 numerators, same double division and clamp.  The kernel
+    # groups by exact token-id sequences — strictly stronger than the
+    # old 128-bit md5 identity.
+    inp = df.select(
+        F.col(id_col),
+        F.length(col).alias("__chars"),
+        rep_frac(lines).alias("dup_line_frac"),
+        rep_frac(paras).alias("dup_para_frac"),
+        gram_src.alias("__norm"),
+    )
+    top_list = [int(n) for n in top_ns]
+    dup_list = [int(n) for n in dup_ns]
+    ns_list = [int(n) for n in all_ns]
+    out_schema = _gopher_out_schema(df, id_col, top_list, dup_list)
+    score = _gopher_arrow_scorer(ns_list, top_list, dup_list)
+    return inp.mapInArrow(score, out_schema)
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.transform(
-                            word_shingles(gram_src, n, distinct=False), tag(n)
-                        )
-                        for n in all_ns
-                    ]
-                )
-            )
-        ).alias("__g"),
-    ).select(id_col, F.col("__g.n").alias("__n"), F.col("__g.gram").alias("__gram"))
-    # project the gram away BEFORE the count exchange (guide: shuffle
-    # keys, not payloads): every output only needs each distinct gram's
-    # COUNT and CHAR LENGTH, so the shuffle key is (len, 16-byte md5)
-    # instead of the gram string — for dup_ns up to 10 words the string
-    # is most of the exploded stream's bytes.  Counting by md5 identity
-    # is the package's exact-dedup convention (dedupe_exact); the old
-    # lexicographic member of the top-gram tiebreak cannot change any
-    # output: ties beyond (count, len) have equal count*len by
-    # construction.  The hash+length projection rides the same codegen
-    # stage as the explode — nothing interpreted, nothing shuffled twice.
-    counted = grams.select(
-        F.col(id_col),
-        F.col("__n"),
-        F.length("__gram").alias("__l"),
-        F.unhex(F.md5("__gram")).alias("__gh"),
-    ).groupBy(id_col, "__n", "__l", "__gh").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    per_n = counted.groupBy(id_col, "__n").agg(
-        F.max(F.struct(F.col("__c"), F.col("__l"))).alias("__top"),
-        F.sum(
-            F.when(
-                F.col("__c") >= 2, F.col("__c") * F.col("__l")
-            ).otherwise(F.lit(0))
-        ).alias("__dupchars"),
-    )
-    agg_cols = []
-    for n in top_ns:
-        agg_cols.append(
-            F.max(
-                F.when(
-                    F.col("__n") == n,
-                    F.col("__top.__c") * F.col("__top.__l"),
-                )
-            ).alias(f"__topchars_{n}")
-        )
-    for n in dup_ns:
-        agg_cols.append(
-            F.max(F.when(F.col("__n") == n, F.col("__dupchars"))).alias(
-                f"__dupchars_{n}"
-            )
-        )
-    pivoted = per_n.groupBy(id_col).agg(*agg_cols)
-    out = base.join(pivoted, id_col, "left")
-    proj = [
-        F.col(id_col),
-        F.col("dup_line_frac"),
-        F.col("dup_para_frac"),
+
+def _gopher_out_schema(df: DataFrame, id_col: str, top_list, dup_list):
+    """Output schema of the default-mode Arrow scorer: the caller's id
+    field (type preserved) + the nine double fraction columns."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    fields = [
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("dup_line_frac", DoubleType(), True),
+        StructField("dup_para_frac", DoubleType(), True),
     ]
-    chars = F.col("__chars")
-    for n in top_ns:
-        proj.append(
-            F.when(
-                (chars > 0) & F.col(f"__topchars_{n}").isNotNull(),
-                F.least(
-                    F.lit(1.0),
-                    F.col(f"__topchars_{n}").cast("double") / chars,
-                ),
+    for n in top_list:
+        fields.append(StructField(f"top_{n}_gram_char_frac", DoubleType(), True))
+    for n in dup_list:
+        fields.append(StructField(f"dup_{n}_gram_char_frac", DoubleType(), True))
+    return StructType(fields)
+
+
+def _gopher_arrow_scorer(ns_list, top_list, dup_list):
+    """Build the ``mapInArrow`` batch function for gopher_repetition's
+    default mode.
+
+    Exact per-document n-gram accounting, fully vectorized (no Python
+    per-row loop):
+
+    * tokens = split of the whitespace-normalized text on the single
+      space — identical to the JVM ``split(trim(s), '\\s+')`` because
+      normalization already collapsed every ASCII whitespace run.
+      An empty normalized doc yields the single empty token, exactly
+      like the JVM split.
+    * token ids via Arrow ``dictionary_encode`` (C hash table); n-gram
+      ids for n = 2..max by rolling pair-encoding — id(n-gram at i) =
+      factorize(id(n-1-gram at i) << 32 | id(token at i+n-1)) — so
+      equal grams share an id iff their token sequences are equal
+      (exact, no hash collisions).
+    * per (doc, gram) counts from one int64 sort + run-length pass;
+      gram char length = prefix-sum difference of token lengths +
+      (n-1) separators, in CODEPOINTS to match JVM ``length()``
+      (``UTF8String.numChars`` counts code points, NOT UTF-16 units —
+      the astral-emoji differential row proved it).
+    * per-doc reductions via scatter max/add: top gram by (count, len)
+      encoded as count*LMUL+len, dup numerator = sum count*len over
+      count>=2.
+    """
+    max_n = max(ns_list)
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def codepoint_lens(flat):
+            # JVM length() = UTF8String.numChars = CODE POINTS (a
+            # non-BMP codepoint counts once, unlike Java's
+            # String.length) — matches pyarrow utf8_length exactly
+            return pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+
+        for batch in batches:
+            ndocs = batch.num_rows
+            chars = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )  # nulls -> NaN; NaN > 0 is False, like the JVM null guard
+            norm = batch.column(4)
+
+            toks = pc.split_pattern(norm, " ")
+            cnts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            cnts = np.nan_to_num(cnts, nan=0.0).astype(np.int64)  # null doc -> 0
+            flat = pc.list_flatten(toks)
+            offsets = np.concatenate(([0], np.cumsum(cnts)))
+            total = int(offsets[-1])
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), cnts)
+            pos = np.arange(total, dtype=np.int64) - offsets[:-1][doc_of]
+
+            top_chars = {n: np.zeros(ndocs, np.int64) for n in top_list}
+            dup_chars = {n: np.zeros(ndocs, np.int64) for n in dup_list}
+            if total:
+                codes = (
+                    flat.dictionary_encode()
+                    .indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                )
+                cum = np.concatenate(([0], np.cumsum(codepoint_lens(flat))))
+                pn = codes  # ids of n-grams starting at i (currently n=1)
+                for n in range(2, max_n + 1):
+                    m = total - n + 1
+                    if m <= 0:
+                        break
+                    packed = (pn[:m] << 32) | codes[n - 1 : n - 1 + m]
+                    pn = pd.factorize(packed)[0].astype(np.int64, copy=False)
+                    if n not in ns_list:
+                        continue
+                    # valid starts: the window stays inside one doc
+                    st = np.flatnonzero(pos[:m] <= cnts[doc_of[:m]] - n)
+                    if not st.size:
+                        continue
+                    gid = pn[st]
+                    glen_by_gid = np.zeros(int(gid.max()) + 1, np.int64)
+                    glen_by_gid[gid] = cum[st + n] - cum[st] + (n - 1)
+                    key = (gid << 32) | doc_of[st]
+                    key.sort()
+                    run_start = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(key)) + 1)
+                    )
+                    counts = np.diff(np.concatenate((run_start, [key.size])))
+                    ukey = key[run_start]
+                    gdoc = ukey & 0xFFFFFFFF
+                    glen = glen_by_gid[ukey >> 32]
+                    if n in top_list:
+                        lmul = int(glen.max()) + 1
+                        np.maximum.at(
+                            top_chars[n], gdoc, counts * lmul + glen
+                        )
+                        enc = top_chars[n]
+                        top_chars[n] = (enc // lmul) * (enc % lmul)
+                    if n in dup_list:
+                        rep = counts >= 2
+                        np.add.at(
+                            dup_chars[n], gdoc[rep], counts[rep] * glen[rep]
+                        )
+                if 1 in ns_list:
+                    # unigrams: every token is a gram; no pair-encoding
+                    st = np.arange(total, dtype=np.int64)
+                    gid = codes
+                    glen_by_gid = np.zeros(int(gid.max()) + 1, np.int64)
+                    glen_by_gid[gid] = cum[st + 1] - cum[st]
+                    key = (gid << 32) | doc_of
+                    key.sort()
+                    run_start = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(key)) + 1)
+                    )
+                    counts = np.diff(np.concatenate((run_start, [key.size])))
+                    ukey = key[run_start]
+                    gdoc = ukey & 0xFFFFFFFF
+                    glen = glen_by_gid[ukey >> 32]
+                    if 1 in top_list:
+                        lmul = int(glen.max()) + 1
+                        np.maximum.at(top_chars[1], gdoc, counts * lmul + glen)
+                        enc = top_chars[1]
+                        top_chars[1] = (enc // lmul) * (enc % lmul)
+                    if 1 in dup_list:
+                        rep = counts >= 2
+                        np.add.at(dup_chars[1], gdoc[rep], counts[rep] * glen[rep])
+
+            cols = [batch.column(0), batch.column(2), batch.column(3)]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ok = chars > 0
+                for n in top_list:
+                    frac = np.where(
+                        ok, np.minimum(1.0, top_chars[n] / chars), 0.0
+                    )
+                    cols.append(pa.array(frac, pa.float64()))
+                for n in dup_list:
+                    frac = np.where(
+                        ok, np.minimum(1.0, dup_chars[n] / chars), 0.0
+                    )
+                    cols.append(pa.array(frac, pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=[batch.schema.names[0], "dup_line_frac", "dup_para_frac"]
+                + [f"top_{n}_gram_char_frac" for n in top_list]
+                + [f"dup_{n}_gram_char_frac" for n in dup_list],
             )
-            .otherwise(F.lit(0.0))
-            .alias(f"top_{n}_gram_char_frac")
-        )
-    for n in dup_ns:
-        proj.append(
-            F.when(
-                (chars > 0) & F.col(f"__dupchars_{n}").isNotNull(),
-                F.least(
-                    F.lit(1.0),
-                    F.col(f"__dupchars_{n}").cast("double") / chars,
-                ),
-            )
-            .otherwise(F.lit(0.0))
-            .alias(f"dup_{n}_gram_char_frac")
-        )
-    return out.select(*proj)
+
+    return _score
 
 
 def _gopher_exact(
@@ -1166,6 +1297,7 @@ def ngram_lm_score(
     alpha: float = 0.4,
     min_count: int = 2,
     train_df: DataFrame | None = None,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Average bigram log-probability of each document under a
     stupid-backoff language model (Brants et al. 2007) trained on the
@@ -1191,6 +1323,16 @@ def ngram_lm_score(
     seen-bigram table precomputes ``ln(c_xy/c_x)`` at MODEL scale so
     the corpus-side probe is two equi-joins (bigram key, then w2 key)
     plus one broadcast totals row — never a corpus×model nested loop.
+    With ``broadcast_model`` (default) both model tables are pinned and
+    BROADCAST, so the exploded probe stream — the one corpus-sized
+    intermediate, one row per token position — flows scan → explode →
+    two broadcast hash joins → partial aggregate inside a single stage
+    with no exchange at all; the only probe shuffle left is the
+    per-document partial-aggregated average.  A ``min_count``-pruned
+    bigram model is vocabulary-shaped, orders of magnitude below the
+    corpus; for a corpus whose model genuinely exceeds broadcast
+    limits (hundreds of millions of distinct repeated bigrams), pass
+    ``broadcast_model=False`` to keep the shuffled sort-merge probe.
     """
     src = train_df if train_df is not None else df
     lowered = (
@@ -1223,6 +1365,14 @@ def ngram_lm_score(
         F.col("w").alias("__w2"),
         F.log(F.lit(alpha) * F.col("c") / F.col("__T")).alias("__lb"),
     )
+    if broadcast_model:
+        # model tables ride the probe stage as broadcast hash maps: the
+        # per-token-position probe stream never hits an exchange (the
+        # planner's size estimate for an aggregated+filtered string
+        # table is wildly pessimistic, so without the hint the probe
+        # side pays a full sort-exchange keyed on the bigram STRING)
+        seen = F.broadcast(seen)
+        backoff = F.broadcast(backoff)
     scored = (
         df.select(
             F.col(id_col).alias("__id"),

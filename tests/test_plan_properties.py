@@ -325,6 +325,13 @@ def test_registry_generate_broadcast_lint(spark):
         # bounded stat / model attaches that pass through an explode
         "hashed_tfidf", "top_collocations", "contamination",
         "nb_classify", "expand_grid",
+        # r14: seen/backoff model tables broadcast into the probe
+        # stage — build sides are DISTINCT bigrams (count>=min_count)
+        # and the unigram vocabulary: SUBLINEAR in the token scan
+        # (dedup'd aggregates, not a pair stream); the probe stream
+        # never exchanges.  broadcast_model=False restores SMJ for a
+        # corpus whose pruned model exceeds broadcast limits.
+        "ngram_lm_score",
         # per-doc n-gram fraction table: one row per doc_id (LINEAR in
         # the scan; the estimate tracks the input, so at real scale the
         # planner switches to sort-merge on its own).  exact mode joins

@@ -5,7 +5,7 @@ Usage:
 
 Times each named query (default: bench.py HEADLINE) with the noop sink
 (guide 1.4), labelled via setJobDescription (guide 1.5), and when
---plans SUFFIX is given writes ``plans/r13/<name>_<SUFFIX>.txt`` with
+--plans SUFFIX is given writes ``plans/<round>/<name>_<SUFFIX>.txt`` with
 the ``explain("formatted")`` output (the judge's evidence files).
 
 Same session config as bench.py so timings are comparable.
@@ -66,7 +66,7 @@ def main() -> None:
         print(f"unknown queries: {missing}", file=sys.stderr)
         sys.exit(2)
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("OPT_PLANS_ROUND", "r14"))
     if plans_suffix:
         os.makedirs(plan_dir, exist_ok=True)
 
