@@ -616,15 +616,26 @@ def q_near_dup_multiblock(spark, sf):
         .filter(F.col("vec_id") < 600)
         .select("vec_id", "embedding")
     )
-    u = e
-    for i in (1, 2, 3, 4):
-        u = u.union(
-            e.select(
-                (F.col("vec_id") + F.lit(i * 100000)).alias("vec_id"),
-                "embedding",
-            )
+    # r14: ONE scan + offset explode instead of a 5-branch self-union —
+    # the union read the SAME 600-row parquet slice five times (5 scan
+    # subtrees in the plan); exploding the shift offsets produces the
+    # identical row multiset from one scan (guide 6: don't re-read what
+    # you already have).  Same ids, same embeddings, same single-block
+    # Arrow stage downstream.
+    u = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(*[F.lit(i * 100000) for i in (0, 1, 2, 3, 4)])
+            ).alias("__off"),
         )
-    u = u.withColumn("__blk", F.lit(1))
+        .select(
+            (F.col("vec_id") + F.col("__off")).alias("vec_id"),
+            "embedding",
+        )
+        .withColumn("__blk", F.lit(1))
+    )
     # pair-SET comparison only: ~800 clone pairs score cos = 1.0 up to
     # an ulp, and engine-order float noise would shuffle the driver's
     # sorted-row compare; the plain embedding_near_dup gate attests the

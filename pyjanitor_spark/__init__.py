@@ -58,6 +58,30 @@ from pyjanitor_spark.utils import (  # noqa: F401
 
 __version__ = "0.1.0"
 
+# Minimum supported Spark.  Enforced, not advisory: the capped
+# ngram_jaccard path (operators/dedup.py) relies on lazy-checkpoint
+# LogicalRDDs carrying their origin subtree's size statistics (Spark
+# 3.4+); on older engines the bogus-small estimate re-opens the
+# broadcast-the-pair-aggregate driver-OOM plan (r10 incident, ADVICE
+# r13).  tests/test_plan_properties.py pins the plan shape on top.
+MIN_SPARK_VERSION = (3, 4)
+
+
+def _check_spark_version() -> None:
+    import pyspark
+
+    parts = pyspark.__version__.split(".")
+    ver = tuple(int(p) for p in parts[:2] if p.isdigit())
+    if ver < MIN_SPARK_VERSION:
+        raise ImportError(
+            f"pyjanitor_spark requires Spark >= "
+            f"{'.'.join(map(str, MIN_SPARK_VERSION))} (lazy-checkpoint "
+            f"statistics semantics); found pyspark {pyspark.__version__}"
+        )
+
+
+_check_spark_version()
+
 
 def _public_verbs():
     import inspect

@@ -118,6 +118,7 @@ def nb_score(
     id_col: str,
     dest: str = "nb_pred",
     keep_scores: bool = False,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score documents against an :func:`nb_train` model frame and
     attach the argmax-class prediction (ties break to the first label
@@ -131,10 +132,16 @@ def nb_score(
     argmax.  ``keep_scores=True`` additionally attaches one
     ``nb_score_<label>`` double column per class.
 
-    Plan: ONE equi-join of exploded tokens against the model (the model
-    side shuffles once; Spark broadcasts it when small) and ONE pivot
-    on the driver-known label list — no per-class scans, no nested
-    loops."""
+    Plan: ONE equi-join of exploded tokens against the model and ONE
+    pivot on the driver-known label list — no per-class scans, no
+    nested loops.  ``broadcast_model`` (default) pins the join build
+    side to the MODEL: left to its own estimates Catalyst broadcasts
+    the EXPLODED CORPUS TOKEN STREAM instead (explode passes the scan's
+    size estimate through unchanged), collecting the probe side onto
+    the driver — backwards at every scale.  The model is vocabulary ×
+    labels (bounded, ``min_count``-pruned); for a stored model that
+    genuinely exceeds broadcast limits pass ``broadcast_model=False``
+    to let the planner shuffle both sides."""
     # bounded: one row per class
     prior_rows = model.filter(F.col("token").isNull()).collect()
     if not prior_rows:
@@ -147,6 +154,8 @@ def nb_score(
     toks = df.select(
         F.col(id_col).alias("__id"), F.explode(_toks(F.col(text_col))).alias("token")
     )
+    if broadcast_model:
+        mtok = F.broadcast(mtok)
     pivoted = (
         toks.join(mtok, "token")
         .groupBy("__id")

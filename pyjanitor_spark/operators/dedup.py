@@ -1312,9 +1312,9 @@ def contamination_score(
     Plan: both sides shingle once; benchmark shingles are md5-hashed
     and DISTINCT (the set is small relative to the corpus — eval sets,
     not training data); matches come from a LEFT SEMI join keyed on the
-    32-hex shingle hash; per-doc totals and matches are two counts over
-    the same exploded frame, joined on id.  Nothing quadratic, no
-    driver-side membership set.
+    16-byte binary md5 shingle key; per-doc totals and matches are two
+    counts over the same exploded frame, joined on id.  Nothing
+    quadratic, no driver-side membership set.
     """
     if shingle_n < 1:
         raise ValueError("shingle_n must be >= 1")
@@ -1448,13 +1448,18 @@ def bloom_build(
     shards: int = 1,
 ) -> DataFrame:
     """Build the Bloom bitmap frame :func:`bloom_dedupe_against` probes
-    — one row per shard: (__shard, __bloom array<bigint>, __m, __h).
+    — one row per shard: (__shard, __bloom array<bigint>, __m, __h,
+    __hv).
 
     PERSIST this (a few MB per 1e6 keys at 1% fpp) and pass it back as
     ``bloom_df=``: the corpus-side pass happens once per corpus
     version, and every subsequent batch pays only the probe.  The
     sizing parameters ride inside the frame, so a stored index can't be
-    probed with mismatched m/h."""
+    probed with mismatched m/h; ``__hv`` stamps the BIT-POSITION HASH
+    SCHEME (2 = Kirsch–Mitzenmacher halves of one md5) so an index
+    persisted under a different scheme fails loudly at probe time
+    instead of silently missing true duplicates (positions computed
+    under scheme A never line up with bits set under scheme B)."""
     import math
 
     if not 0.0 < fpp < 1.0:
@@ -1498,9 +1503,15 @@ def bloom_build(
     for row in words.collect():  # bounded: ≤ shards * m/64 rows (documented action)
         bitmaps[row["__shard"]][row["__w"]] = row["__word"]
     return reference.sparkSession.createDataFrame(
-        [(s, bm, m, h) for s, bm in bitmaps.items()],
-        "__shard bigint, __bloom array<bigint>, __m bigint, __h int",
+        [(s, bm, m, h, _BLOOM_HASH_SCHEME) for s, bm in bitmaps.items()],
+        "__shard bigint, __bloom array<bigint>, __m bigint, __h int, __hv int",
     )
+
+
+# bit-position scheme version stamped into bloom_build frames: 2 =
+# Kirsch-Mitzenmacher double hashing over one md5 (r13); the unversioned
+# r12-era scheme (h independent md5s) is treated as scheme "None"
+_BLOOM_HASH_SCHEME = 2
 
 
 def _with_bloom_halves(df: DataFrame, key: Column, m: int) -> DataFrame:
@@ -1602,8 +1613,27 @@ def bloom_dedupe_against(
         bloom_df = bloom_build(
             reference, key_col, expected_items=expected_items, fpp=fpp, shards=shards
         )
+    # hash-scheme gate BEFORE any probe math: a persisted index built
+    # under a different bit-position scheme computes different positions
+    # for the same key, so true duplicates would fail the candidate
+    # checks and be silently routed to "clean" (ADVICE r13) — fail loud
+    if "__hv" not in bloom_df.columns:
+        raise ValueError(
+            "bloom_dedupe_against: this bloom_df carries no __hv hash-"
+            "scheme column — it was persisted by a pre-r13 bloom_build "
+            "(h independent md5s per key) and cannot be probed by the "
+            "current Kirsch-Mitzenmacher prober; rebuild the index with "
+            "bloom_build on the current version"
+        )
     # bounded meta action: one row per shard
-    meta = bloom_df.select("__shard", "__m", "__h").collect()
+    meta = bloom_df.select("__shard", "__m", "__h", "__hv").collect()
+    hv = meta[0]["__hv"]
+    if hv != _BLOOM_HASH_SCHEME:
+        raise ValueError(
+            f"bloom_dedupe_against: stored index hash scheme __hv={hv!r}"
+            f" does not match this build's scheme "
+            f"{_BLOOM_HASH_SCHEME} — rebuild the index with bloom_build"
+        )
     m = int(meta[0]["__m"])
     h = int(meta[0]["__h"])
     shards = len(meta)
@@ -1768,7 +1798,7 @@ def remove_duplicated_spans(
 
     Plan shape (nothing quadratic, all key-partitioned shuffles):
     positional shingle explode -> md5 span keys; flagged keys = one
-    partial-agg distinct-doc count on the 32-hex key; covered token
+    partial-agg distinct-doc count on the 16-byte binary key; covered token
     positions = flagged spans exploded k-wide then distinct; kept
     tokens = anti join on (id, pos); reassembly = one groupBy(id) with
     an in-group sort of (pos, token) structs.  Span keys are

@@ -387,3 +387,43 @@ def test_scale_report(lineitem):
     from pyjanitor_spark.functions.math import apply_math, z_score
     rep2 = scale_report(apply_math(lineitem, "l_quantity", z_score, dest="z"))
     assert rep2["cartesian"] is True
+
+
+def test_capped_jaccard_pair_aggregate_never_broadcasts(spark):
+    """ADVICE r13: the capped ngram_jaccard path pins its bucket table
+    with a lazy localCheckpoint, relying on lazy-checkpoint LogicalRDDs
+    carrying their origin subtree's size statistics (Spark 3.4+,
+    enforced by pyjanitor_spark.MIN_SPARK_VERSION) plus the merge hint
+    to keep Catalyst from BROADCASTING the quadratic pair aggregate
+    (the r10 driver-OOM plan).  Assert the shape mechanically: no
+    BroadcastExchange subtree may contain the (id_1, id_2) pair-count
+    aggregate."""
+    import re
+
+    from pyjanitor_spark.plans import executed_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pj.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_doc_freq=3
+    )
+    lines = executed_plan(out).splitlines()
+
+    def depth(line):
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else len(line) - len(line.lstrip(" :*"))
+
+    pair_agg = re.compile(r"HashAggregate.*keys=\[id_1.*id_2.*count")
+    assert any(pair_agg.search(l) for l in lines), (
+        "pair-count aggregate not found in plan — update the matcher"
+    )
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        for sub in lines[i + 1:]:
+            if sub.strip() and depth(sub) <= d and re.search(r"[+:]- ", sub):
+                break
+            assert not pair_agg.search(sub), (
+                "pair aggregate under a BroadcastExchange — the r10 "
+                "driver-OOM broadcast plan is back:\n" + line + "\n" + sub
+            )
