@@ -2061,38 +2061,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir_weights,
     }
-    # Round-13 window, composition COMPUTED by tools/close_round.py
-    # from CORRECTNESS_r01..r12.json (rule unchanged from r7: new
-    # gates, then changed code, then oldest attestations first;
-    # rotated-out entries stay replica-covered).
+    # Round-14 window, composition COMPUTED by tools/close_round.py's
+    # recommended_window from CORRECTNESS_r01..r13.json.  The r7 rule,
+    # with "changed" read as changed SINCE LAST ATTESTATION: an entry
+    # whose code moved in r13 but whose last driver-green row predates
+    # that change (sample rotation skipped it) is as unattested as
+    # fresh code (VERDICT r13 item 8 names them all).
     _WINDOW = [
-        # (a) NEW r13 gate — the distributed star-contraction path
-        # against the same closure oracle as near_dup_clusters
-        "near_dup_clusters_contracted",
-        # (b) entries whose CODE changed in round 13 (adaptive
-        # connected components: driver union-find fast path + exact
-        # structural fixed point + self-pair singletons; token-space
-        # gopher span-union rewrite)
-        "near_dup_clusters", "dedupe_near", "dedupe_near_best",
+        # (b1) entries whose CODE changed in round 14: gopher in-task
+        # Arrow kernel (+_exact shares tokenization), Arrow trigram LID,
+        # LM-model broadcast, NB model-side broadcast, star-contraction
+        # window rewrite (clusters/contracted/dedupe_near family),
+        # bloom __hv scheme gate, multiblock single-scan input
+        "near_dup_clusters_contracted", "near_dup_clusters",
+        "dedupe_near", "dedupe_near_best",
         "gopher_repetition", "gopher_repetition_exact",
-        # (c) ALL 37 r9-era attestations — after this window no entry's
-        # last driver-green is older than r10 (VERDICT r12 task 3)
-        "convert_excel_date", "convert_matlab_date", "convert_unix_date",
-        "currency_column_to_numeric", "data_description",
-        "dup_span_fraction", "factorize_columns",
-        "fill_missing_timestamps", "filter_date", "find_replace",
-        "fingerprint", "ivf_pq_topk", "ivf_topk", "kmeans_assign",
-        "language_id", "log", "lsh_bucket_topk", "ngram_lm_score",
-        "normal_cdf", "normalize_text", "pivot_wider", "pq_encode",
-        "pq_topk", "probit", "quality_score", "resize_payload",
-        "robust_scale", "running_counter", "sessionize", "sigmoid",
-        "simhash", "smiles_descriptors", "token_count",
-        "top_collocations", "top_domains", "weighted_sample",
-        "winsorize",
-        # (d) the 7 alphabetically-first r10-era rows fill the window
-        "add_column_values", "assign_packs", "bin_numeric",
-        "clean_names", "concatenate_columns", "conditional_join_equi",
-        "conditional_join_indicator",
+        "language_id", "ngram_lm_score",
+        "near_dup_multiblock", "bloom_dedupe_against", "nb_classify",
+        # (b2) r13 code changes never driver-attested since (their last
+        # green rows are r10-r12, all BEFORE the r13 edits)
+        "ngram_jaccard_pairs", "ngram_jaccard_capped",
+        "semdedup", "semdedup_auto", "semdedup_split",
+        "contamination", "remove_duplicated_spans",
+        # (c) stalest attestations, oldest round first (ledger r10 tail;
+        # includes the overdue conditional_join family)
+        "conditional_join_keep_first", "conditional_join_keep_last",
+        "conditional_join_left", "conditional_join_outer",
+        "conditional_join_range", "conditional_join_range_open",
+        "conditional_join_right", "convert_units",
+        "deconcatenate_column", "dsir_weights", "flag_nulls",
+        "frame_sample", "groupby_agg_multi", "groupby_topk",
+        "hash_columns", "hashed_tfidf", "heavy_hitters", "impute",
+        "inflate_currency", "limit_column_characters", "min_max_scale",
+        "mix_corpora", "move_rows", "orc_roundtrip", "pivot_longer",
+        "pivot_longer_spec", "process_text", "process_text_fallback",
+        "remove_empty", "round_to_fraction", "simhash_pairs",
+        "sort_naturally",
     ]
     assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
     ordered = {k: q[k] for k in _WINDOW}

@@ -100,3 +100,28 @@ def missing_df(spark):
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (the full builder gate)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # fast tier by default (VERDICT r13 item 2): the ~1000-test full
+    # suite outgrew the driver's attestation window, so heavyweight
+    # fuzz/property/brute-force waves are marked slow and SKIPPED unless
+    # --runslow.  Skips stay visible in the tail ("N passed, M skipped")
+    # so the driver's green row still reports what ran.
+    if config.getoption("--runslow"):
+        return
+    skip_slow = __import__("pytest").mark.skip(
+        reason="slow: builder gate only (use --runslow)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -25,6 +25,8 @@ import pytest
 
 import pyjanitor_spark as pj
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 SEED = 42
 C, N, DIM = 8, 400, 16
 QUERY_IDS = [0, 101, 399]

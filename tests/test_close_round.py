@@ -144,15 +144,21 @@ def test_window_check_diffs():
 
 
 def test_live_window_matches_rule():
-    """The committed r13 window satisfies the composition rule."""
+    """The committed r14 window satisfies the composition rule, with
+    "changed" read as changed SINCE LAST ATTESTATION (an r13 edit whose
+    entry the r13 sample skipped is as unattested as fresh code)."""
     changed = {
-        # adaptive connected components (driver union-find fast path,
-        # exact structural fixed point, self-pair singletons)
-        "near_dup_clusters", "dedupe_near", "dedupe_near_best",
-        # token-space gopher span-union rewrite
-        "gopher_repetition", "gopher_repetition_exact",
+        # r14 code changes
+        "gopher_repetition", "gopher_repetition_exact", "language_id",
+        "ngram_lm_score", "nb_classify", "near_dup_multiblock",
+        "near_dup_clusters", "near_dup_clusters_contracted",
+        "dedupe_near", "dedupe_near_best", "bloom_dedupe_against",
+        # r13 code changes never driver-attested since
+        "semdedup", "semdedup_auto", "semdedup_split",
+        "remove_duplicated_spans", "ngram_jaccard_pairs",
+        "ngram_jaccard_capped", "contamination",
     }
-    green = close_round.last_green_rounds(12)
+    green = close_round.last_green_rounds(13)
     registry, window = close_round.registry_and_window()
     chk = close_round.window_check(registry, window, green, changed)
     assert chk["matches_rule"], chk

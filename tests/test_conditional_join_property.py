@@ -13,6 +13,8 @@ import pytest
 
 import pyjanitor_spark as pj
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 # Null semantics mirror the reference (pandas): '==' is null-SAFE
 # (pd.merge pairs NaN keys), '!=' treats null as unequal to everything
 # (so null rows match every row), range ops never match nulls.

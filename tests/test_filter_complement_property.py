@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 import pyjanitor_spark as pj
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 
 def _frame(spark, seed: int, n: int = 120):
     rng = random.Random(seed)

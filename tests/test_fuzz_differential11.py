@@ -41,6 +41,8 @@ from pyjanitor_spark.operators.dedup import (
 
 import os
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ11_EXAMPLES", "10")),
     deadline=None,

@@ -23,6 +23,8 @@ from hypothesis import strategies as st
 
 from pyjanitor_spark.sources import read_csv, write_csv, write_json
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ12_EXAMPLES", "8")),
     deadline=None,

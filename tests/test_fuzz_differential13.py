@@ -26,12 +26,15 @@ from hypothesis import strategies as st
 
 import pyjanitor_spark as pj
 from pyjanitor_spark.operators.text_analysis import (
+
     _ACCENT_DST,
     _ACCENT_SRC,
     _PUNCT_DST,
     _PUNCT_SRC,
     PII_PATTERNS,
 )
+
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
 
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ13_EXAMPLES", "8")),

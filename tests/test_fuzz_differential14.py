@@ -20,6 +20,8 @@ from hypothesis import strategies as st
 
 from pyjanitor_spark.sources import read_jsonl
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ14_EXAMPLES", "8")),
     deadline=None,

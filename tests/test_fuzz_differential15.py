@@ -25,6 +25,8 @@ from hypothesis import strategies as st
 import pyjanitor_spark as pj
 from pyjanitor_spark.utils.png import encode_png
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ15_EXAMPLES", "8")),
     deadline=None,

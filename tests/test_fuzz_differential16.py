@@ -24,11 +24,14 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from pyjanitor_spark.sources._xlsx import (
+
     _MAX_GRID_CELLS,
     _MAX_PART_BYTES,
     Workbook,
     build_demo_workbook,
 )
+
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
 
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ16_EXAMPLES", "30")),

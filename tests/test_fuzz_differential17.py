@@ -33,6 +33,9 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 import pyjanitor_spark as pj
+import pytest
+
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
 
 WAVE = settings(
     max_examples=int(os.environ.get("FUZZ17_EXAMPLES", "12")),

@@ -19,9 +19,9 @@ from tests.reference_janitor import load_reference
 from tests.test_reference_differential import _sdf, compare
 
 ref = load_reference()
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow] + [pytest.mark.skipif(
     ref is None, reason="reference janitor not importable in this environment"
-)
+)]
 
 FUZZ = settings(max_examples=12, deadline=None, derandomize=True)
 

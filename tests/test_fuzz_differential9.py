@@ -15,6 +15,8 @@ from hypothesis import strategies as st
 import pyjanitor_spark as pj
 from tests.test_reference_differential import _sdf, compare
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 FUZZ = settings(max_examples=12, deadline=None, derandomize=True)
 
 _times = st.lists(st.integers(0, 30), min_size=1, max_size=8)

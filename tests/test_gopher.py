@@ -215,6 +215,7 @@ def test_exact_hand_checked(spark):
 
 @WAVE
 @given(rows=docs())
+@pytest.mark.slow  # heavy brute/sweep: builder gate
 def test_gopher_exact_vs_brute_fuzz(spark, rows):
     df = spark.createDataFrame(rows, "id long, text string")
     got = {

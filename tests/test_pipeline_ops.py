@@ -1688,6 +1688,8 @@ class TestEmptyInputSweep:
     """Every core verb must handle an empty frame gracefully — empty
     output (or its documented 1-row aggregate), never a crash."""
 
+    @pytest.mark.slow  # heavy sweep: builder gate
+
     def test_empty_frames(self, spark):
         from pyjanitor_spark.functions.math import apply_math, ecdf
 
@@ -1992,6 +1994,8 @@ class TestProductQuantization:
         a = pj.pq_encode(embeddings, "embedding", cb).collect()
         b = pj.pq_encode(embeddings, "embedding", cb2).collect()
         assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+    @pytest.mark.slow  # heavy sweep: builder gate
 
     def test_large_codebook_rides_broadcast_row(self, spark, embeddings):
         # 8*16 = 128 > _KMEANS_LITERAL_MAX: encode must use the 1-row

@@ -17,6 +17,7 @@ from pyjanitor_spark.plans import (
     scan_columns,
     shuffle_count,
 )
+import pytest
 
 
 def test_filter_pushdown_reaches_scan(lineitem):
@@ -228,6 +229,10 @@ def test_positional_index_offsets_broadcast(lineitem):
     assert broadcast_join_count(out) >= 1
 
 
+@pytest.mark.slow  # heavy brute/sweep: builder gate
+
+
+@pytest.mark.slow  # registry-wide sweep: builder gate
 def test_registry_scale_lint(spark):
     """Registry-wide lint: NO query's physical plan may contain a
     cartesian product or nested-loop join unless it is on the explicit
@@ -284,6 +289,10 @@ def test_registry_scale_lint(spark):
     assert not bad, f"scale lint failures: {bad}"
 
 
+@pytest.mark.slow  # heavy brute/sweep: builder gate
+
+
+@pytest.mark.slow  # registry-wide sweep: builder gate
 def test_registry_generate_broadcast_lint(spark):
     """Registry-wide lint #2 (r10): every BroadcastExchange whose build
     subtree contains a Generate (explode) must be on the reviewed

@@ -11,6 +11,8 @@ import pytest
 
 import pyjanitor_spark as pj
 
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 
 def _reference_bins(values, q):
     nn = [v for v in values if v is not None]

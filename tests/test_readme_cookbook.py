@@ -8,6 +8,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import pyjanitor_spark as pj
+import pytest
+
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
 
 DATA = "/root/testdata/sf0.001"
 

@@ -22,9 +22,9 @@ import pyjanitor_spark as pj
 from tests.reference_janitor import load_reference
 
 ref = load_reference()
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow] + [pytest.mark.skipif(
     ref is None, reason="reference janitor not importable in this environment"
-)
+)]
 
 
 def _norm(v):

@@ -151,6 +151,9 @@ def test_embedding_near_dup_no_silent_cross_join(embeddings):
         pj.embedding_near_dup(embeddings, "vec_id", "embedding")
 
 
+@pytest.mark.slow  # heavy sweep: builder gate
+
+
 def test_embedding_near_dup_dim_auto_blocks(embeddings):
     """dim= alone auto-enables hyperplane blocking (no ValueError, no
     unconditional cross join: pairs are a subset of brute force)."""
@@ -458,6 +461,8 @@ class TestWeightedSample:
             for j in range(10)
         )
         assert hits >= 9, hits
+
+    @pytest.mark.slow  # heavy brute/sweep: builder gate
 
     def test_inclusion_frequency_proportional_to_weight(self, spark):
         # the A-ES statistical property itself: with k=1 the inclusion

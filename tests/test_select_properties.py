@@ -5,10 +5,14 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given
 from hypothesis import strategies as st
 
 from pyjanitor_spark.utils.select import DropLabel, resolve_columns
+
+pytestmark = pytest.mark.slow  # builder gate: fuzz/property/brute tier
+
 
 names = st.lists(
     st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),

@@ -59,6 +59,7 @@ def _components(spark, rows, mode):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=corpus())
+@pytest.mark.slow  # heavy brute/sweep: builder gate
 def test_star_components_identical(spark, rows):
     assert _components(spark, rows, "star") == _components(spark, rows, "all")
 
@@ -69,6 +70,7 @@ def test_star_components_identical(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=corpus())
+@pytest.mark.slow  # heavy brute/sweep: builder gate
 def test_dedupe_near_star_matches_forced_all_pairs(spark, rows):
     df = spark.createDataFrame(rows, "doc_id long, body string")
     # dedupe_near without a jaccard_threshold uses star pairs internally;
