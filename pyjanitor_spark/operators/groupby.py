@@ -140,16 +140,24 @@ def groupby_agg(
     # window they were written against.
     grouped_specs: dict[str, "F.Column"] = {}
     window_specs: dict[str, tuple] = {}
+    distinct_names: set[str] = set()
+    buffered_names: set[str] = set()
     for name, (col, a) in specs.items():
         if a == "nunique":
+            distinct_names.add(name)
             grouped_specs[name] = F.countDistinct(F.col(col))
         elif callable(a) and order_by is None and _required_params(a) <= 1:
+            buffered_names.add(name)  # unknown expr: treat as buffered
             grouped_specs[name] = a(F.col(col))
         elif callable(a) or order_by is not None:
             window_specs[name] = (col, a)
         elif a == "approx_nunique":
             grouped_specs[name] = F.approx_count_distinct(F.col(col))
         elif a in _AGGS:
+            if a == "median":
+                # TypedImperative percentile: buffers a per-group value
+                # counts map, no codegen
+                buffered_names.add(name)
             grouped_specs[name] = _AGGS[a](F.col(col))
         else:
             raise KeyError(f"unsupported agg {a!r}")
@@ -161,7 +169,26 @@ def groupby_agg(
         new_cols[name] = expr
     out = df.withColumns(new_cols) if new_cols else df
     if grouped_specs:
-        out = _join_grouped_aggs(out, df, keys, grouped_specs, dropna)
+        # Distinct aggregates trigger Catalyst's two-phase rewrite: ALL
+        # sibling aggregates first partial-aggregate at (keys, distinct
+        # col) granularity.  For a buffered TypedImperative sibling
+        # (median's percentile counts map) that builds one buffer PER
+        # (group, distinct value) instead of per group — measured 2.1 s
+        # vs 0.5 + 0.7 s for median+nunique at sf0.1 on 600k rows.  Run
+        # the distinct aggs in their OWN groupBy and join both bounded
+        # per-group tables back (one extra broadcast-sized join, values
+        # identical).
+        distinct = {
+            n: e for n, e in grouped_specs.items() if n in distinct_names
+        }
+        rest = {
+            n: e for n, e in grouped_specs.items() if n not in distinct_names
+        }
+        if distinct and (buffered_names & set(rest)):
+            out = _join_grouped_aggs(out, df, keys, rest, dropna)
+            out = _join_grouped_aggs(out, df, keys, distinct, dropna)
+        else:
+            out = _join_grouped_aggs(out, df, keys, grouped_specs, dropna)
     # restore the caller's column order (join-back appends at the end)
     want = df.columns + [n for n in specs if n not in df.columns]
     return out.select(*want)
