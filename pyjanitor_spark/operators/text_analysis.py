@@ -538,22 +538,26 @@ def gopher_repetition(
     # (F.trim strips spaces only), and a whitespace-only document would
     # otherwise mint separator "grams" scoring 1.0
     gram_src = F.trim(F.regexp_replace(col, r"\s+", " "))
+    top_list = [int(n) for n in top_ns]
+    dup_list = [int(n) for n in dup_ns]
+    ns_list = [int(n) for n in all_ns]
     if exact:
-        # exact mode needs the per-doc token-length array for the
-        # token-space interval folds — carry it on the base projection
-        # so the doc table is scanned once
-        base_x = df.select(
+        # exact mode is per-document too (span unions in token space):
+        # the same zero-shuffle in-task Arrow shape as the default
+        # kernel, with span-union numerators instead of count*len (the
+        # r13 expression implementation exploded (id, n, gram, i) into
+        # TWO collect_list groupBys plus a join — all shuffle for math
+        # each document can do alone)
+        inp = df.select(
             F.col(id_col),
             F.length(col).alias("__chars"),
             rep_frac(lines).alias("dup_line_frac"),
             rep_frac(paras).alias("dup_para_frac"),
-            F.transform(tokens(gram_src), lambda t: F.length(t)).alias(
-                "__lens"
-            ),
+            gram_src.alias("__norm"),
         )
-        return _gopher_exact(
-            df, id_col, gram_src, base_x, tuple(top_ns), tuple(dup_ns), all_ns
-        )
+        out_schema = _gopher_out_schema(df, id_col, top_list, dup_list)
+        score = _gopher_exact_arrow_scorer(ns_list, top_list, dup_list)
+        return inp.mapInArrow(score, out_schema)
 
     # Default mode: every one of the nine signals is PER-DOCUMENT, so
     # no shuffle is fundamentally required (guide §1.1 first-principles,
@@ -577,9 +581,6 @@ def gopher_repetition(
         rep_frac(paras).alias("dup_para_frac"),
         gram_src.alias("__norm"),
     )
-    top_list = [int(n) for n in top_ns]
-    dup_list = [int(n) for n in dup_ns]
-    ns_list = [int(n) for n in all_ns]
     out_schema = _gopher_out_schema(df, id_col, top_list, dup_list)
     score = _gopher_arrow_scorer(ns_list, top_list, dup_list)
     return inp.mapInArrow(score, out_schema)
@@ -754,205 +755,187 @@ def _gopher_arrow_scorer(ns_list, top_list, dup_list):
     return _score
 
 
-def _gopher_exact(
-    df: DataFrame,
-    id_col: str,
-    gram_src: Column,
-    base: DataFrame,
-    top_ns: tuple,
-    dup_ns: tuple,
-    all_ns: list,
-) -> DataFrame:
-    """Span-union branch of :func:`gopher_repetition` (``exact=True``).
+def _gopher_exact_arrow_scorer(ns_list, top_list, dup_list):
+    """``mapInArrow`` batch function for gopher_repetition ``exact``
+    mode — identical tokenization/ids as :func:`_gopher_arrow_scorer`,
+    with SPAN-UNION numerators:
 
-    Entirely token-space — no windows.  One narrow explode produces
-    (id, n, gram, start-token-index); one groupBy per (doc, n, gram)
-    collects sorted occurrence-start lists with counts; one groupBy
-    per doc collects the per-gram structs; everything after that is
-    per-row expressions over the joined frame.  The char-union
-    numerator uses the identity: two n-gram occurrences overlap in
-    char space iff they overlap in token space (occurrence k starts
-    before occurrence i ends iff k ≤ i+n-1), and a token interval
-    [a, b] merged from overlapping occurrences covers exactly
-    ``sum(len[a..b]) + (b - a)`` normalized chars — every interior
-    separator is covered because consecutive chained occurrences
-    leave no gap uncovered (induction over the chain).  The interval
-    merge is a linear ``aggregate`` fold over the sorted start list —
-    NOT per-step array concatenation, which is quadratic in tokens
-    and would break the 100k-token fat-row contract
-    (tests/test_fat_rows.py); the per-interval ``slice`` sums touch
-    each token index at most once, so the fold stays linear.
+    * ``top_n``: the top gram by (count, char length, lexicographic
+      gram — LARGEST string wins ties, the old ``array_max`` struct
+      order); its numerator is the merged char coverage of its
+      occurrence intervals.
+    * ``dup_n``: merged coverage of the occurrence intervals of ALL
+      grams occurring >= 2 times (cross-gram overlaps merge).
 
-    ``base`` must carry ``__chars`` and the ``__lens`` token-length
-    array (built by the caller on the same doc scan)."""
+    Interval algebra unchanged from the expression version: sorted
+    start indices chain while ``s_k <= s_prev + n - 1``; a merged
+    token interval [a, b] covers ``cum[b+1] - cum[a] + (b - a)``
+    normalized chars (codepoint token lengths + interior separators).
+    Chain merging, per-group sums and the (count, len) argmax are all
+    numpy scatter/run-length passes; gram STRINGS are materialized
+    only for the rare (count, len)-tied candidates (UTF-8 byte order
+    == codepoint order == Spark's binary string comparison)."""
+    max_n = max(ns_list)
 
-    # (id, n, gram, i): the default mode's explode, plus the start
-    # index the two-parameter transform lambda receives for free
-    def tag(n: int):
-        return lambda g, i: F.struct(
-            F.lit(n).alias("n"), g.alias("gram"), i.alias("i")
-        )
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.transform(
-                            word_shingles(gram_src, n, distinct=False), tag(n)
-                        )
-                        for n in all_ns
-                    ]
+        def cp_lens(flat):
+            return pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64, copy=False)
+
+        def chain_cover(starts, groups, n, cum):
+            """starts ascending within each contiguous group; returns
+            (unique group ids, summed merged coverage per group)."""
+            if starts.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            brk = np.ones(starts.size, bool)
+            brk[1:] = (groups[1:] != groups[:-1]) | (
+                starts[1:] - starts[:-1] > n - 1
+            )
+            bidx = np.flatnonzero(brk)
+            last = np.append(bidx[1:] - 1, starts.size - 1)
+            a = starts[bidx]
+            b = starts[last]
+            contrib = (cum[b + n] - cum[a]) + (b + n - 1 - a)
+            ug, inv = np.unique(groups[bidx], return_inverse=True)
+            out = np.zeros(ug.size, np.int64)
+            np.add.at(out, inv, contrib)
+            return ug, out
+
+        for batch in batches:
+            ndocs = batch.num_rows
+            chars = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            norm = batch.column(4)
+            toks = pc.split_pattern(norm, " ")
+            cnts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            cnts = np.nan_to_num(cnts, nan=0.0).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            offsets = np.concatenate(([0], np.cumsum(cnts)))
+            total = int(offsets[-1])
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), cnts)
+            pos = np.arange(total, dtype=np.int64) - offsets[:-1][doc_of]
+
+            top_chars = {n: np.zeros(ndocs, np.int64) for n in top_list}
+            dup_chars = {n: np.zeros(ndocs, np.int64) for n in dup_list}
+            if total:
+                codes = (
+                    flat.dictionary_encode()
+                    .indices.to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
                 )
-            )
-        ).alias("__g"),
-    ).select(
-        id_col,
-        F.col("__g.n").alias("__n"),
-        F.col("__g.gram").alias("__gram"),
-        F.col("__g.i").alias("__i"),
-    )
-    counted = grams.groupBy(id_col, "__n", "__gram").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.sort_array(F.collect_list("__i")).alias("__occs"),
-    )
-    glist = counted.groupBy(id_col).agg(
-        F.collect_list(
-            F.struct(
-                F.col("__n").alias("n"),
-                F.col("__c").alias("c"),
-                F.length("__gram").alias("l"),
-                F.col("__gram").alias("gram"),
-                F.col("__occs").alias("occs"),
-            )
-        ).alias("__gl")
-    )
-    out = base.join(glist, id_col, "left")
-
-    lit0 = F.lit(0).cast("long")
-    lens = F.col("__lens")
-
-    def union_chars(occs: Column, n: int) -> Column:
-        # linear interval merge over sorted start indices; each closed
-        # interval [a, b] contributes sum(len[a..b]) + (b - a) chars
-        def seg(a: Column, b: Column) -> Column:
-            return (
-                F.aggregate(
-                    F.slice(lens, a + 1, b - a + 1),
-                    lit0,
-                    lambda t, ln: t + ln,
-                )
-                + (b - a)
-            )
-
-        def close(acc: Column) -> Column:
-            return F.when(acc["a"] < 0, lit0).otherwise(
-                seg(acc["a"], acc["b"])
-            )
-
-        return F.aggregate(
-            occs,
-            F.struct(
-                lit0.alias("tot"),
-                F.lit(-1).cast("long").alias("a"),
-                F.lit(-2).cast("long").alias("b"),
-            ),
-            lambda acc, i: F.when(
-                i.cast("long") <= acc["b"],  # shares a token: extend
-                F.struct(
-                    acc["tot"].alias("tot"),
-                    acc["a"].alias("a"),
-                    F.greatest(
-                        acc["b"], i.cast("long") + F.lit(n - 1)
-                    ).alias("b"),
-                ),
-            ).otherwise(
-                F.struct(
-                    (acc["tot"] + close(acc)).alias("tot"),
-                    i.cast("long").alias("a"),
-                    (i.cast("long") + F.lit(n - 1)).alias("b"),
-                )
-            ),
-            lambda acc: acc["tot"] + close(acc),
-        )
-
-    chars = F.col("__chars")
-
-    def frac(numer: Column, name: str) -> Column:
-        return (
-            F.when(
-                (chars > 0) & numer.isNotNull(),
-                # union ≤ normalized ≤ original length, so the clamp
-                # is belt-and-braces only
-                F.least(F.lit(1.0), numer.cast("double") / chars),
-            )
-            .otherwise(F.lit(0.0))
-            .alias(name)
-        )
-
-    gl = F.col("__gl")
-    proj = [
-        F.col(id_col),
-        F.col("dup_line_frac"),
-        F.col("dup_para_frac"),
-    ]
-    for n in top_ns:
-        # top gram by (count, char length, lexicographic) — unique
-        # within (doc, n) because grams are distinct after the count
-        # groupBy, so the F.get below hits exactly one element
-        def topu(n: int = n) -> Column:
-            return let(
-                F.filter(gl, lambda g: g["n"] == F.lit(n)),
-                lambda sub: let(
-                    F.array_max(
-                        F.transform(
-                            sub,
-                            lambda g: F.struct(
-                                g["c"].alias("c"),
-                                g["l"].alias("l"),
-                                g["gram"].alias("gram"),
-                            ),
+                cum = np.concatenate(([0], np.cumsum(cp_lens(flat))))
+                py_tokens = None
+                pn = codes
+                for n in range(1, max_n + 1):
+                    if n >= 2:
+                        m = total - n + 1
+                        if m <= 0:
+                            break
+                        packed = (pn[:m] << 32) | codes[n - 1 : n - 1 + m]
+                        pn = pd.factorize(packed)[0].astype(
+                            np.int64, copy=False
                         )
-                    ),
-                    lambda top: union_chars(
-                        F.get(
-                            F.filter(
-                                sub,
-                                lambda g: (g["c"] == top["c"])
-                                & (g["l"] == top["l"])
-                                & (g["gram"] == top["gram"]),
-                            ),
-                            0,
-                        )["occs"],
-                        n,
-                    ),
-                ),
-            )
-
-        proj.append(frac(topu(), f"top_{n}_gram_char_frac"))
-    for n in dup_ns:
-        # union over ALL grams of this n occurring more than once —
-        # cross-gram overlaps merge, exactly the char-span semantics
-        def dupu(n: int = n) -> Column:
-            return let(
-                F.sort_array(
-                    F.flatten(
-                        F.transform(
-                            F.filter(
-                                gl,
-                                lambda g: (g["n"] == F.lit(n))
-                                & (g["c"] >= 2),
-                            ),
-                            lambda g: g["occs"],
+                    if n not in ns_list:
+                        continue
+                    if n == 1:
+                        st = np.arange(total, dtype=np.int64)
+                        gid = codes
+                    else:
+                        st = np.flatnonzero(
+                            pos[: total - n + 1]
+                            <= cnts[doc_of[: total - n + 1]] - n
                         )
+                        if not st.size:
+                            continue
+                        gid = pn[st]
+                    sdoc = doc_of[st]
+                    order = np.lexsort((st, sdoc, gid))
+                    g_s, d_s, s_s = gid[order], sdoc[order], st[order]
+                    new = np.ones(s_s.size, bool)
+                    new[1:] = (g_s[1:] != g_s[:-1]) | (d_s[1:] != d_s[:-1])
+                    ridx = np.flatnonzero(new)
+                    rcounts = np.diff(np.append(ridx, s_s.size))
+                    if n in dup_list:
+                        memb = np.repeat(rcounts >= 2, rcounts)
+                        s_d, d_d = s_s[memb], d_s[memb]
+                        o2 = np.lexsort((s_d, d_d))
+                        ug, cov = chain_cover(s_d[o2], d_d[o2], n, cum)
+                        dup_chars[n][ug] += cov
+                    if n in top_list and ridx.size:
+                        s_first = s_s[ridx]
+                        glen = cum[s_first + n] - cum[s_first] + (n - 1)
+                        lmul = int(glen.max()) + 1
+                        enc = rcounts * lmul + glen
+                        rdoc = d_s[ridx]
+                        best = np.full(ndocs, -1, np.int64)
+                        np.maximum.at(best, rdoc, enc)
+                        cand = np.flatnonzero(enc == best[rdoc])
+                        cdoc = rdoc[cand]
+                        # candidates are doc-sorted already (runs are
+                        # (gid, doc)-ordered, but argmax per doc can
+                        # span gids) -> stable doc sort
+                        co = np.argsort(cdoc, kind="stable")
+                        cand, cdoc = cand[co], cdoc[co]
+                        dnew = np.ones(cand.size, bool)
+                        dnew[1:] = cdoc[1:] != cdoc[:-1]
+                        dstart = np.flatnonzero(dnew)
+                        dcnt = np.diff(np.append(dstart, cand.size))
+                        win = np.empty(dstart.size, np.int64)
+                        for k, (si, cnt) in enumerate(zip(dstart, dcnt)):
+                            if cnt == 1:
+                                win[k] = cand[si]
+                                continue
+                            # (count, len) tie: largest gram STRING wins
+                            if py_tokens is None:
+                                py_tokens = flat.to_pylist()
+                            bestr, bestrun = None, -1
+                            for r in cand[si : si + cnt]:
+                                s0 = s_s[ridx[r]]
+                                gram = " ".join(py_tokens[s0 : s0 + n])
+                                if bestr is None or gram > bestr:
+                                    bestr, bestrun = gram, r
+                            win[k] = bestrun
+                        occ_counts = rcounts[win]
+                        csum = np.concatenate(([0], np.cumsum(occ_counts)))
+                        occ_idx = np.repeat(ridx[win], occ_counts) + (
+                            np.arange(csum[-1])
+                            - np.repeat(csum[:-1], occ_counts)
+                        )
+                        occ_s = s_s[occ_idx]  # ascending within run
+                        occ_grp = np.repeat(
+                            np.arange(win.size, dtype=np.int64), occ_counts
+                        )
+                        ug, cov = chain_cover(occ_s, occ_grp, n, cum)
+                        top_chars[n][rdoc[win[ug]]] = cov
+
+            cols = [batch.column(0), batch.column(2), batch.column(3)]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ok = chars > 0
+                for n in top_list:
+                    frac = np.where(
+                        ok, np.minimum(1.0, top_chars[n] / chars), 0.0
                     )
-                ),
-                lambda occs: union_chars(occs, n),
+                    cols.append(pa.array(frac, pa.float64()))
+                for n in dup_list:
+                    frac = np.where(
+                        ok, np.minimum(1.0, dup_chars[n] / chars), 0.0
+                    )
+                    cols.append(pa.array(frac, pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                names=[batch.schema.names[0], "dup_line_frac", "dup_para_frac"]
+                + [f"top_{n}_gram_char_frac" for n in top_list]
+                + [f"dup_{n}_gram_char_frac" for n in dup_list],
             )
 
-        proj.append(frac(dupu(), f"dup_{n}_gram_char_frac"))
-    return out.select(*proj)
+    return _score
 
 
 # Conservative, engine-portable (Java regex == RE2) PII patterns.
