@@ -54,8 +54,10 @@ def nb_train(
     and the doc total) and one tokenize pass into (label, token) counts
     (partial-aggregated shuffle, lazily checkpointed so ``V`` and the
     grid share it); the dense vocab × label grid is an ``explode`` over
-    the driver-known label list — no cross join; class totals join back
-    by label (tiny, broadcast).
+    the driver-known label list — no corpus cross join; class totals
+    join back by label (tiny, broadcast), and ``k·V`` rides the plan as
+    a broadcast one-row aggregate rather than a blocking driver
+    ``count()`` (one action per train, not two).
     """
     if k <= 0:
         raise ValueError("smoothing k must be > 0")
@@ -85,7 +87,15 @@ def nb_train(
         .filter(F.col("tc") >= min_count)
         .select("token")
     )
-    V = vocab.count()  # bounded scalar action over the checkpointed counts
+    # r14: V rides the model plan as a broadcast one-row table instead
+    # of a blocking driver count() — one less driver round trip per
+    # train, and the counts pin now materializes in the first REAL
+    # action instead of a count-only job.  k·V is the same IEEE double
+    # product either way (V is exact in a double for any vocabulary
+    # below 2^53), so llk is bit-identical.
+    vcount = vocab.agg(
+        (F.lit(float(k)) * F.count(F.lit(1)).cast("double")).alias("__kV")
+    )
     dense = vocab.select(
         "token", F.explode(F.array(*[F.lit(x) for x in labels])).alias("label")
     )
@@ -93,10 +103,11 @@ def nb_train(
     totals = grid.groupBy("label").agg(F.sum("c").alias("n"))
     model = (
         grid.join(F.broadcast(totals), "label")
+        .crossJoin(F.broadcast(vcount))
         .select(
             "token",
             "label",
-            F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.lit(float(k * V)))).alias("llk"),
+            F.log((F.col("c") + F.lit(float(k))) / (F.col("n") + F.col("__kV"))).alias("llk"),
         )
     )
     # priors from the already-collected per-class counts; ln stays on

@@ -1203,12 +1203,20 @@ def near_dup_clusters(
         sym = edges.union(
             edges.select(F.col("p").alias("c"), F.col("c").alias("p"))
         )
+        # NO distinct between the star steps (r14): the small-star
+        # window min is duplicate-insensitive and the round's trailing
+        # distinct already collapses repeats, so a mid-round distinct
+        # only re-keyed the SAME stream on (c, p) before the window
+        # re-keyed it on c — a full extra exchange per round for zero
+        # semantic effect.  Shuffle bytes strictly drop (|E| once vs
+        # |E| into the distinct + the deduped stream into the window);
+        # measured 2.6-3.6 s -> 1.5-2.3 s for the sf0.1 loop, identical
+        # edge sets (A/B in OPTIMIZATION_r14.md).
         large = (
             sym.withColumn("m", F.least(F.min("p").over(wc), F.col("c")))
             .filter(F.col("p") > F.col("c"))
             .select(F.col("p").alias("c"), F.col("m").alias("p"))
             .filter(F.col("c") != F.col("p"))
-            .distinct()
         )
         # ---- small-star: smaller-or-self members -> min of Γ⁻(u)∪{u}
         # emit (p -> m) per edge plus (c -> m) once per c via a 2-wide

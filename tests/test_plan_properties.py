@@ -436,3 +436,47 @@ def test_capped_jaccard_pair_aggregate_never_broadcasts(spark):
                 "pair aggregate under a BroadcastExchange — the r10 "
                 "driver-OOM broadcast plan is back:\n" + line + "\n" + sub
             )
+
+
+def test_nb_train_single_action_kv_in_plan(spark):
+    """r14: nb_train's k*V smoothing constant rides the model plan as a
+    broadcast one-row aggregate (crossJoin of vocab.agg) instead of a
+    blocking driver count() — one action per train, not two.  Assert
+    (a) the plan carries the __kV broadcast attach and (b) building the
+    model frame runs strictly fewer jobs than the old count()-bearing
+    shape (AQE splits one query into several jobs, so assert an upper
+    bound, not an exact count)."""
+    from pyjanitor_spark.plans import executed_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None) or ())
+    model = pj.nb_train(docs, "text", "lang", k=1.0, min_count=2)
+    after = len(sc.statusTracker().getJobIdsForGroup(None) or ())
+    # old shape: per-class collect + V count() = two queries' worth of
+    # jobs (>= 4 under AQE); new shape: the collect only
+    assert after - before <= 3, f"nb_train ran {after - before} jobs"
+    plan = executed_plan(model)
+    assert "__kV" in plan, "k*V broadcast attach missing from the model plan"
+
+
+def test_star_contraction_no_mid_round_distinct(spark):
+    """r14: the distributed star-contraction round carries exactly one
+    distinct per round (the trailing edge dedup); the mid-round distinct
+    between large-star and small-star was a full extra exchange with no
+    semantic effect (the window min is duplicate-insensitive and the
+    trailing distinct collapses repeats).  Differential-check the two
+    shapes on a graph WITH multi-edges so the dropped dedup is actually
+    exercised."""
+    rows = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4), (1, 3), (10, 11),
+            (11, 12), (5, 5), (20, 21), (21, 22), (22, 23), (23, 24)]
+    pairs = spark.createDataFrame(rows, "id_1 long, id_2 long")
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in pj.near_dup_clusters(
+            pairs, id_col="id", small_graph_edges=0
+        ).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 5: 5,
+            20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+    assert out == want, out
